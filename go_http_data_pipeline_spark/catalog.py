@@ -1,0 +1,63 @@
+"""Fixture catalog: the ten driver-generated parquet tables.
+
+At 100 TB these would be partitioned/bucketed table locations (e.g.
+``lineitem`` hash-bucketed by ``l_orderkey``, ``orders`` by
+``o_orderkey`` so the l⋈o join is shuffle-free); locally they are
+single parquet files. All loading stays declarative (``spark.read``)
+so Catalyst gets predicate pushdown + column pruning for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables that should always be broadcast in joins.
+BROADCAST_DIMS = frozenset({"region", "nation", "supplier"})
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        return _events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects. Read nanos as long (legacy conf) and truncate to
+    microseconds — the same truncation DuckDB applies, so oracle
+    comparisons agree."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_type = dict(df.dtypes)["ts"]
+    if ts_type == "bigint":
+        # Integer division — ts/1000 in double would lose precision
+        # (nanos since epoch exceed 2^53).
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.select("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str, prefix: str = "") -> None:
+    """Register all fixture tables as temp views (for spark.sql use)."""
+    for t in TABLES:
+        table(spark, sf_dir, t).createOrReplaceTempView(prefix + t)

@@ -1,0 +1,64 @@
+"""Cross-engine deterministic expression helpers.
+
+The driver compares every query's Spark result against a DuckDB oracle
+by order-insensitive value hash, so floating-point aggregation order
+must not leak into results. Strategy:
+
+* **Exact sums**: cast the addend to ``DECIMAL(18, s)`` first, sum
+  exactly (no fp reassociation), then cast the total back to DOUBLE.
+  Both engines produce bit-identical doubles.
+* **Averages**: exact decimal sum -> double, divided by COUNT — the
+  single double division is IEEE-deterministic in both engines.
+* **Hash-derived pseudo-randomness**: ``md5`` (identical in both
+  engines) -> parse a hex prefix to int -> modular arithmetic. Used by
+  MinHash/SimHash/LSH and the seeded record generator so that
+  "random" operators are oracle-checkable.
+
+At scale none of this costs anything material: decimal sums are
+JVM-side codegen'd, and md5 is a per-row scalar op.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^31 - 1: modulus for all hash-mixing arithmetic.
+# Operands stay < 2^31 so products stay < 2^62 — no int64 overflow in
+# either engine (Spark wraps silently; DuckDB raises).
+MERSENNE31 = 2_147_483_647
+
+
+def dsum(col: Column | str, scale: int = 4) -> Column:
+    """Exact, order-insensitive sum of a double column, as double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(18,{scale})")).cast("double")
+
+
+def dsum_sql(expr: str, scale: int = 4) -> str:
+    """DuckDB oracle twin of :func:`dsum`."""
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(18,{scale}))) AS DOUBLE)"
+
+
+def davg(col: Column | str, scale: int = 4) -> Column:
+    """Deterministic mean: exact decimal sum -> double, / count."""
+    c = F.col(col) if isinstance(col, str) else col
+    return dsum(c, scale) / F.count(F.lit(1))
+
+
+def davg_sql(expr: str, scale: int = 4) -> str:
+    return f"({dsum_sql(expr, scale)} / COUNT(*))"
+
+
+def md5_int(col: Column | str, hex_chars: int = 8) -> Column:
+    """First ``hex_chars`` of md5 parsed as a non-negative int64.
+
+    8 hex chars -> value < 2^32; identical in Spark (``conv``) and
+    DuckDB (``('0x' || substr(md5(x),1,8))::BIGINT``).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, hex_chars), 16, 10).cast("long")
+
+
+def md5_int_sql(expr: str, hex_chars: int = 8) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, {hex_chars})) AS BIGINT)"

@@ -1,0 +1,244 @@
+"""Hash aggregations: GROUP BY, distinct, rollup/cube/grouping sets.
+
+Absent in the reference (SURVEY.md §2.4 — its only aggregate is the
+``len(users) == 0`` existence check); full engine surface here.
+
+Scale notes: every groupBy below is a partial (map-side) + final
+aggregate — Catalyst does this automatically, so a 100 TB ``lineitem``
+shuffles only the per-partition partials, not the raw rows. Float
+aggregates use the exact-decimal-sum pattern from ``determinism.py``
+so results hash-match the DuckDB oracle bit-for-bit regardless of
+partitioning/accumulation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..determinism import davg, davg_sql, dsum, dsum_sql
+from ..registry import query
+
+
+@query(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum_sql('l_quantity', 2)} AS sum_qty,
+           {dsum_sql('l_extendedprice', 2)} AS sum_base_price,
+           {dsum_sql('l_extendedprice * (1 - l_discount)', 4)} AS sum_disc_price,
+           {dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS sum_charge,
+           {davg_sql('l_quantity', 2)} AS avg_qty,
+           {davg_sql('l_extendedprice', 2)} AS avg_price,
+           {davg_sql('l_discount', 2)} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary over ``lineitem``."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity", 2).alias("sum_qty"),
+        dsum("l_extendedprice", 2).alias("sum_base_price"),
+        dsum(disc_price, 4).alias("sum_disc_price"),
+        dsum(charge, 6).alias("sum_charge"),
+        davg("l_quantity", 2).alias("avg_qty"),
+        davg("l_extendedprice", 2).alias("avg_price"),
+        davg("l_discount", 2).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "nation_account_stats",
+    oracle=f"""
+    SELECT c_nationkey,
+           COUNT(*) AS n_customers,
+           {davg_sql('c_acctbal', 2)} AS avg_acctbal,
+           MIN(c_acctbal) AS min_acctbal,
+           MAX(c_acctbal) AS max_acctbal
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+)
+def nation_account_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count/avg/min/max per group."""
+    return (
+        table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            davg("c_acctbal", 2).alias("avg_acctbal"),
+            F.min("c_acctbal").alias("min_acctbal"),
+            F.max("c_acctbal").alias("max_acctbal"),
+        )
+    )
+
+
+@query(
+    "count_distinct_segments",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           COUNT(DISTINCT c_nationkey) AS n_nations
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def count_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregate (expand + two-phase agg under the hood)."""
+    return (
+        table(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.countDistinct("c_nationkey").alias("n_nations"),
+        )
+    )
+
+
+@query("approx_distinct_parts")
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approx distinct — the 100 TB-scale alternative to exact
+    COUNT(DISTINCT). No oracle (sketch internals are engine-specific;
+    driver records the rows-only check); pytest asserts the estimate
+    is within rsd of the exact count.
+    """
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"))
+    )
+
+
+@query(
+    "distinct_values",
+    oracle="SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+)
+def distinct_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT (= group-by-all-columns aggregate)."""
+    return table(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()
+
+
+@query(
+    "scalar_agg_forecast",
+    oracle=f"""
+    SELECT {dsum_sql('l_extendedprice * l_discount', 4)} AS revenue_delta,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def scalar_agg_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped global (no-group) aggregate."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & F.col("l_discount").between(0.03, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("revenue_delta"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@query(
+    "rollup_order_totals",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           {dsum_sql('o_totalprice', 2)} AS total_price
+    FROM orders
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy: (status, priority) -> (status) -> ()."""
+    return (
+        table(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", 2).alias("total_price"),
+        )
+    )
+
+
+@query(
+    "cube_order_totals",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           {dsum_sql('o_totalprice', 2)} AS total_price
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 4 grouping-set combinations."""
+    return (
+        table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", 2).alias("total_price"),
+        )
+    )
+
+
+@query(
+    "grouping_sets_revenue",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum_sql('l_extendedprice', 2)} AS sum_base_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via SQL on a temp view."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("gs_lineitem")
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price
+        FROM gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "having_filter",
+    oracle=f"""
+    SELECT o_custkey,
+           COUNT(*) AS n_orders,
+           {dsum_sql('o_totalprice', 2)} AS spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 15
+    """,
+)
+def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ... HAVING (post-aggregation filter)."""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", 2).alias("spend"),
+        )
+        .filter(F.col("n_orders") >= 15)
+    )

@@ -1,0 +1,145 @@
+"""Event-time windows (batch form): tumbling, sliding, session.
+
+Absent in the reference (SURVEY.md §2.9 — its only timestamps are
+wall-clock TTL and log lines); these are the batch twins of the
+Structured Streaming operators in ``streaming/`` — same semantics,
+oracle-checkable here, re-used with watermarks there.
+
+Oracle mapping: Spark ``window(ts, w)`` == DuckDB ``time_bucket``
+(both align to the epoch); sliding windows enumerate the two
+5-min-sliding 10-min windows per event; session windows are the
+classic gap-based sessionization (new session when gap >= 30 min),
+matching ``session_window``'s merge semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..determinism import dsum, dsum_sql
+from ..registry import query
+
+
+@query(
+    "tumbling_window_counts",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS w_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {dsum_sql('value', 4)} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute tumbling windows × event_type."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "sliding_window_volume",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS w_start, value FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL 5 MINUTE, ts) - INTERVAL 5 MINUTE AS w_start, value
+        FROM events
+    )
+    SELECT w_start, COUNT(*) AS n_events, {dsum_sql('value', 4)} AS total_value
+    FROM assigned
+    GROUP BY w_start
+    """,
+)
+def sliding_window_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding every 5 minutes (each event lands in
+    exactly two windows)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", 4).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("w_start"), "n_events", "total_value")
+    )
+
+
+@query(
+    "session_window_stats",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           COUNT(*) AS n_events, {dsum_sql('value', 4)} AS total_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 30-minute inactivity gap.
+
+    Uses Spark's native ``session_window`` (same operator Structured
+    Streaming uses with a watermark); the oracle replays the
+    equivalent gap-based sessionization with window functions.
+    """
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", 4).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "daily_active_users",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           COUNT(DISTINCT user_id) AS dau,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1
+    """,
+)
+def daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily distinct-user rollup (date_trunc tumbling day window)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.countDistinct("user_id").alias("dau"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -1,0 +1,184 @@
+"""Window functions: ranking, lag/lead, running totals, frames,
+per-group top-k.
+
+Absent in the reference (SURVEY.md §2.5); full engine surface over the
+``events`` stream table and the star schema.
+
+Scale notes: every window below partitions by a high-cardinality key
+(user_id / nation) — one shuffle, then a sorted scan per partition.
+Running sums use the exact-decimal pattern so the cross-engine hash
+matches at any partition count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+
+_DEC = "decimal(18,4)"
+
+
+@query(
+    "rank_events_per_user",
+    oracle="""
+    SELECT event_id, user_id, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn,
+           RANK()       OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rnk,
+           DENSE_RANK() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS drnk
+    FROM events
+    """,
+)
+def rank_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / rank / dense_rank per user by value."""
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id"))
+    return table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@query(
+    "running_total_per_user",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_value
+    FROM events
+    """,
+)
+def running_total_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative sum per user, event-time ordered."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(F.col("value").cast(_DEC)).over(w).cast("double").alias("running_value"),
+    )
+
+
+@query(
+    "lag_lead_gaps",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           LAG(ts)  OVER w AS prev_ts,
+           LEAD(ts) OVER w AS next_ts,
+           epoch_ms(ts) - epoch_ms(LAG(ts) OVER w) AS gap_ms
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def lag_lead_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead + inter-event gap in milliseconds."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lag("ts").over(w).alias("prev_ts"),
+        F.lead("ts").over(w).alias("next_ts"),
+        (F.unix_millis(F.col("ts")) - F.unix_millis(F.lag("ts").over(w))).alias("gap_ms"),
+    )
+
+
+@query(
+    "top3_customers_per_nation",
+    oracle="""
+    SELECT c_nationkey, c_custkey, c_name, c_acctbal
+    FROM (
+        SELECT c_nationkey, c_custkey, c_name, c_acctbal,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+               ) AS rn
+        FROM customer
+    ) WHERE rn <= 3
+    """,
+)
+def top3_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via row_number — the scalable top-k-per-key
+    (single shuffle; no global sort)."""
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        table(spark, sf_dir, "customer")
+        .select("c_nationkey", "c_custkey", "c_name", "c_acctbal", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+@query(
+    "moving_avg_value",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           (CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+            / COUNT(*) OVER w) AS moving_avg
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+def moving_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-row moving average (bounded frame), decimal-exact."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (
+            F.sum(F.col("value").cast(_DEC)).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("moving_avg"),
+    )
+
+
+@query(
+    "nation_share_of_region",
+    oracle="""
+    SELECT n_regionkey, n_nationkey, n_customers,
+           (CAST(n_customers AS DOUBLE)
+            / SUM(n_customers) OVER (PARTITION BY n_regionkey)) AS region_share
+    FROM (
+        SELECT n.n_regionkey, n.n_nationkey, COUNT(*) AS n_customers
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_regionkey, n.n_nationkey
+    )
+    """,
+)
+def nation_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agg + analytic window over the aggregate (share-of-total)."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    per_nation = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_regionkey", "n_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    w = Window.partitionBy("n_regionkey")
+    return per_nation.select(
+        "n_regionkey",
+        "n_nationkey",
+        "n_customers",
+        (F.col("n_customers").cast("double") / F.sum("n_customers").over(w)).alias(
+            "region_share"
+        ),
+    )
