@@ -1,0 +1,141 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+The container has no image/audio codecs, so the decode kernels are
+STUBS (deterministic fakes clearly marked below); everything
+Spark-side — binary columns, metadata schema, Arrow batch shape,
+``mapInPandas`` plumbing, partitioning — is real and tested.
+
+Fixtures have no binary column, so payloads are derived: the UTF-8
+bytes of ``documents.text`` stand in for an encoded media blob.
+
+Scale notes: media decode is the canonical ``mapInPandas`` workload —
+per-row Python cost dominates, so the job is pure map-side (no
+shuffle), Arrow moves bytes zero-copy, and partition count controls
+parallelism. ``spark.sql.files.maxPartitionBytes`` sizes batches so
+decoded frames fit executor memory.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+
+MEDIA_SCHEMA = (
+    "doc_id BIGINT, media_type STRING, content BINARY, "
+    "n_bytes INT, checksum STRING, width INT, height INT"
+)
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column + typed metadata, derived deterministically
+    from ``documents`` (text bytes as the payload; fake dims from the
+    content hash)."""
+    docs = table(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long")
+    return docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, "image/png")
+        .when(F.col("doc_id") % 3 == 1, "audio/wav")
+        .otherwise("video/mp4")
+        .alias("media_type"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.octet_length(F.encode("text", "UTF-8")).alias("n_bytes"),
+        F.md5("text").alias("checksum"),
+        (64 + h % 1856).cast("int").alias("width"),
+        (64 + F.expr("(conv(substr(md5(text), 1, 8), 16, 10) div 2048)") % 1016)
+        .cast("int")
+        .alias("height"),
+    )
+
+
+@query(
+    "media_metadata",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                ELSE 'video/mp4' END AS media_type,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           md5(text) AS checksum,
+           CAST(64 + CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 1856 AS INT)
+               AS width,
+           CAST(64 + (CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) // 2048) % 1016
+               AS INT) AS height
+    FROM documents
+    """,
+)
+def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over the binary media column (the binary payload
+    itself is exercised by ``media_features`` and pytest; metadata is
+    oracle-checked)."""
+    return media_table(spark, sf_dir).drop("content")
+
+
+def _fake_decode(content: bytes, media_type: str) -> np.ndarray:
+    """STUB decode kernel. A real pipeline calls PIL/ffmpeg here; this
+    container has neither, so we 'decode' the payload into its raw
+    byte array — deterministic and shape-compatible with the real
+    thing. Raises for unknown types like a real decoder would."""
+    if media_type not in ("image/png", "audio/wav", "video/mp4"):
+        raise NotImplementedError(f"no decoder for {media_type!r}")
+    return np.frombuffer(content, dtype=np.uint8)
+
+
+def decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: decode → per-item feature extraction.
+    Arrow-batched: each pdf is thousands of rows, one Python call."""
+    for pdf in batches:
+        feats = []
+        for content, mt in zip(pdf["content"], pdf["media_type"]):
+            arr = _fake_decode(bytes(content), mt)
+            feats.append(
+                (
+                    int(arr.size),
+                    float(arr.mean()),
+                    int(arr.min()),
+                    int(arr.max()),
+                )
+            )
+        out = pd.DataFrame(
+            feats, columns=["n_samples", "mean_byte", "min_byte", "max_byte"]
+        )
+        out.insert(0, "doc_id", pdf["doc_id"].values)
+        out.insert(1, "media_type", pdf["media_type"].values)
+        yield out
+
+
+@query("media_features")
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over binary media via ``mapInPandas`` (the
+    decode step is a deterministic stub — see ``_fake_decode``). No
+    oracle (Python kernel); rows-only check + pytest pins values."""
+    media = media_table(spark, sf_dir)
+    return media.mapInPandas(
+        decode_features,
+        schema=(
+            "doc_id BIGINT, media_type STRING, n_samples BIGINT, "
+            "mean_byte DOUBLE, min_byte BIGINT, max_byte BIGINT"
+        ),
+    )
+
+
+def frame_sample(df: DataFrame, every_n: int = 1000) -> DataFrame:
+    """'Frame sampling' stub for video payloads: keep every n-th byte
+    of the blob (a real impl samples frames via the container index).
+    Spark-side plumbing (binary slicing stays JVM-side) is real."""
+    n_frames = F.floor(F.octet_length("content") / every_n).cast("int")
+    return df.filter(F.col("media_type") == "video/mp4").select(
+        "doc_id",
+        n_frames.alias("n_frames"),
+        F.expr(
+            f"transform(sequence(0, greatest(int(octet_length(content) div {every_n}) - 1, 0)),"
+            f" i -> substring(content, i * {every_n} + 1, 1))"
+        ).alias("frames"),
+    )

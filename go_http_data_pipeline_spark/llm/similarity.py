@@ -1,0 +1,293 @@
+"""Similarity search over the ``embeddings`` table (array<float>, 64-d).
+
+Brute-force cosine top-k as the exact baseline; hyperplane-LSH
+bucketed ANN as the scale path. Vectors are quantized to integers
+(``floor(x * 1e7)`` — floor over a correctly-rounded double multiply
+is bit-identical in every IEEE-754 engine, unlike float→DECIMAL
+casts whose rounding differs between Spark and DuckDB), so dot
+products are exact BIGINT sums (max 64 · (0.6·1e7)² ≈ 2.1e15 < 2^53,
+also exact as doubles) and results — including top-k *ordering* —
+are bit-identical across engines and partitionings. Quantization
+error ~1e-7/element is a documented property of the operator, not
+engine noise.
+
+Scale design:
+* query set is broadcast; the corpus side streams — cost is
+  O(|corpus| x |queries|) with no shuffle of the corpus;
+* norms are precomputed once per vector (separate agg, broadcast);
+* the LSH variant buckets the corpus by 8 seeded hyperplane signs and
+  only scores within-bucket — the 100 TB path where brute force dies;
+  buckets are pure integer arithmetic, so oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+
+N_PLANES = 8
+N_QUERIES = 10  # vec_id < 10 are the demo query vectors
+
+# Exact quantized-integer dot product of two float arrays (Spark SQL
+# expr). FLOOR(double) → BIGINT in Spark; the whole sum stays integer.
+_DOT = (
+    "CAST(aggregate(zip_with({a}, {b}, (x, y) ->"
+    " FLOOR(CAST(x AS DOUBLE) * 1e7) * FLOOR(CAST(y AS DOUBLE) * 1e7)),"
+    " CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE)"
+)
+
+# DuckDB twin: unnest by index, same quantization. DuckDB's
+# floor(double) returns double (an exact integer value < 2^53) — cast
+# to BIGINT before multiplying; SUM(bigint) widens to DECIMAL/hugeint,
+# so cast back to BIGINT then DOUBLE (both exact at this magnitude).
+_DOT_SQL = (
+    "CAST(CAST(SUM(CAST(FLOOR(CAST({a}[i.i] AS DOUBLE) * 1e7) AS BIGINT)"
+    " * CAST(FLOOR(CAST({b}[i.i] AS DOUBLE) * 1e7) AS BIGINT)) AS BIGINT) AS DOUBLE)"
+)
+
+_NORMS_SQL = f"""
+    norms AS (
+        SELECT e.vec_id,
+               sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')}) AS nrm
+        FROM embeddings e, (SELECT unnest(generate_series(1, 64)) AS i) i
+        GROUP BY e.vec_id
+    )
+"""
+
+
+def vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, nrm): L2 norms of the quantized-integer vectors."""
+    emb = table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding"))).alias("nrm"),
+    )
+
+
+def cosine_scores(spark: SparkSession, sf_dir: str, n_queries: int = N_QUERIES) -> DataFrame:
+    """(qid, vec_id, cosine) for every (query, corpus) pair."""
+    emb = table(spark, sf_dir, "embeddings")
+    norms = vector_norms(spark, sf_dir)
+    q = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb"))
+        .join(
+            norms.select(F.col("vec_id").alias("qid"), F.col("nrm").alias("q_nrm")),
+            "qid",
+        )
+    )
+    corpus = emb.join(norms, "vec_id")
+    dot = F.expr(_DOT.format(a="q_emb", b="embedding"))
+    return (
+        corpus.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            (dot / (F.col("q_nrm") * F.col("nrm"))).alias("cosine"),
+        )
+    )
+
+
+@query(
+    "cosine_topk",
+    oracle=f"""
+    WITH {_NORMS_SQL},
+    scores AS (
+        SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+               {_DOT_SQL.format(a='q.embedding', b='e.embedding')}
+                   / (qn.nrm * en.nrm) AS cosine
+        FROM embeddings q
+        JOIN embeddings e ON e.vec_id <> q.vec_id
+        JOIN norms qn ON qn.vec_id = q.vec_id
+        JOIN norms en ON en.vec_id = e.vec_id,
+             (SELECT unnest(generate_series(1, 64)) AS i) i
+        WHERE q.vec_id < {N_QUERIES}
+        GROUP BY q.vec_id, e.vec_id, qn.nrm, en.nrm
+    )
+    SELECT qid, vec_id AS neighbor_id, cosine, rn AS rank
+    FROM (
+        SELECT qid, vec_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+        FROM scores
+    ) WHERE rn <= 5
+    """,
+)
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for each query vector."""
+    scores = cosine_scores(spark, sf_dir)
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("qid", F.col("vec_id").alias("neighbor_id"), "cosine", "rank")
+    )
+
+
+@query(
+    "embedding_neardup_pairs",
+    oracle=f"""
+    WITH {_NORMS_SQL},
+    scores AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {_DOT_SQL.format(a='a.embedding', b='b.embedding')}
+                   / (na.nrm * nb.nrm) AS cosine
+        FROM embeddings a
+        JOIN embeddings b ON a.vec_id < b.vec_id
+        JOIN norms na ON na.vec_id = a.vec_id
+        JOIN norms nb ON nb.vec_id = b.vec_id,
+             (SELECT unnest(generate_series(1, 64)) AS i) i
+        GROUP BY a.vec_id, b.vec_id, na.nrm, nb.nrm
+    )
+    SELECT vec_a, vec_b, cosine FROM scores WHERE cosine >= 0.4
+    """,
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine >= 0.4).
+
+    All-pairs here (500 fixed vectors); at 100 TB this is exactly what
+    ``ann_lsh_topk``'s bucketing replaces."""
+    emb = table(spark, sf_dir, "embeddings")
+    norms = vector_norms(spark, sf_dir)
+    a = emb.join(norms, "vec_id").select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = emb.join(norms, "vec_id").select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    dot = F.expr(_DOT.format(a="emb_a", b="emb_b"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            (dot / (F.col("nrm_a") * F.col("nrm_b"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.4)
+    )
+
+
+# --- hyperplane LSH -----------------------------------------------------
+# Plane weights: seeded LCG over (plane, dim) — integers in [-1000, 1000],
+# identical in both engines, so bucket assignment is oracle-checkable.
+_W = "((1103515245 * CAST({p} * 64 + {d} AS BIGINT) + 12345) % 2001) - 1000"
+
+
+def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, bucket): 8-bit hyperplane-sign bucket per vector.
+
+    Projections are exact BIGINT sums of quantized elements times
+    integer weights, so the sign — hence the bucket — is
+    deterministic and engine-independent."""
+    emb = table(spark, sf_dir, "embeddings")
+    proj = F.expr(
+        f"""
+        aggregate(
+            zip_with(embedding, sequence(0, 63), (x, d) ->
+                FLOOR(CAST(x AS DOUBLE) * 1e7) * ({_W.format(p='p', d='d')})),
+            CAST(0 AS BIGINT), (acc, v) -> acc + v)
+        """
+    )
+    planes = spark.range(N_PLANES).select(F.col("id").cast("int").alias("p"))
+    return (
+        emb.crossJoin(F.broadcast(planes))
+        .select(
+            "vec_id",
+            "p",
+            F.when(proj >= 0, F.expr("shiftleft(1, p)")).otherwise(0).alias("bit"),
+        )
+        .groupBy("vec_id")
+        .agg(F.sum("bit").alias("bucket"))
+    )
+
+
+_BUCKETS_SQL = f"""
+    buckets AS (
+        SELECT vec_id,
+               SUM(CASE WHEN proj >= 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS bucket
+        FROM (
+            SELECT e.vec_id, pl.p,
+                   SUM(CAST(FLOOR(CAST(e.embedding[d.d + 1] AS DOUBLE) * 1e7) AS BIGINT)
+                       * ({_W.format(p='pl.p', d='d.d')})) AS proj
+            FROM embeddings e,
+                 (SELECT unnest(generate_series(0, {N_PLANES - 1})) AS p) pl,
+                 (SELECT unnest(generate_series(0, 63)) AS d) d
+            GROUP BY e.vec_id, pl.p
+        )
+        GROUP BY vec_id
+    )
+"""
+
+
+@query(
+    "ann_lsh_top1",
+    oracle=f"""
+    WITH {_NORMS_SQL}, {_BUCKETS_SQL},
+    scores AS (
+        SELECT q.vec_id AS qid, e.vec_id AS vec_id, bq.bucket,
+               {_DOT_SQL.format(a='q.embedding', b='e.embedding')}
+                   / (qn.nrm * en.nrm) AS cosine
+        FROM embeddings q
+        JOIN buckets bq ON bq.vec_id = q.vec_id
+        JOIN buckets be ON be.bucket = bq.bucket
+        JOIN embeddings e ON e.vec_id = be.vec_id AND e.vec_id <> q.vec_id
+        JOIN norms qn ON qn.vec_id = q.vec_id
+        JOIN norms en ON en.vec_id = e.vec_id,
+             (SELECT unnest(generate_series(1, 64)) AS i) i
+        WHERE q.vec_id < {N_QUERIES}
+        GROUP BY q.vec_id, e.vec_id, bq.bucket, qn.nrm, en.nrm
+    )
+    SELECT qid, bucket, vec_id AS neighbor_id, cosine
+    FROM (
+        SELECT qid, bucket, vec_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+        FROM scores
+    ) WHERE rn = 1
+    """,
+)
+def ann_lsh_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN: nearest same-bucket neighbor per query (hyperplane LSH).
+
+    The bucket equi-join replaces the full-corpus scan — at scale the
+    corpus is hash-partitioned by bucket and each query probes one
+    partition. Queries whose bucket has no other member produce no
+    row (honest ANN semantics)."""
+    emb = table(spark, sf_dir, "embeddings")
+    norms = vector_norms(spark, sf_dir)
+    buckets = lsh_buckets(spark, sf_dir)
+    q = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .join(buckets, "vec_id")
+        .join(norms, "vec_id")
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+            "bucket",
+        )
+    )
+    corpus = emb.join(buckets, "vec_id").join(norms, "vec_id")
+    dot = F.expr(_DOT.format(a="q_emb", b="embedding"))
+    scores = (
+        corpus.join(F.broadcast(q), "bucket")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "bucket",
+            "vec_id",
+            (dot / (F.col("q_nrm") * F.col("nrm"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("qid", "bucket", F.col("vec_id").alias("neighbor_id"), "cosine")
+    )

@@ -1,0 +1,174 @@
+"""Text analysis operators: quality scoring, token counting, document
+fingerprinting, language identification.
+
+All-but-one are pure JVM-side column expressions (oracle-checked);
+language ID is a vectorized pandas UDF (Arrow-batched, rows-only
+check) because its trigram-profile scoring isn't SQL-expressible.
+
+Scale notes: every operator is a per-row map over ``documents`` —
+embarrassingly parallel, no shuffle at all except the final
+fingerprint groupBy-free projection. The pandas UDF processes Arrow
+batches (~10k rows), not rows.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..catalog import table
+from ..determinism import MERSENNE31 as P
+from ..registry import query
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@query(
+    "text_quality_scores",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, n_chars, string_split(text, ' ') AS t,
+               len(replace(text, ' ', '')) AS n_nonspace
+        FROM documents
+    )
+    SELECT doc_id,
+           len(t) AS n_tokens,
+           n_chars,
+           (CAST(n_nonspace AS DOUBLE) / len(t)) AS avg_token_len,
+           (CAST(len(list_filter(t, x -> x IN ({_STOP_SQL}))) AS DOUBLE)
+                / len(t)) AS stopword_ratio,
+           (CAST(len(list_filter(t, x -> len(x) <= 2)) AS DOUBLE)
+                / len(t)) AS short_token_ratio
+    FROM toks
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features: token count, average token
+    length, stopword ratio, short-token ratio — the standard cheap
+    filters in LLM corpus curation."""
+    docs = table(spark, sf_dir, "documents")
+    stop_arr = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        "n_chars",
+        (
+            F.length(F.regexp_replace("text", " ", "")).cast("double")
+            / F.size(F.split("text", " "))
+        ).alias("avg_token_len"),
+        (
+            F.expr(
+                f"size(filter(split(text, ' '), x -> x IN ({stop_arr})))"
+            ).cast("double")
+            / F.size(F.split("text", " "))
+        ).alias("stopword_ratio"),
+        (
+            F.expr("size(filter(split(text, ' '), x -> length(x) <= 2))").cast(
+                "double"
+            )
+            / F.size(F.split("text", " "))
+        ).alias("short_token_ratio"),
+    )
+
+
+@query(
+    "token_counts",
+    oracle="""
+    SELECT doc_id,
+           len(list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'),
+                           x -> len(x) > 0)) AS n_word_tokens,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           CAST(ceil(len(text) / 4.0) AS BIGINT) AS approx_bpe_tokens
+    FROM documents
+    """,
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: regex word tokens, whitespace
+    tokens, and the chars/4 BPE heuristic."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr(
+            "size(filter(split(text, '[^a-zA-Z0-9]+'), x -> length(x) > 0))"
+        ).alias("n_word_tokens"),
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+        F.ceil(F.length("text") / 4.0).cast("bigint").alias("approx_bpe_tokens"),
+    )
+
+
+@query(
+    "doc_fingerprints",
+    oracle=f"""
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(text, ' '),
+                       w -> CAST(('0x' || substr(md5(w), 1, 4)) AS BIGINT))),
+               (acc, h) -> (acc * 131 + h) % {P}) AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling polynomial hash over the token stream
+    (Rabin-Karp style): fp = fold((acc * 131 + h(w)) mod P).
+
+    Unlike the bag-of-shingles MinHash, this distinguishes documents
+    with the same words in different order."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr(
+            f"""
+            aggregate(split(text, ' '), CAST(0 AS BIGINT),
+                (acc, w) -> (acc * 131
+                             + CAST(conv(substr(md5(w), 1, 4), 16, 10) AS BIGINT))
+                            % {P})
+            """
+        ).alias("fingerprint"),
+    )
+
+
+# --- language ID (pandas UDF — not SQL-expressible, rows-only check) ----
+
+# Tiny per-language marker-word profiles (public-knowledge function
+# words). Real pipelines plug fastText/CLD3 here; the Spark plumbing
+# (Arrow-batched scalar UDF) is identical.
+_LANG_MARKERS = {
+    "en": {"the", "and", "of", "to", "is", "in", "that", "with"},
+    "es": {"el", "la", "de", "que", "y", "los", "las", "una"},
+    "fr": {"le", "la", "les", "des", "et", "est", "une", "dans"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "mit", "ein"},
+    "zh": {"的", "是", "了", "在", "我", "有", "和", "不"},
+}
+
+
+@pandas_udf("string")
+def predict_lang(texts: pd.Series) -> pd.Series:
+    """Marker-word language ID over an Arrow batch. Deterministic
+    tie-break: highest score wins, then lexicographic language code;
+    'und' when nothing matches."""
+
+    def score(text: str) -> str:
+        toks = set(text.lower().split())
+        best_lang, best = "und", 0
+        for lang in sorted(_LANG_MARKERS):
+            s = len(toks & _LANG_MARKERS[lang])
+            if s > best:
+                best_lang, best = lang, s
+        return best_lang
+
+    return texts.map(score)
+
+
+@query("language_id")
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language identification via vectorized pandas UDF (no oracle:
+    driver records rows-only; pytest pins exact outputs on hand-built
+    texts)."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", predict_lang(F.col("text")).alias("predicted_lang")
+    )
