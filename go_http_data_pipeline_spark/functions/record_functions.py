@@ -28,17 +28,22 @@ from ..registry import query
 
 # Deterministic request-context derivation shared by log queries:
 # ip octets / method / status from event columns, pure arithmetic.
-_SPARK_CTX = {
-    "ip": F.format_string(
-        "10.%d.%d.%d",
-        (F.col("user_id") % 200).cast("int"),
-        (F.col("event_id") % 251).cast("int"),
-        ((F.col("event_id") / F.lit(251)).cast("long") % 251).cast("int"),
-    ),
-    "method": F.when(F.col("event_type").isin("click", "view"), "GET").otherwise("POST"),
-    "path": F.concat(F.lit("/"), F.col("event_type")),
-    "status": F.when(F.col("event_type") == "error", 500).otherwise(200),
-}
+# Built lazily — constructing Columns needs an active SparkContext,
+# and this module must be importable before any session exists.
+def _spark_ctx() -> dict:
+    return {
+        "ip": F.format_string(
+            "10.%d.%d.%d",
+            (F.col("user_id") % 200).cast("int"),
+            (F.col("event_id") % 251).cast("int"),
+            ((F.col("event_id") / F.lit(251)).cast("long") % 251).cast("int"),
+        ),
+        "method": F.when(F.col("event_type").isin("click", "view"), "GET").otherwise(
+            "POST"
+        ),
+        "path": F.concat(F.lit("/"), F.col("event_type")),
+        "status": F.when(F.col("event_type") == "error", 500).otherwise(200),
+    }
 
 _SQL_CTX = """
     printf('10.%d.%d.%d', user_id % 200, event_id % 251, (event_id // 251) % 251) AS ip,
@@ -62,7 +67,7 @@ def access_log_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S9/F7/F8: Apache common-log-format lines
     (``<ip> - - [dd/MMM/yyyy HH:mm:ss] "METHOD path proto" status``)."""
     ev = table(spark, sf_dir, "events")
-    ctx = ev.select("event_id", "ts", *[c.alias(k) for k, c in _SPARK_CTX.items()])
+    ctx = ev.select("event_id", "ts", *[c.alias(k) for k, c in _spark_ctx().items()])
     return ctx.select(
         "event_id",
         F.format_string(
@@ -98,7 +103,7 @@ def client_ip_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     req = ev.select(
         "event_id",
-        F.concat(_SPARK_CTX["ip"], F.lit(" , 172.16.0.1, 10.0.0.1")).alias(
+        F.concat(_spark_ctx()["ip"], F.lit(" , 172.16.0.1, 10.0.0.1")).alias(
             "x_forwarded_for"
         ),
         F.format_string(

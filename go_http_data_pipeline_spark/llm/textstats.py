@@ -145,22 +145,28 @@ _LANG_MARKERS = {
 }
 
 
-@pandas_udf("string")
-def predict_lang(texts: pd.Series) -> pd.Series:
+def _score_lang(text: str) -> str:
+    toks = set(text.lower().split())
+    best_lang, best = "und", 0
+    for lang in sorted(_LANG_MARKERS):
+        s = len(toks & _LANG_MARKERS[lang])
+        if s > best:
+            best_lang, best = lang, s
+    return best_lang
+
+
+def predict_lang():
     """Marker-word language ID over an Arrow batch. Deterministic
     tie-break: highest score wins, then lexicographic language code;
-    'und' when nothing matches."""
+    'und' when nothing matches. Built lazily — the ``pandas_udf``
+    decorator parses its DDL type against the active session, so
+    module import must not construct it."""
 
-    def score(text: str) -> str:
-        toks = set(text.lower().split())
-        best_lang, best = "und", 0
-        for lang in sorted(_LANG_MARKERS):
-            s = len(toks & _LANG_MARKERS[lang])
-            if s > best:
-                best_lang, best = lang, s
-        return best_lang
+    @pandas_udf("string")
+    def _udf(texts: pd.Series) -> pd.Series:
+        return texts.map(_score_lang)
 
-    return texts.map(score)
+    return _udf
 
 
 @query("language_id")
@@ -170,5 +176,5 @@ def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     texts)."""
     docs = table(spark, sf_dir, "documents")
     return docs.select(
-        "doc_id", "lang", predict_lang(F.col("text")).alias("predicted_lang")
+        "doc_id", "lang", predict_lang()(F.col("text")).alias("predicted_lang")
     )
