@@ -10,11 +10,16 @@ hash functions are seeded constants, not ``rand()``.
 Scale design:
 * exact dedup = hash-groupBy on md5(text) — one shuffle of (hash,
   doc_id), never the document bodies;
-* MinHash: explode shingles -> per-(doc, hash_j) min-agg (map-side
-  partial min keeps the shuffle tiny) -> band signatures -> self-join
-  on (band, signature): the join runs on *signatures*, so at 100 TB
-  the candidate set, not the corpus square, bounds the cost;
-* SimHash: one explode + two groupBys, all integer arithmetic.
+* MinHash: one groupBy(doc_id) computing all 16 minhashes as agg
+  *columns* (map-side partial min; no 16x row explosion) -> band
+  signatures by column concat (no extra shuffle) -> self-join on
+  (band, signature): the join runs on *signatures*, so at 100 TB the
+  candidate set, not the corpus square, bounds the cost. The shingle
+  table is persisted — it feeds signature build + both sides of the
+  verification join, and at scale it would be a materialized
+  intermediate table, not recomputed lineage;
+* SimHash: one explode + one groupBy with 16 vote columns, all
+  integer arithmetic.
 
 Shingling is word 3-grams; documents are space-tokenized
 (FIXTURES.md: word-soup text, min 10 tokens).
@@ -48,14 +53,22 @@ _SHINGLES_SQL = """
 
 
 def shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct word-3-gram shingles per document."""
+    """Distinct word-3-gram shingles per document. The tokens array is
+    materialized once so codegen doesn't re-split per shingle."""
     docs = table(spark, sf_dir, "documents")
-    sh = F.expr(
-        "transform(sequence(1, size(split(text, ' ')) - 2),"
-        " i -> array_join(slice(split(text, ' '), i, 3), ' '))"
-    )
-    return docs.select(
-        "doc_id", F.explode(F.array_distinct(sh)).alias("shingle")
+    return (
+        docs.select("doc_id", F.split("text", " ").alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(1, size(toks) - 2),"
+                        " i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"
+                    )
+                )
+            ).alias("shingle"),
+        )
     )
 
 
@@ -82,24 +95,24 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, j, mh): 16 minhash values per document."""
-    sh = shingles(spark, sf_dir).select(
-        "doc_id", (md5_int("shingle") % P).alias("h")
-    )
-    expanded = sh.select(
-        "doc_id",
-        "h",
-        F.explode(F.sequence(F.lit(0), F.lit(N_HASHES - 1))).alias("j"),
-    )
-    hv = (
-        (F.col("j") * _A_MUL + _A_ADD) * F.col("h") + (F.col("j") * _B_MUL + _B_ADD)
-    ) % P
-    return (
-        expanded.select("doc_id", "j", hv.alias("hv"))
-        .groupBy("doc_id", "j")
-        .agg(F.min("hv").alias("mh"))
-    )
+def minhash_signatures(sh: DataFrame) -> DataFrame:
+    """(doc_id, mh0..mh15): all 16 minhash values per document in ONE
+    groupBy — each h_j is an agg column, so there is no 16x row
+    explosion and map-side partial mins shrink the shuffle to one row
+    per (doc, partition). Coefficient products stay < 2^51 (a_15 * P
+    ~= 1.3e15), overflow-safe in both engines.
+
+    ``sh`` is the (doc_id, shingle) DataFrame from :func:`shingles`.
+    """
+    h = (md5_int("shingle") % P).alias("h")
+    mins = [
+        F.min(
+            ((F.lit(j) * _A_MUL + _A_ADD) * F.col("h") + (F.lit(j) * _B_MUL + _B_ADD))
+            % P
+        ).alias(f"mh{j}")
+        for j in range(N_HASHES)
+    ]
+    return sh.select("doc_id", h).groupBy("doc_id").agg(*mins)
 
 
 _MINHASH_SQL = f"""
@@ -128,22 +141,28 @@ _MINHASH_SQL = f"""
 """
 
 
-def lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, band, sig): banded minhash signatures."""
-    mh = minhash_signatures(spark, sf_dir)
-    return (
-        mh.withColumn("band", F.expr(f"j div {BAND_ROWS}"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("j", "mh"))),
-                    lambda x: x["mh"].cast("string"),
-                ),
+def lsh_bands(sh: DataFrame) -> DataFrame:
+    """(doc_id, band, sig): banded minhash signatures, built by column
+    concatenation from the wide signature row — no shuffle beyond the
+    one inside :func:`minhash_signatures` (the 4-rows-per-doc explode
+    is a narrow map)."""
+    mh = minhash_signatures(sh)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
                 "-",
-            ).alias("sig")
+                *[
+                    F.col(f"mh{j}").cast("string")
+                    for j in range(b * BAND_ROWS, (b + 1) * BAND_ROWS)
+                ],
+            ).alias("sig"),
         )
-    )
+        for b in range(N_HASHES // BAND_ROWS)
+    ]
+    return mh.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bs")
+    ).select("doc_id", "bs.band", "bs.sig")
 
 
 @query(
@@ -173,9 +192,13 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The LSH step means only band-colliding pairs pay the exact
     verification join — the property that makes near-dedup feasible
-    on a 100 TB corpus (candidates ~ O(dups), not O(n^2))."""
-    sh = shingles(spark, sf_dir)
-    bands = lsh_bands(spark, sf_dir)
+    on a 100 TB corpus (candidates ~ O(dups), not O(n^2)).
+
+    The shingle table feeds signatures, counts, and both verify-join
+    sides; persist() marks it a materialized intermediate (at cluster
+    scale: a checkpointed table) instead of 4x-recomputed lineage."""
+    sh = shingles(spark, sf_dir).persist()
+    bands = lsh_bands(sh)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -237,7 +260,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     on shared shingles — the ground truth ``minhash_lsh_pairs``
     approximates. Quadratic in the worst case; here the shingle join
     only pairs documents that actually share a 3-gram."""
-    sh = shingles(spark, sf_dir)
+    sh = shingles(spark, sf_dir).persist()
     cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -291,26 +314,26 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per document: each bit is the sign of the vote
     sum (+1/-1 per distinct token by that bit of the token hash).
-    Near-dup docs differ in few bits (Hamming distance)."""
+    Near-dup docs differ in few bits (Hamming distance).
+
+    One groupBy with 16 vote columns (map-side partial sums) — no
+    16x row blow-up; the final bit-assembly is a pure projection."""
     docs = table(spark, sf_dir, "documents")
-    toks = docs.select(
+    hashed = docs.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    ).select("doc_id", md5_int("tok").alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.expr(f"(h div {1 << b}) % 2 = 1"), 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(16)
+    ]
+    assemble = sum(
+        (F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(0) for b in range(16)),
+        start=F.lit(0),
     )
-    hashed = toks.select("doc_id", md5_int("tok").alias("h"))
-    bits = spark.createDataFrame(
-        [(b, 1 << b) for b in range(16)], "b INT, pw BIGINT"
-    )
-    votes = (
-        hashed.crossJoin(F.broadcast(bits))
-        .select(
-            "doc_id",
-            "b",
-            "pw",
-            F.when(F.expr("(h div pw) % 2 = 1"), 1).otherwise(-1).alias("v"),
-        )
-        .groupBy("doc_id", "b", "pw")
-        .agg(F.sum("v").alias("vote"))
-    )
-    return votes.groupBy("doc_id").agg(
-        F.sum(F.when(F.col("vote") > 0, F.col("pw")).otherwise(0)).alias("simhash")
+    return (
+        hashed.groupBy("doc_id")
+        .agg(*votes)
+        .select("doc_id", assemble.cast("bigint").alias("simhash"))
     )
