@@ -1,0 +1,265 @@
+"""Reference-parity pipelines: the four HTTP entry points of
+Dharineesh-MCW/Go-HTTP-Data-PipeLine re-expressed as distributed
+dataflow (SURVEY.md §3).
+
+The reference's tables (``employee``, ``users``) don't exist in the
+fixtures, so each pipeline derives them deterministically from fixture
+tables with pure arithmetic — identical formulas on the DuckDB side,
+so every pipeline is oracle-checked end-to-end.
+
+Parity map:
+* salary ETL      — ``/processsalary`` (``Server/main.go:284-320``):
+  projected scan → per-row remote enrichment → keyed write-back.
+  Here: ``mapInPandas`` Arrow-batched enrichment (the idiomatic form
+  of the reference's serial per-row HTTP loop) → relational MERGE.
+* employee upsert — ``UPDATE ... WHERE id=?`` (:279-282) + insert
+  (:217) as one ``merge_into``.
+* login flow      — ``/login`` (:91-156): point lookup, auto-register
+  on miss (left-anti append), credential check. The reference's
+  "any unknown username silently creates an account" quirk (§3.2) is
+  preserved and visible in the output's ``registered`` flag.
+* JSON egress     — ``/getemployees`` (:229-259): scan → JSON array
+  rows via ``to_json(struct(...))``.
+
+bcrypt is salted/non-deterministic (``Server/main.go:114``), so the
+oracle-checked login path uses ``sha2(pw, 256)``; the real bcrypt/JWT
+chain lives in ``pipelines/auth.py`` (unit-tested, not oracle-able).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+from .merge import merge_into
+
+# ---------------------------------------------------------------- employees
+# Derived employee table (FIXTURES.md §B): id/name from customer,
+# age/yearsofexp/salary by arithmetic. Same formulas in the oracle CTE.
+
+_EMP_SQL = """
+    employee AS (
+        SELECT c_custkey AS id,
+               c_name AS name,
+               CAST(18 + c_custkey % 40 AS INT) AS age,
+               CAST(c_custkey % 30 AS INT) AS yearsofexp,
+               CAST(30000 + (c_custkey % 50) * 1000 AS BIGINT) AS salary
+        FROM customer
+    )
+"""
+
+
+def employees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ``employee`` table (``Server/main.go:31-37``),
+    derived deterministically from ``customer``."""
+    return table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        (18 + F.col("c_custkey") % 40).cast("int").alias("age"),
+        (F.col("c_custkey") % 30).cast("int").alias("yearsofexp"),
+        (30000 + (F.col("c_custkey") % 50) * 1000).cast("bigint").alias("salary"),
+    )
+
+
+# ------------------------------------------------------------- salary ETL
+
+
+def _enrich_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Stand-in for the remote salary service
+    (``Server/main.go:299-311``: ``{id, yearsofexp, salary} →
+    {new_salary}``), applied per Arrow batch. In production the body
+    of this function is an HTTP POST of the whole batch — one
+    round-trip per ~10k rows instead of the reference's one per row,
+    with connection reuse per partition."""
+    for pdf in batches:
+        pdf = pdf.copy()
+        pdf["new_salary"] = (
+            pdf["salary"] + 500 * pdf["yearsofexp"] + (pdf["age"] % 5) * 250
+        )
+        yield pdf
+
+
+@query(
+    "salary_etl_merge",
+    oracle=f"""
+    WITH {_EMP_SQL},
+    enriched AS (
+        SELECT id, CAST(salary + 500 * yearsofexp + (age % 5) * 250 AS BIGINT)
+                   AS new_salary
+        FROM employee
+    )
+    SELECT e.id, e.name, e.age, e.yearsofexp, n.new_salary AS salary
+    FROM employee e JOIN enriched n ON n.id = e.id
+    """,
+)
+def salary_etl_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship ``/processsalary`` ETL (SURVEY.md §3.1): projected
+    scan → Arrow-batched enrichment (``mapInPandas``) → MERGE by id.
+
+    The reference's serial N x (HTTP + UPDATE) loop collapses into one
+    distributed job: extraction is a 3-column pruned scan, enrichment
+    runs partition-parallel on Arrow batches, and the write-back is a
+    single relational merge instead of N point updates."""
+    emp = employees(spark, sf_dir)
+    extracted = emp.select("id", "age", "yearsofexp", "salary")
+    enriched = extracted.mapInPandas(
+        _enrich_batches,
+        schema="id long, age int, yearsofexp int, salary long, new_salary long",
+    )
+    updates = enriched.select("id", F.col("new_salary").alias("salary"))
+    merged = merge_into(
+        emp.select("id", "salary"), updates, key="id"
+    ).withColumnRenamed("salary", "new_salary")
+    return emp.select("id", "name", "age", "yearsofexp").join(
+        merged, "id"
+    ).select("id", "name", "age", "yearsofexp", F.col("new_salary").alias("salary"))
+
+
+@query(
+    "employee_upsert",
+    oracle=f"""
+    WITH {_EMP_SQL},
+    updates AS (
+        SELECT id, name, age, yearsofexp, CAST(salary + 10000 AS BIGINT) AS salary
+        FROM employee WHERE id % 10 = 0
+        UNION ALL
+        SELECT 1000000 + n AS id,
+               'User' || CAST((1103515245 * (n + 42) + 12345) % 2147483648 % 10000
+                              AS VARCHAR) AS name,
+               CAST(18 + (1103515245 * (n + 42) + 12345) % 2147483648 % 40 AS INT)
+                   AS age,
+               CAST(0 AS INT) AS yearsofexp,
+               CAST(30000 AS BIGINT) AS salary
+        FROM range(0, 10) t(n)
+    )
+    SELECT * FROM (
+        SELECT e.* FROM employee e ANTI JOIN updates u ON u.id = e.id
+        UNION ALL
+        SELECT * FROM updates
+    )
+    """,
+)
+def employee_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S4/S5: one MERGE covering both reference write paths — the
+    keyed UPDATE (ids divisible by 10 get a raise) and the append of
+    10 generated hires (the ``Random`` client's records, seeded LCG as
+    in ``generated_users``)."""
+    emp = employees(spark, sf_dir)
+    raises = emp.filter(F.col("id") % 10 == 0).withColumn(
+        "salary", (F.col("salary") + 10000).cast("bigint")
+    )
+    lcg = (F.lit(1103515245) * (F.col("id") + 42) + 12345) % 2147483648
+    hires = spark.range(0, 10).select(
+        (F.lit(1000000) + F.col("id")).alias("id"),
+        F.concat(F.lit("User"), (lcg % 10000).cast("string")).alias("name"),
+        (18 + lcg % 40).cast("int").alias("age"),
+        F.lit(0).cast("int").alias("yearsofexp"),
+        F.lit(30000).cast("bigint").alias("salary"),
+    )
+    return merge_into(emp, raises.unionByName(hires), key="id")
+
+
+# ------------------------------------------------------------- login flow
+
+_USERS_SQL = """
+    users AS (
+        SELECT s_name AS username, sha256('pw_' || s_name) AS password
+        FROM supplier
+    ),
+    attempts AS (
+        SELECT s_name AS username, 'pw_' || s_name AS pw FROM supplier
+        WHERE s_suppkey % 2 = 0
+        UNION ALL
+        SELECT s_name AS username, 'wrong' AS pw FROM supplier
+        WHERE s_suppkey % 2 = 1
+        UNION ALL
+        SELECT 'newuser_' || CAST(n AS VARCHAR) AS username,
+               'pw_new_' || CAST(n AS VARCHAR) AS pw
+        FROM range(0, 5) t(n)
+    )
+"""
+
+
+@query(
+    "login_register_if_absent",
+    oracle=f"""
+    WITH {_USERS_SQL}
+    SELECT a.username,
+           u.username IS NULL AS registered,
+           (u.username IS NULL OR u.password = sha256(a.pw)) AS auth_ok
+    FROM attempts a LEFT JOIN users u ON u.username = a.username
+    """,
+)
+def login_register_if_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``/login`` flow (§3.2): point lookup per attempt; unknown
+    usernames auto-register (and thereby authenticate — the
+    reference's quirk, preserved and surfaced as ``registered``);
+    known usernames authenticate iff the hash matches
+    (``Server/main.go:110-127``). sha2 stands in for bcrypt so the
+    oracle can check the whole flow."""
+    sup = table(spark, sf_dir, "supplier")
+    users = sup.select(
+        F.col("s_name").alias("username"),
+        F.sha2(F.concat(F.lit("pw_"), F.col("s_name")), 256).alias("password"),
+    )
+    attempts = (
+        sup.filter(F.col("s_suppkey") % 2 == 0)
+        .select(
+            F.col("s_name").alias("username"),
+            F.concat(F.lit("pw_"), F.col("s_name")).alias("pw"),
+        )
+        .unionByName(
+            sup.filter(F.col("s_suppkey") % 2 == 1).select(
+                F.col("s_name").alias("username"), F.lit("wrong").alias("pw")
+            )
+        )
+        .unionByName(
+            spark.range(0, 5).select(
+                F.concat(F.lit("newuser_"), F.col("id").cast("string")).alias(
+                    "username"
+                ),
+                F.concat(F.lit("pw_new_"), F.col("id").cast("string")).alias("pw"),
+            )
+        )
+    )
+    joined = attempts.join(users, "username", "left")
+    return joined.select(
+        "username",
+        F.col("password").isNull().alias("registered"),
+        (
+            F.col("password").isNull()
+            | (F.col("password") == F.sha2(F.col("pw"), 256))
+        ).alias("auth_ok"),
+    )
+
+
+# ------------------------------------------------------------ JSON egress
+
+
+@query(
+    "employees_json",
+    oracle=f"""
+    WITH {_EMP_SQL}
+    SELECT id,
+           printf('{{"id":%d,"name":"%s","age":%d,"yearsofexp":%d,"salary":%d}}',
+                  id, name, age, yearsofexp, salary) AS json
+    FROM employee
+    """,
+)
+def employees_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``/getemployees`` egress (S2/F12): scan → one JSON object per
+    row via ``to_json(struct(...))``. All-integer/string fields so the
+    serialization is engine-independent; the driver's ``.collect()``
+    is the JSON-array materialization (``Server/main.go:255-256``)."""
+    emp = employees(spark, sf_dir)
+    return emp.select(
+        "id",
+        F.to_json(
+            F.struct("id", "name", "age", "yearsofexp", "salary")
+        ).alias("json"),
+    )

@@ -1,0 +1,90 @@
+"""Unit tests for the LLM-pipeline operators on hand-built inputs —
+exact expected outputs, independent of the fixture tables."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from go_http_data_pipeline_spark.llm.textstats import _score_lang
+
+
+def test_language_id_scoring():
+    assert _score_lang("the cat and the hat is in that house") == "en"
+    assert _score_lang("el que la de los") == "es"
+    assert _score_lang("xyzzy plugh") == "und"
+    # Tie → lexicographically first language code.
+    assert _score_lang("the el") == "en"
+
+
+def test_dedup_exact_keeps_min_doc_id(spark, sf_dir):
+    from go_http_data_pipeline_spark.llm.dedup import dedup_exact
+
+    out = dedup_exact(spark, sf_dir)
+    # Every group's representative is its minimum doc_id; group sizes
+    # sum back to the corpus size.
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert out.agg(F.sum("n_copies")).first()[0] == docs.count()
+    assert out.filter(F.col("n_copies") < 1).count() == 0
+
+
+def test_shingles_exact(spark):
+    from go_http_data_pipeline_spark.llm.dedup import shingles as mk
+
+    # Build a one-doc frame shaped like documents and monkey-run the
+    # transform expression directly.
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    sh = df.select(
+        "doc_id", F.split("text", " ").alias("toks")
+    ).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 2),"
+                    " i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"
+                )
+            )
+        ).alias("shingle"),
+    )
+    assert {r.shingle for r in sh.collect()} == {"a b c", "b c d"}
+
+
+def test_minhash_similar_docs_collide(spark):
+    # Two near-identical docs must share all 4 band signatures; an
+    # unrelated doc must share none with them.
+    from go_http_data_pipeline_spark.llm import dedup
+
+    text_a = " ".join(f"w{i}" for i in range(30))
+    text_b = " ".join(f"w{i}" for i in range(29)) + " zz"  # 1-token diff
+    text_c = " ".join(f"q{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, text_a), (2, text_b), (3, text_c)], "doc_id long, text string"
+    )
+    sh = df.select("doc_id", F.split("text", " ").alias("toks")).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 2),"
+                    " i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"
+                )
+            )
+        ).alias("shingle"),
+    )
+    bands = dedup.lsh_bands(sh)
+    a = {(r.band, r.sig) for r in bands.filter("doc_id = 1").collect()}
+    b = {(r.band, r.sig) for r in bands.filter("doc_id = 2").collect()}
+    c = {(r.band, r.sig) for r in bands.filter("doc_id = 3").collect()}
+    assert a & b, "near-identical docs should collide in >=1 band"
+    assert not (a & c) and not (b & c)
+
+
+def test_cosine_topk_self_similarity_excluded(spark, sf_dir):
+    from go_http_data_pipeline_spark.llm.similarity import cosine_topk
+
+    out = cosine_topk(spark, sf_dir)
+    assert out.filter(F.col("qid") == F.col("neighbor_id")).count() == 0
+    # Exactly 5 neighbors per query, ranks 1..5.
+    per_q = out.groupBy("qid").count().collect()
+    assert all(r["count"] == 5 for r in per_q)
+    assert out.agg(F.min("rank"), F.max("rank")).first() == (1, 5)

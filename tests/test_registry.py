@@ -1,0 +1,31 @@
+"""Driver-contract invariants: every query registered, every oracle
+paired, import works without a SparkSession."""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+
+def test_registry_loads_without_session():
+    # Run in a fresh interpreter so no fixture-created session leaks in.
+    code = (
+        "import sys; sys.path.insert(0, '/root/repo');"
+        "from go_http_data_pipeline_spark import registry;"
+        "qs = registry.all_queries(); assert len(qs) >= 50, len(qs)"
+    )
+    subprocess.run([sys.executable, "-c", code], check=True, timeout=120)
+
+
+def test_every_oracle_has_a_query():
+    from go_http_data_pipeline_spark import registry
+
+    qs, oracles = registry.all_queries(), registry.all_oracles()
+    assert set(oracles) <= set(qs)
+
+
+def test_entry_contract_surface():
+    import __spark_entry__ as e
+
+    assert callable(e.entry)
+    assert set(e.oracle_sql()) <= set(e.queries())
