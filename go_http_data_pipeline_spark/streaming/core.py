@@ -1,0 +1,216 @@
+"""Structured Streaming surface (SURVEY.md §2.9, T1-T5).
+
+The reference's streaming story is one-HTTP-request-per-record
+consumed forever (``Server/main.go:329-336``) with a 1 rec/sec client
+(``Random/main.go:74-122``). Here that becomes:
+
+* ``events_stream``     — file-based ``readStream`` over the events
+  fixture (the stand-in for the HTTP ingest source; the real HTTP
+  DataSource lives in ``sources/http_json.py``).
+* ``rate_user_stream``  — T2/S8: the ``rate`` source throttled to
+  N rec/sec, transformed into the Random client's ``{name, role,
+  age}`` records with the same seeded LCG as ``generated_users``.
+* ``run_to_memory``     — drives any streaming DF to completion with
+  ``trigger(availableNow=True)`` into a memory sink, so streaming
+  results are plain DataFrames: deterministic, oracle-checkable, and
+  testable. At production scale the same plans run with processing-
+  time triggers and kafka/file sinks — the trigger is config, not
+  code.
+* ``foreach_batch_merge`` — T5/T4: the salary-writeback pattern as an
+  idempotent per-batch MERGE: Spark's checkpointed replay +
+  deterministic merge upgrades the reference's at-most-once loop to
+  effectively-once. Non-atomicity of the parquet overwrite is
+  documented (a table format with MERGE INTO makes it atomic).
+
+Event-time semantics (watermarks + windows) reuse the SAME
+aggregation shapes as ``operators/time_windows.py`` — batch and
+streaming differ only in source + trigger + watermark, which is the
+Spark design point.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..determinism import dsum, dsum_sql
+from ..registry import query
+
+EVENTS_DDL = (
+    "event_id long, ts long, user_id long, event_type string,"
+    " value double, props string"
+)
+
+_STAGED: dict[str, str] = {}
+
+
+def _as_stream_dir(parquet_file: str) -> str:
+    """Spark's file streaming source requires a *directory*; the
+    fixtures are single files. Stage a symlink dir (per file path,
+    cached) — zero-copy, read-only."""
+    d = _STAGED.get(parquet_file)
+    if d and os.path.isdir(d):
+        return d
+    d = tempfile.mkdtemp(prefix="stream_src_")
+    os.symlink(parquet_file, os.path.join(d, os.path.basename(parquet_file)))
+    _STAGED[parquet_file] = d
+    return d
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` over the events parquet. ``ts`` arrives as
+    TIMESTAMP(NANOS); read as long (legacy conf) and truncate to
+    micros with integer division — same convention as the batch
+    ``catalog._events``."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_DDL)
+        .parquet(_as_stream_dir(f"{sf_dir}/events.parquet"))
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def rate_user_stream(spark: SparkSession, rows_per_second: int = 1) -> DataFrame:
+    """S8/T2: the Random client as a rate-limited streaming source.
+    Same seeded LCG as ``generated_users`` so outputs are replayable.
+    """
+    lcg = (F.lit(1103515245) * (F.col("value") + 42) + 12345) % 2147483648
+    roles = F.array(*[F.lit(r) for r in ("intern", "developer", "manager", "analyst")])
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+        .select(
+            F.col("timestamp").alias("sent_at"),
+            F.col("value").alias("seq"),
+            F.concat(F.lit("User"), (lcg % 10000).cast("string")).alias("name"),
+            F.element_at(roles, (lcg % 4).cast("int") + 1).alias("role"),
+            (18 + lcg % 40).cast("int").alias("age"),
+        )
+    )
+
+
+def run_to_memory(
+    spark: SparkSession,
+    sdf: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+) -> DataFrame:
+    """Drive a streaming DF to completion (availableNow) into a memory
+    sink; returns the materialized result as a batch DataFrame."""
+    # Re-runs in the same session: drop the previous memory-sink view.
+    spark.catalog.dropTempView(name)
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def foreach_batch_merge(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    base_path: str,
+    key: str,
+    checkpoint_dir: str | None = None,
+):
+    """T5: keyed write-back sink. Each micro-batch MERGEs into the
+    parquet table at ``base_path`` (read → left-anti → union →
+    overwrite). The merge is idempotent for a replayed batch, so
+    checkpoint + replay gives effectively-once — the upgrade over the
+    reference's skip-on-failure loop (T4). The overwrite is not
+    atomic on plain parquet: a table format (Delta/Iceberg MERGE
+    INTO) is the production drop-in.
+    """
+    from ..pipelines.merge import merge_into
+
+    checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="fbm_ckpt_")
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        base = spark.read.parquet(base_path)
+        merged = merge_into(base, batch_df, key=key)
+        tmp = base_path + f".tmp_{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        final = spark.read.parquet(tmp)
+        final.write.mode("overwrite").parquet(base_path)
+        # Best-effort cleanup of the staging dir.
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    return (
+        stream_df.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+# ------------------------------------------------------ oracle-checked jobs
+# These run REAL streaming queries (source → watermark → stateful agg →
+# sink) and compare against the same DuckDB SQL as their batch twins:
+# on a bounded replay, streaming and batch must agree exactly.
+
+
+@query(
+    "streaming_tumbling_counts",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS w_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {dsum_sql('value', 4)} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 + event-time windows: the tumbling-window aggregation run
+    through the streaming engine (10-minute watermark; complete output
+    so the bounded replay emits every window) — results must equal the
+    batch/oracle answer exactly."""
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    return run_to_memory(spark, agg, "stream_tumbling")
+
+
+@query(
+    "streaming_dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup: the exact-dedup groupBy run as a
+    streaming aggregation over a document stream — the shape of a
+    continuous ingest pipeline that dedups as data lands."""
+    docs = spark.readStream.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).parquet(_as_stream_dir(f"{sf_dir}/documents.parquet"))
+    agg = docs.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    return run_to_memory(spark, agg, "stream_dedup")
