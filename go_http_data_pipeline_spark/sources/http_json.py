@@ -1,0 +1,290 @@
+"""Custom ``httpjson`` DataSource (Python DataSource API) — the real
+replacement for the reference's HTTP ingest surface (S1/S8/T1:
+``POST /addemployee`` handled one record at a time,
+``Server/main.go:209-227, 329-336``).
+
+Registered with ``spark.dataSource.register(HttpJsonDataSource)``,
+then:
+
+    spark.read.format("httpjson").schema(ddl).option(...).load()
+    spark.readStream.format("httpjson").schema(ddl).option(...).load()
+
+Two transports, chosen by option:
+
+* ``url``   — GET an endpoint returning a JSON array (batch) or a
+  JSON-lines page (streaming poll). Real-network mode; untestable in
+  this container, so it is a thin ``urllib`` wrapper around the same
+  record decoder the spool path uses.
+* ``spool`` — a local directory of ``*.jsonl`` files standing in for
+  the HTTP request stream (each line = one POSTed record). This is
+  the deterministic transport the oracle gate and pytest use.
+
+Decoding mirrors Go ``encoding/json`` semantics (SURVEY.md §1.1.3):
+unknown fields dropped, missing fields null, malformed lines -> all-
+null row (PERMISSIVE) rather than an error.
+
+Streaming offsets are record counts over the sorted spool files —
+monotonic because ingest files are append-only (files are sorted by
+name and never rewritten, the same contract as Spark's own file
+source). Each micro-batch's offset range is sharded into
+``split_size`` partitions for parallel decode; the source is
+replayable from any committed offset, so checkpoint recovery gives
+at-least-once, which the idempotent downstream merge upgrades to
+effectively-once.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+DEFAULT_SCHEMA = "name string, age int, yearsofexp int, salary bigint"
+
+
+def _coerce(value, dt: str):
+    """Go-style silent coercion: wrong-typed values become null."""
+    try:
+        if value is None:
+            return None
+        if dt in ("int", "integer"):
+            return int(value)
+        if dt in ("bigint", "long"):
+            return int(value)
+        if dt == "double":
+            return float(value)
+        if dt == "string":
+            return str(value)
+        if dt == "boolean":
+            return bool(value)
+        return value
+    except (TypeError, ValueError):
+        return None
+
+
+def _decode_line(line: str, fields: list[tuple[str, str]]):
+    """One JSON text -> one row tuple (PERMISSIVE)."""
+    try:
+        obj = json.loads(line)
+        if not isinstance(obj, dict):
+            return tuple(None for _ in fields)
+    except (json.JSONDecodeError, UnicodeDecodeError):
+        return tuple(None for _ in fields)
+    return tuple(_coerce(obj.get(name), dt) for name, dt in fields)
+
+
+def _spool_files(spool: str) -> list[str]:
+    return sorted(
+        os.path.join(spool, f)
+        for f in os.listdir(spool)
+        if f.endswith(".jsonl")
+    )
+
+
+def _spool_lines(spool: str) -> Iterator[str]:
+    for path in _spool_files(spool):
+        with open(path, encoding="utf-8") as fh:
+            for line in fh:
+                if line.strip():
+                    yield line
+
+
+def _fields(schema: StructType) -> list[tuple[str, str]]:
+    return [(f.name, f.dataType.simpleString()) for f in schema.fields]
+
+
+class _SpoolBatchReader(DataSourceReader):
+    def __init__(self, schema: StructType, spool: str):
+        self._fields = _fields(schema)
+        self._spool = spool
+
+    def partitions(self) -> Sequence[InputPartition]:
+        # One partition per spool file: reads scale with ingest files.
+        return [InputPartition(p) for p in _spool_files(self._spool)]
+
+    def read(self, partition: InputPartition):
+        with open(partition.value, encoding="utf-8") as fh:
+            for line in fh:
+                if line.strip():
+                    yield _decode_line(line, self._fields)
+
+
+class _UrlBatchReader(DataSourceReader):
+    def __init__(self, schema: StructType, url: str, timeout_s: float):
+        self._fields = _fields(schema)
+        self._url = url
+        self._timeout = timeout_s
+
+    def read(self, partition):
+        import urllib.request
+
+        with urllib.request.urlopen(self._url, timeout=self._timeout) as resp:
+            body = resp.read().decode("utf-8")
+        try:
+            records = json.loads(body)
+        except json.JSONDecodeError:
+            records = None
+        if isinstance(records, list):  # JSON array body
+            for obj in records:
+                yield _decode_line(json.dumps(obj), self._fields)
+        else:  # JSON-lines body
+            for line in body.splitlines():
+                if line.strip():
+                    yield _decode_line(line, self._fields)
+
+
+class _SpoolStreamReader(DataSourceStreamReader):
+    """Offset = {"index": <records consumed so far>} over the sorted
+    spool. Replayable: partitions(start, end) re-reads any committed
+    range deterministically."""
+
+    def __init__(self, schema: StructType, spool: str, split_size: int):
+        self._fields = _fields(schema)
+        self._spool = spool
+        self._split = split_size
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def latestOffset(self) -> dict:
+        n = sum(1 for _ in _spool_lines(self._spool))
+        return {"index": n}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        # The committed range [start, end) must be read in full (the
+        # engine commits `end` regardless) — so `split_size` shards it
+        # into parallel partitions rather than throttling it; ingest
+        # throttling is the trigger's job (T2: processingTime trigger).
+        lo, hi = start["index"], end["index"]
+        step = self._split if self._split > 0 else max(hi - lo, 1)
+        return [
+            InputPartition((i, min(i + step, hi))) for i in range(lo, hi, step)
+        ] or [InputPartition((lo, hi))]
+
+    def read(self, partition: InputPartition):
+        lo, hi = partition.value
+        for i, line in enumerate(_spool_lines(self._spool)):
+            if i >= hi:
+                break
+            if i >= lo:
+                yield _decode_line(line, self._fields)
+
+    def commit(self, end: dict) -> None:
+        pass  # spool files are immutable; nothing to clean up
+
+
+class HttpJsonDataSource(DataSource):
+    """``format("httpjson")`` — see module docstring."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "httpjson"
+
+    def schema(self) -> str:
+        return DEFAULT_SCHEMA
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        spool = self.options.get("spool")
+        url = self.options.get("url")
+        if spool:
+            return _SpoolBatchReader(schema, spool)
+        if url:
+            return _UrlBatchReader(
+                schema, url, float(self.options.get("timeout_s", 10))
+            )
+        raise ValueError("httpjson: set option 'spool' (dir) or 'url'")
+
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        spool = self.options.get("spool")
+        if not spool:
+            raise ValueError("httpjson streaming: set option 'spool' (dir)")
+        return _SpoolStreamReader(
+            schema, spool, int(self.options.get("split_size", 0))
+        )
+
+
+def register(spark) -> None:
+    spark.dataSource.register(HttpJsonDataSource)
+
+
+# ---------------------------------------------------------- oracle query
+
+from ..registry import query  # noqa: E402  (import cycle-safe: registry has no spark deps)
+
+_N_GEN = 1000
+_BAD_EVERY = 97  # every 97th "request" is malformed -> all-null row
+
+
+def stage_spool(tmp_root: str | None = None) -> str:
+    """Write the deterministic ingest spool once per process: the
+    Random client's records (seeded LCG, as ``generated_users``) with
+    unknown fields on every record and a malformed line every 97th —
+    exercising Go-decode parity (drop unknown, null on malformed)."""
+    import tempfile
+
+    root = tmp_root or os.path.join(tempfile.gettempdir(), "httpjson_spool_v1")
+    done = os.path.join(root, "_SUCCESS")
+    if os.path.exists(done):
+        return root
+    os.makedirs(root, exist_ok=True)
+    roles = ("intern", "developer", "manager", "analyst")
+    # Two files so the batch reader gets two partitions.
+    half = _N_GEN // 2
+    for fi, lo in enumerate((0, half)):
+        with open(os.path.join(root, f"ingest_{fi}.jsonl"), "w") as fh:
+            for n in range(lo, lo + half):
+                if n % _BAD_EVERY == 0:
+                    fh.write("not json at all\n")
+                    continue
+                x = (1103515245 * (n + 42) + 12345) % 2147483648
+                rec = {
+                    "name": f"User{x % 10000}",
+                    "role": roles[x % 4],
+                    "age": 18 + x % 40,
+                    "unknown_field": n,  # dropped by schema-on-read
+                }
+                fh.write(json.dumps(rec) + "\n")
+    with open(done, "w"):
+        pass
+    return root
+
+
+@query(
+    "http_ingest_scan",
+    oracle=f"""
+    WITH gen AS (
+        SELECT n, (1103515245 * (n + 42) + 12345) % 2147483648 AS x
+        FROM range(0, {_N_GEN}) t(n)
+    )
+    SELECT CASE WHEN n % {_BAD_EVERY} = 0 THEN NULL
+                ELSE 'User' || CAST(x % 10000 AS VARCHAR) END AS name,
+           CASE WHEN n % {_BAD_EVERY} = 0 THEN NULL
+                ELSE ['intern','developer','manager','analyst'][CAST(x % 4 AS INT) + 1]
+           END AS role,
+           CASE WHEN n % {_BAD_EVERY} = 0 THEN NULL
+                ELSE CAST(18 + x % 40 AS INT) END AS age
+    FROM gen
+    """,
+)
+def http_ingest_scan(spark, sf_dir: str):
+    """S1/S8 through the custom DataSource: JSON records decoded with
+    Go semantics (unknown fields dropped, malformed -> null row),
+    one partition per spool file. The oracle regenerates the same
+    records relationally — proving the source's decode path inside
+    the correctness gate, not just in unit tests."""
+    register(spark)
+    spool = stage_spool()
+    return (
+        spark.read.format("httpjson")
+        .schema("name string, role string, age int")
+        .option("spool", spool)
+        .load()
+    )

@@ -1,0 +1,79 @@
+"""Custom httpjson DataSource: decode parity, partitioning, and
+streaming offset/replay semantics."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from go_http_data_pipeline_spark.sources.http_json import (
+    _decode_line,
+    register,
+)
+
+FIELDS = [("name", "string"), ("age", "int"), ("salary", "bigint")]
+
+
+def test_decode_go_semantics():
+    # Unknown fields dropped, missing null, wrong type null, malformed
+    # all-null (Server/main.go:211 Go encoding/json behavior).
+    assert _decode_line('{"name":"a","age":30,"salary":1,"x":9}', FIELDS) == (
+        "a",
+        30,
+        1,
+    )
+    assert _decode_line('{"name":"a"}', FIELDS) == ("a", None, None)
+    assert _decode_line('{"name":"a","age":"old"}', FIELDS) == ("a", None, None)
+    assert _decode_line("garbage", FIELDS) == (None, None, None)
+    assert _decode_line("[1,2,3]", FIELDS) == (None, None, None)
+
+
+def _write_spool(tmp, files):
+    for i, recs in enumerate(files):
+        with open(os.path.join(tmp, f"f{i}.jsonl"), "w") as fh:
+            for r in recs:
+                fh.write((r if isinstance(r, str) else json.dumps(r)) + "\n")
+
+
+def test_batch_read_partition_per_file(spark, tmp_path):
+    _write_spool(
+        tmp_path,
+        [
+            [{"name": "a", "age": 1, "salary": 10}],
+            [{"name": "b", "age": 2, "salary": 20}, "broken"],
+        ],
+    )
+    register(spark)
+    df = (
+        spark.read.format("httpjson")
+        .schema("name string, age int, salary bigint")
+        .option("spool", str(tmp_path))
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 2
+    rows = {tuple(r) for r in df.collect()}
+    assert rows == {("a", 1, 10), ("b", 2, 20), (None, None, None)}
+
+
+def test_stream_read_batched_replay(spark, tmp_path):
+    recs = [{"name": f"u{i}", "age": i, "salary": 100 + i} for i in range(25)]
+    _write_spool(tmp_path, [recs])
+    register(spark)
+    sdf = (
+        spark.readStream.format("httpjson")
+        .schema("name string, age int, salary bigint")
+        .option("spool", str(tmp_path))
+        .option("split_size", 10)  # shards the offset range into 3 partitions
+        .load()
+    )
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("http_stream_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table("http_stream_t")
+    assert out.count() == 25  # every record exactly once
+    assert {r.name for r in out.collect()} == {f"u{i}" for i in range(25)}
