@@ -1,0 +1,369 @@
+"""Deep analytical queries (TPC-H-flavored, adapted to the fixture
+schema). The reference delegates ALL relational work to five literal
+SQL strings (SURVEY.md §2/§4) — these queries are the engine-proper
+surface those categories imply at analytical depth: multi-join
+pipelines, conditional aggregation, correlated-subquery shapes
+rewritten as windows/joins, and group-wise top-k.
+
+Plan/scale notes (verified via .explain("formatted")):
+* dimension joins (region/nation/supplier/part) broadcast — no
+  shuffle of the fact table for them; the only big shuffles are
+  lineitem⋈orders on the orderkey and the final aggregations.
+* AQE re-plans the join strategy at runtime if a "dimension"
+  turns out big at 100 TB.
+* correlated-subquery shapes (Q17's per-part average) are expressed
+  as window/self-agg joins — one pass over lineitem, no N+1
+  subquery execution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..determinism import dsum, dsum_sql
+from ..registry import query
+
+_REV = "l_extendedprice * (1 - l_discount)"
+
+
+def _rev_col() -> F.Column:
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+@query(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l.l_orderkey AS orderkey,
+           {dsum_sql(_REV)} AS revenue,
+           o.o_orderdate AS orderdate,
+           o.o_orderpriority AS priority
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-06-01'
+      AND l.l_shipdate > TIMESTAMP '1998-06-01'
+    GROUP BY 1, 3, 4
+    ORDER BY revenue DESC, orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: unshipped high-revenue orders for one market
+    segment — selective dim filter, 3-way join, agg, top-k."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-06-01"
+    )
+    l = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-06-01")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("orderdate"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(dsum(_rev_col()).alias("revenue"))
+        .select("orderkey", "revenue", "orderdate", "priority")
+        .orderBy(F.col("revenue").desc(), "orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "market_share_evolution",
+    oracle=f"""
+    WITH all_sales AS (
+        SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+               {_REV} AS volume,
+               sn.n_name AS supp_nation
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'PROMO'
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = cn.n_regionkey AND r.r_name = 'ASIA'
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    )
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
+                         THEN CAST(volume AS DECIMAL(18,4)) ELSE 0 END) AS DOUBLE)
+               / CAST(SUM(CAST(volume AS DECIMAL(18,4))) AS DOUBLE) AS mkt_share
+    FROM all_sales
+    GROUP BY o_year
+    """,
+)
+def market_share_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_3 suppliers' share of the ASIA PROMO
+    market per year — 7-table join with every dimension broadcast,
+    then conditional aggregation."""
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    cn = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    s = table(spark, sf_dir, "supplier")
+    sn = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    sales = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), c.c_nationkey == cn.n_nationkey)
+        .join(F.broadcast(r), cn.n_regionkey == r.r_regionkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            _rev_col().cast("decimal(18,4)").alias("volume"),
+            "supp_nation",
+        )
+    )
+    return sales.groupBy("o_year").agg(
+        (
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(
+                    F.lit(0).cast("decimal(18,4)")
+                )
+            ).cast("double")
+            / F.sum("volume").cast("double")
+        ).alias("mkt_share")
+    )
+
+
+@query(
+    "returned_items_report",
+    oracle=f"""
+    SELECT c.c_custkey AS custkey, c.c_name AS name,
+           {dsum_sql(_REV)} AS revenue,
+           n.n_name AS nation
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY 1, 2, 4
+    ORDER BY revenue DESC, custkey
+    LIMIT 20
+    """,
+)
+def returned_items_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: customers who returned the most revenue."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = table(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(dsum(_rev_col()).alias("revenue"))
+        .select("custkey", "name", "revenue", "nation")
+        .orderBy(F.col("revenue").desc(), "custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "promo_revenue_ratio",
+    oracle=f"""
+    SELECT EXTRACT(year FROM l.l_shipdate) AS ship_year,
+           CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                         THEN CAST({_REV} AS DECIMAL(18,4)) ELSE 0 END) AS DOUBLE)
+               * 100.0
+               / CAST(SUM(CAST({_REV} AS DECIMAL(18,4))) AS DOUBLE) AS promo_pct
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY 1
+    """,
+)
+def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: percent of revenue from PROMO parts per ship
+    year — broadcast dim join + conditional agg."""
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    vol = _rev_col().cast("decimal(18,4)")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .select(
+            F.year("l_shipdate").alias("ship_year"),
+            vol.alias("volume"),
+            F.col("p_type"),
+        )
+        .groupBy("ship_year")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("p_type") == "PROMO", F.col("volume")).otherwise(
+                        F.lit(0).cast("decimal(18,4)")
+                    )
+                ).cast("double")
+                * 100.0
+                / F.sum("volume").cast("double")
+            ).alias("promo_pct")
+        )
+    )
+
+
+@query(
+    "top_supplier",
+    oracle=f"""
+    WITH srev AS (
+        SELECT l_suppkey AS suppkey, {dsum_sql(_REV)} AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY 1
+    )
+    SELECT s.s_suppkey AS suppkey, s.s_name AS name, r.total_revenue
+    FROM srev r
+    JOIN supplier s ON s.s_suppkey = r.suppkey
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM srev)
+    """,
+)
+def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the max-revenue supplier(s) for a quarter.
+    The scalar subquery becomes an unpartitioned window max — one
+    extra exchange of the (tiny) per-supplier aggregate, no second
+    scan of lineitem."""
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    s = table(spark, sf_dir, "supplier")
+    srev = l.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        dsum(_rev_col()).alias("total_revenue")
+    )
+    w = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    best = srev.withColumn("mx", F.max("total_revenue").over(w)).filter(
+        F.col("total_revenue") == F.col("mx")
+    )
+    return best.join(F.broadcast(s), best.suppkey == s.s_suppkey).select(
+        "suppkey", F.col("s_name").alias("name"), "total_revenue"
+    )
+
+
+@query(
+    "small_quantity_orders",
+    oracle=f"""
+    WITH avgs AS (
+        SELECT l_partkey,
+               0.5 * ({dsum_sql('l_quantity')} / COUNT(*)) AS half_avg
+        FROM lineitem GROUP BY 1
+    )
+    SELECT p.p_brand AS brand,
+           {dsum_sql('l.l_extendedprice')} / 7.0 AS avg_yearly
+    FROM lineitem l
+    JOIN avgs a ON a.l_partkey = l.l_partkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_quantity < a.half_avg
+    GROUP BY 1
+    """,
+)
+def small_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue lost to small orders. The correlated
+    per-part average subquery is rewritten as a self-aggregation
+    joined back on partkey — one lineitem scan feeds both sides."""
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    avgs = l.groupBy("l_partkey").agg(
+        (0.5 * (dsum("l_quantity") / F.count(F.lit(1)))).alias("half_avg")
+    )
+    return (
+        l.join(avgs.withColumnRenamed("l_partkey", "a_partkey"),
+               l.l_partkey == F.col("a_partkey"))
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg((dsum("l_extendedprice") / 7.0).alias("avg_yearly"))
+    )
+
+
+@query(
+    "large_volume_orders",
+    oracle=f"""
+    WITH big AS (
+        SELECT l_orderkey, {dsum_sql('l_quantity', 2)} AS total_qty
+        FROM lineitem GROUP BY 1
+        HAVING {dsum_sql('l_quantity', 2)} > 180
+    )
+    SELECT c.c_name AS name, o.o_orderkey AS orderkey,
+           o.o_orderdate AS orderdate, o.o_totalprice AS totalprice,
+           b.total_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers with very large orders — HAVING on
+    a fact aggregate, then join back to headers."""
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(dsum("l_quantity", 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 180)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_name").alias("name"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("orderdate"),
+            F.col("o_totalprice").alias("totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.col("totalprice").desc(), "orderkey")
+        .limit(100)
+    )
+
+
+@query(
+    "customer_order_distribution",
+    oracle="""
+    WITH counts AS (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                          AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY 1
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM counts
+    GROUP BY 1
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: order-count histogram including zero-order
+    customers (left join preserved through the double aggregation)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    counts = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        counts.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )

@@ -1,0 +1,67 @@
+"""Physical-plan inspection utilities.
+
+The engine's scale story rests on plan properties, not code paths:
+filters reach the parquet scan, projections prune columns, dimension
+joins broadcast, hot expressions stay inside whole-stage codegen.
+These helpers turn those properties into assertable strings so tests
+pin them — a plan regression (a broadcast silently becoming a
+sort-merge join, a filter losing pushdown) fails CI instead of
+surfacing as a 100x slowdown at 100 TB.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def plan_str(df: DataFrame, mode: str = "formatted") -> str:
+    """The plan text of ``df.explain(mode)``, as a string."""
+    qe = df._jdf.queryExecution()
+    jvm = df.sparkSession._jvm
+    return qe.explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """Every ``PushedFilters`` list in the plan, flattened."""
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan_str(df)):
+        body = m.group(1).strip()
+        if body:
+            out.extend(s.strip() for s in body.split(","))
+    return out
+
+
+def read_schemas(df: DataFrame) -> list[str]:
+    """Every ``ReadSchema`` struct string (one per file scan)."""
+    return re.findall(r"ReadSchema: (struct<[^\n]*)", plan_str(df))
+
+
+def join_strategies(df: DataFrame) -> list[str]:
+    """Physical join node names, in plan order."""
+    return re.findall(
+        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin"
+        r"|BroadcastNestedLoopJoin|CartesianProduct)",
+        plan_str(df),
+    )
+
+
+def exchange_count(df: DataFrame) -> int:
+    """Number of shuffle exchanges (excludes broadcast exchanges and
+    AQE shuffle reads). Parsed from simple mode, where the node and
+    its partitioning share a line."""
+    plan = plan_str(df, "simple")
+    return len(
+        re.findall(r"\bExchange (?:hash|range)partitioning", plan)
+    )
+
+
+def codegen_stage_count(df: DataFrame) -> int:
+    """Whole-stage-codegen span count. Under AQE the markers only
+    exist in the FINAL plan, so this executes the DataFrame (use on
+    test-scale data) and counts the distinct ``*(N)`` spans."""
+    df.collect()  # finalize the adaptive plan
+    return len(set(re.findall(r"\*\((\d+)\)", plan_str(df, "simple"))))

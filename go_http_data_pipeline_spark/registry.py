@@ -24,6 +24,7 @@ _MODULES = (
     "go_http_data_pipeline_spark.operators.relational",
     "go_http_data_pipeline_spark.operators.aggregates",
     "go_http_data_pipeline_spark.operators.joins",
+    "go_http_data_pipeline_spark.operators.analytics",
     "go_http_data_pipeline_spark.operators.windows",
     "go_http_data_pipeline_spark.operators.setops",
     "go_http_data_pipeline_spark.operators.time_windows",
