@@ -29,6 +29,7 @@ _MODULES = (
     "go_http_data_pipeline_spark.operators.setops",
     "go_http_data_pipeline_spark.operators.time_windows",
     "go_http_data_pipeline_spark.functions.record_functions",
+    "go_http_data_pipeline_spark.functions.extensions",
     "go_http_data_pipeline_spark.pipelines.parity",
     "go_http_data_pipeline_spark.streaming.core",
     "go_http_data_pipeline_spark.sources.http_json",
