@@ -33,7 +33,8 @@ HEADLINE = (
     "dedup_exact",              # exact dedup on documents
     "minhash_lsh_pairs",        # MinHash band-LSH near-dup (if present)
     "ngram_jaccard_pairs",      # n-gram Jaccard verify path
-    "cosine_topk",              # brute-force ANN baseline
+    "cosine_topk",              # brute-force ANN baseline (JVM codegen)
+    "cosine_topk_vectorized",   # same oracle, Arrow+numpy matmul path
     "ann_lsh_top1",             # bucketed ANN scale path
     "text_quality_scores",      # text analysis sweep
 )

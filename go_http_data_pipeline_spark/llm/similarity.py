@@ -92,9 +92,7 @@ def cosine_scores(spark: SparkSession, sf_dir: str, n_queries: int = N_QUERIES) 
     )
 
 
-@query(
-    "cosine_topk",
-    oracle=f"""
+_COSINE_TOPK_ORACLE = f"""
     WITH {_NORMS_SQL},
     scores AS (
         SELECT q.vec_id AS qid, e.vec_id AS vec_id,
@@ -114,8 +112,10 @@ def cosine_scores(spark: SparkSession, sf_dir: str, n_queries: int = N_QUERIES) 
                ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
         FROM scores
     ) WHERE rn <= 5
-    """,
-)
+    """
+
+
+@query("cosine_topk", oracle=_COSINE_TOPK_ORACLE)
 def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 neighbors for each query vector."""
     scores = cosine_scores(spark, sf_dir)
@@ -171,6 +171,62 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dot / (F.col("nrm_a") * F.col("nrm_b"))).alias("cosine"),
         )
         .filter(F.col("cosine") >= 0.4)
+    )
+
+
+# --- vectorized (Arrow + numpy) brute force -----------------------------
+
+@query("cosine_topk_vectorized", oracle=_COSINE_TOPK_ORACLE)
+def cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics as :func:`cosine_topk`, different physical
+    strategy: the corpus streams through ``mapInPandas`` and each
+    Arrow batch does ONE int64 matrix multiply against the broadcast
+    query matrix (numpy), instead of per-row SQL lambda folds.
+
+    Identical arithmetic — ``floor(x*1e7)`` int64 quantization, exact
+    integer dot, one double divide — so it shares ``cosine_topk``'s
+    oracle verbatim. This is the 100 TB hot path: BLAS-rate compute,
+    zero shuffle of the corpus, query matrix broadcast once per
+    executor."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    emb = table(spark, sf_dir, "embeddings")
+    qrows = emb.filter(F.col("vec_id") < N_QUERIES).collect()  # 10 tiny rows
+    q_ids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    q_mat = np.floor(
+        np.array([r.embedding for r in qrows], dtype=np.float64) * 1e7
+    ).astype(np.int64)
+    q_norm = np.sqrt((q_mat * q_mat).sum(axis=1).astype(np.float64))
+    bc = spark.sparkContext.broadcast((q_ids, q_mat, q_norm))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, qm, qn = bc.value
+        for pdf in batches:
+            c_mat = np.floor(
+                np.stack(pdf["embedding"].map(np.asarray)).astype(np.float64) * 1e7
+            ).astype(np.int64)
+            c_norm = np.sqrt((c_mat * c_mat).sum(axis=1).astype(np.float64))
+            dots = (c_mat @ qm.T).astype(np.float64)  # exact: < 2^53
+            cos = dots / (qn[None, :] * c_norm[:, None])
+            n_c, n_q = cos.shape
+            yield pd.DataFrame(
+                {
+                    "qid": np.repeat(ids[None, :], n_c, axis=0).ravel(),
+                    "vec_id": np.repeat(pdf["vec_id"].values, n_q),
+                    "cosine": cos.ravel(),
+                }
+            )
+
+    scores = emb.mapInPandas(
+        score, schema="qid long, vec_id long, cosine double"
+    ).filter(F.col("vec_id") != F.col("qid"))
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("qid", F.col("vec_id").alias("neighbor_id"), "cosine", "rank")
     )
 
 

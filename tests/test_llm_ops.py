@@ -88,3 +88,53 @@ def test_cosine_topk_self_similarity_excluded(spark, sf_dir):
     per_q = out.groupBy("qid").count().collect()
     assert all(r["count"] == 5 for r in per_q)
     assert out.agg(F.min("rank"), F.max("rank")).first() == (1, 5)
+
+
+def test_media_features_pinned(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from go_http_data_pipeline_spark.llm.multimodal import media_features
+
+    out = media_features(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    joined = out.join(docs, "doc_id").filter(
+        F.col("n_samples") != F.octet_length(F.encode("text", "UTF-8"))
+    )
+    # 'decoded' sample count == payload byte length, for every row.
+    assert joined.count() == 0
+    row = out.orderBy("doc_id").first()
+    text = docs.orderBy("doc_id").first().text.encode()
+    import numpy as np
+
+    arr = np.frombuffer(text, dtype=np.uint8)
+    assert row.n_samples == arr.size
+    assert row.mean_byte == float(arr.mean())
+    assert (row.min_byte, row.max_byte) == (int(arr.min()), int(arr.max()))
+
+
+def test_fake_decode_unknown_type_raises():
+    import pytest
+
+    from go_http_data_pipeline_spark.llm.multimodal import _fake_decode
+
+    with pytest.raises(NotImplementedError):
+        _fake_decode(b"xx", "application/pdf")
+
+
+def test_frame_sample_shape(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from go_http_data_pipeline_spark.llm.multimodal import (
+        frame_sample,
+        media_table,
+    )
+
+    media = media_table(spark, sf_dir)
+    frames = frame_sample(media, every_n=50)
+    assert frames.columns == ["doc_id", "n_frames", "frames"]
+    bad = frames.filter(F.size("frames") != F.greatest(F.col("n_frames"), F.lit(1)))
+    assert bad.count() == 0
+    # Only video payloads are sampled.
+    assert frames.join(media, "doc_id").filter(
+        F.col("media_type") != "video/mp4"
+    ).count() == 0
