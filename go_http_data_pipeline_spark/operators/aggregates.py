@@ -242,3 +242,28 @@ def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_orders") >= 15)
     )
+
+
+@query(
+    "pivot_returnflag_status",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) FILTER (WHERE l_linestatus = 'F') AS F,
+           COUNT(*) FILTER (WHERE l_linestatus = 'O') AS O,
+           COUNT(*) FILTER (WHERE l_linestatus = 'P') AS P
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def pivot_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: line counts by returnflag x linestatus. Explicit value
+    list so the plan is a single conditional aggregation (no extra
+    distinct-values job) — the form that scales."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        # absent (flag, status) cells: COUNT semantics say 0, not null
+        .na.fill(0, ["F", "O", "P"])
+    )

@@ -25,6 +25,8 @@ _MODULES = (
     "go_http_data_pipeline_spark.operators.aggregates",
     "go_http_data_pipeline_spark.operators.joins",
     "go_http_data_pipeline_spark.operators.analytics",
+    "go_http_data_pipeline_spark.operators.skew",
+    "go_http_data_pipeline_spark.streaming.stateful",
     "go_http_data_pipeline_spark.operators.windows",
     "go_http_data_pipeline_spark.operators.setops",
     "go_http_data_pipeline_spark.operators.time_windows",
