@@ -31,6 +31,11 @@ BROADCAST_DIMS = frozenset({"region", "nation", "supplier"})
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    # The driver runs queries in ITS OWN session (no session.py confs).
+    # events.ts is reconstructed as a tz-sensitive TIMESTAMP, and the
+    # DuckDB oracle is tz-naive — pin UTC here (runtime conf, cheap)
+    # so results never depend on the host JVM timezone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         return _events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -48,8 +53,14 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts_type = dict(df.dtypes)["ts"]
     if ts_type == "bigint":
         # Integer division — ts/1000 in double would lose precision
-        # (nanos since epoch exceed 2^53).
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # (nanos since epoch exceed 2^53). The final cast to NTZ (with
+        # session tz pinned to UTC above) makes collected values pure
+        # UTC wall times, like every other fixture timestamp — results
+        # can't vary with the host JVM/process timezone.
+        df = df.withColumn(
+            "ts",
+            F.expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"),
+        )
     return df.select("event_id", "ts", "user_id", "event_type", "value", "props")
 
 

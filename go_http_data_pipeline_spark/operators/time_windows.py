@@ -139,7 +139,11 @@ def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily distinct-user rollup (date_trunc tumbling day window)."""
     ev = table(spark, sf_dir, "events")
-    return ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+    # date_trunc always yields tz-typed TIMESTAMP; cast back to NTZ
+    # (session tz pinned UTC by the catalog) for tz-proof results.
+    return ev.groupBy(
+        F.date_trunc("day", "ts").cast("timestamp_ntz").alias("day")
+    ).agg(
         F.countDistinct("user_id").alias("dau"),
         F.count(F.lit(1)).alias("n_events"),
     )

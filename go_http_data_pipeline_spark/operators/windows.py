@@ -92,7 +92,13 @@ def lag_lead_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.lag("ts").over(w).alias("prev_ts"),
         F.lead("ts").over(w).alias("next_ts"),
-        (F.unix_millis(F.col("ts")) - F.unix_millis(F.lag("ts").over(w))).alias("gap_ms"),
+        # ts is TIMESTAMP_NTZ; unix_millis needs an instant — the cast
+        # uses the session tz (pinned UTC by the catalog), and the tz
+        # offset cancels in the subtraction anyway.
+        (
+            F.unix_millis(F.col("ts").cast("timestamp"))
+            - F.unix_millis(F.lag("ts").over(w).cast("timestamp"))
+        ).alias("gap_ms"),
     )
 
 

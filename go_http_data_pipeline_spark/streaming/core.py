@@ -66,10 +66,15 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     micros with integer division — same convention as the batch
     ``catalog._events``."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw = (
         spark.readStream.schema(EVENTS_DDL)
         .parquet(_as_stream_dir(f"{sf_dir}/events.parquet"))
     )
+    # Watermarks require tz-typed TIMESTAMP (NTZ rejected), so the
+    # stream keeps instants; with session tz pinned UTC above, event-
+    # time bucketing matches the batch/NTZ path, and outputs cast
+    # window bounds back to NTZ for tz-independent results.
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
@@ -183,7 +188,7 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value", 4).alias("total_value"),
         )
         .select(
-            F.col("w.start").alias("w_start"),
+            F.col("w.start").cast("timestamp_ntz").alias("w_start"),
             "event_type",
             "n_events",
             "total_value",
