@@ -148,29 +148,51 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine >= 0.4).
 
-    All-pairs here (500 fixed vectors); at 100 TB this is exactly what
-    ``ann_lsh_topk``'s bucketing replaces."""
+    Physical strategy: the corpus matrix is broadcast once per executor
+    and each Arrow batch of rows does ONE int64 matmul against it
+    (numpy/BLAS), emitting only pairs with ``vec_a < vec_b`` above the
+    threshold — instead of a nested-loop theta-join evaluating a
+    64-element SQL lambda fold per pair. Arithmetic is the shared
+    ``floor(x*1e7)`` int64 quantization (exact dots < 2^53), so the
+    all-pairs DuckDB oracle matches bit-for-bit.
+
+    Scale: rows stream partition-parallel with zero shuffle; the
+    broadcast side is the O(N) corpus, so this is the dense-block
+    half of a block all-pairs scheme — beyond broadcast size,
+    ``ann_lsh_top1``'s bucket equi-join is the 100 TB path."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
     emb = table(spark, sf_dir, "embeddings")
-    norms = vector_norms(spark, sf_dir)
-    a = emb.join(norms, "vec_id").select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("emb_a"),
-        F.col("nrm").alias("nrm_a"),
-    )
-    b = emb.join(norms, "vec_id").select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("emb_b"),
-        F.col("nrm").alias("nrm_b"),
-    )
-    dot = F.expr(_DOT.format(a="emb_a", b="emb_b"))
+    rows = emb.select("vec_id", "embedding").collect()
+    c_ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    c_mat = np.floor(
+        np.array([r.embedding for r in rows], dtype=np.float64) * 1e7
+    ).astype(np.int64)
+    c_norm = np.sqrt((c_mat * c_mat).sum(axis=1).astype(np.float64))
+    bc = spark.sparkContext.broadcast((c_ids, c_mat, c_norm))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, cm, cn = bc.value
+        for pdf in batches:
+            a_ids = pdf["vec_id"].values.astype(np.int64)
+            a_mat = np.floor(
+                np.stack(pdf["embedding"].map(np.asarray)).astype(np.float64) * 1e7
+            ).astype(np.int64)
+            a_norm = np.sqrt((a_mat * a_mat).sum(axis=1).astype(np.float64))
+            cos = (a_mat @ cm.T).astype(np.float64) / (a_norm[:, None] * cn[None, :])
+            keep = (a_ids[:, None] < ids[None, :]) & (cos >= 0.4)
+            ai, bi = np.nonzero(keep)
+            yield pd.DataFrame(
+                {"vec_a": a_ids[ai], "vec_b": ids[bi], "cosine": cos[ai, bi]}
+            )
+
+    n_parts = spark.sparkContext.defaultParallelism
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select(
-            "vec_a",
-            "vec_b",
-            (dot / (F.col("nrm_a") * F.col("nrm_b"))).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= 0.4)
+        emb.select("vec_id", "embedding")
+        .repartition(n_parts)  # small single-file scan → spread the matmuls
+        .mapInPandas(score, schema="vec_a long, vec_b long, cosine double")
     )
 
 
