@@ -82,3 +82,60 @@ def test_exact_dedup_partial_aggregation(spark, sf_dir):
     # map-side combine before the shuffle.
     assert plan.count("HashAggregate") >= 2
     assert exchange_count(dedup_exact(spark, sf_dir)) == 1
+
+
+def test_disjunctive_predicate_pushes_into_part_scan(spark, sf_dir):
+    from go_http_data_pipeline_spark.operators.analytics2 import (
+        disjunctive_brand_revenue,
+    )
+
+    df = disjunctive_brand_revenue(spark, sf_dir)
+    strategies = join_strategies(df)
+    # One broadcast equi-join on partkey — not a union of three scans,
+    # not a nested loop.
+    assert "BroadcastHashJoin" in strategies
+    assert "CartesianProduct" not in strategies
+    # The brand/size legs of the OR reach the part scan as pushed
+    # filters (Or(...) over p_brand/p_size).
+    assert any("Or" in f and "p_brand" in f for f in pushed_filters(df))
+
+
+def test_volume_shipping_dims_broadcast(spark, sf_dir):
+    from go_http_data_pipeline_spark.operators.analytics2 import volume_shipping
+
+    strategies = join_strategies(volume_shipping(spark, sf_dir))
+    assert "CartesianProduct" not in strategies
+    assert strategies.count("BroadcastHashJoin") >= 3
+
+
+def test_global_scalar_threshold_is_broadcast_not_recompute(spark, sf_dir):
+    from go_http_data_pipeline_spark.operators.analytics2 import (
+        important_parts_value,
+    )
+
+    df = important_parts_value(spark, sf_dir)
+    plan = plan_str(df)
+    strategies = join_strategies(df)
+    # The 1-row global total joins via broadcast nested loop (fine for
+    # 1 row), never a CartesianProduct repartitioned across the fleet.
+    assert "CartesianProduct" not in strategies
+    # lineitem is scanned for per-part AND total aggregates; both are
+    # partial+final hash aggs (map-side combine before each shuffle).
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_correlated_min_rewrite_single_lineitem_pass(spark, sf_dir):
+    from go_http_data_pipeline_spark.operators.analytics2 import (
+        min_price_supplier_per_part,
+    )
+
+    df = min_price_supplier_per_part(spark, sf_dir)
+    plan = plan_str(df)
+    strategies = join_strategies(df)
+    # Q2's correlated MIN subquery must compile to ONE lineitem scan
+    # feeding agg + window — not one subquery execution per part.
+    # ("formatted" prints each node twice: tree line + detail header,
+    # so 4 real scans — lineitem + 3 broadcast dims — count as 8.)
+    assert plan.count("Scan parquet") <= 8
+    assert "CartesianProduct" not in strategies
+    assert strategies.count("BroadcastHashJoin") >= 3
