@@ -58,9 +58,20 @@ _NORMS_SQL = f"""
 """
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Repartition a small single-file scan across the cores.
+
+    The embeddings fixture is one parquet file → one input partition,
+    which would serialize every per-vector lambda fold onto a single
+    core. The shuffle moved is O(rows · dim) floats — trivial next to
+    the compute it parallelizes. On a real cluster the table would
+    arrive in many files and this becomes a no-op-sized rebalance."""
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, nrm): L2 norms of the quantized-integer vectors."""
-    emb = table(spark, sf_dir, "embeddings")
+    emb = _spread(spark, table(spark, sf_dir, "embeddings"))
     return emb.select(
         "vec_id",
         F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding"))).alias("nrm"),
@@ -69,17 +80,17 @@ def vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def cosine_scores(spark: SparkSession, sf_dir: str, n_queries: int = N_QUERIES) -> DataFrame:
     """(qid, vec_id, cosine) for every (query, corpus) pair."""
-    emb = table(spark, sf_dir, "embeddings")
-    norms = vector_norms(spark, sf_dir)
-    q = (
-        emb.filter(F.col("vec_id") < n_queries)
-        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb"))
-        .join(
-            norms.select(F.col("vec_id").alias("qid"), F.col("nrm").alias("q_nrm")),
-            "qid",
-        )
+    # Norm computed inline in the same row pass — joining the corpus
+    # back to a norms view of itself would just shuffle the table to
+    # recombine columns it already has.
+    nrm = F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding")))
+    emb = _spread(spark, table(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        nrm.alias("q_nrm"),
     )
-    corpus = emb.join(norms, "vec_id")
+    corpus = emb.select("vec_id", "embedding", nrm.alias("nrm"))
     dot = F.expr(_DOT.format(a="q_emb", b="embedding"))
     return (
         corpus.crossJoin(F.broadcast(q))
@@ -258,32 +269,51 @@ def cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
 _W = "((1103515245 * CAST({p} * 64 + {d} AS BIGINT) + 12345) % 2001) - 1000"
 
 
-def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, bucket): 8-bit hyperplane-sign bucket per vector.
+def _bucket_col() -> F.Column:
+    """8-bit hyperplane-sign bucket as ONE narrow expression.
 
+    All 8 plane projections are computed in the same row pass (8 fold
+    expressions over the embedding array) and OR-ed into the bucket —
+    no plane crossJoin, no row explosion, no groupBy shuffle.
     Projections are exact BIGINT sums of quantized elements times
     integer weights, so the sign — hence the bucket — is
     deterministic and engine-independent."""
-    emb = table(spark, sf_dir, "embeddings")
-    proj = F.expr(
-        f"""
-        aggregate(
-            zip_with(embedding, sequence(0, 63), (x, d) ->
-                FLOOR(CAST(x AS DOUBLE) * 1e7) * ({_W.format(p='p', d='d')})),
-            CAST(0 AS BIGINT), (acc, v) -> acc + v)
-        """
-    )
-    planes = spark.range(N_PLANES).select(F.col("id").cast("int").alias("p"))
-    return (
-        emb.crossJoin(F.broadcast(planes))
-        .select(
-            "vec_id",
-            "p",
-            F.when(proj >= 0, F.expr("shiftleft(1, p)")).otherwise(0).alias("bit"),
+    bits = []
+    for p in range(N_PLANES):
+        proj = F.expr(
+            f"""
+            aggregate(
+                zip_with(embedding, sequence(0, 63), (x, d) ->
+                    FLOOR(CAST(x AS DOUBLE) * 1e7) * ({_W.format(p=p, d='d')})),
+                CAST(0 AS BIGINT), (acc, v) -> acc + v)
+            """
         )
-        .groupBy("vec_id")
-        .agg(F.sum("bit").alias("bucket"))
-    )
+        bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket + b
+    return bucket.cast("long")
+
+
+def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, bucket): 8-bit hyperplane-sign bucket per vector."""
+    emb = _spread(spark, table(spark, sf_dir, "embeddings"))
+    return emb.select("vec_id", _bucket_col().alias("bucket"))
+
+
+def _ann_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, embedding, nrm, bucket) in ONE pass over the corpus,
+    persisted — both the query side and the corpus side of the ANN
+    join reuse it instead of recomputing norms and buckets from
+    lineage. At cluster scale this is the precomputed ANN index
+    table a real pipeline would checkpoint."""
+    emb = _spread(spark, table(spark, sf_dir, "embeddings"))
+    return emb.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding"))).alias("nrm"),
+        _bucket_col().alias("bucket"),
+    ).persist()
 
 
 _BUCKETS_SQL = f"""
@@ -337,21 +367,14 @@ def ann_lsh_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus is hash-partitioned by bucket and each query probes one
     partition. Queries whose bucket has no other member produce no
     row (honest ANN semantics)."""
-    emb = table(spark, sf_dir, "embeddings")
-    norms = vector_norms(spark, sf_dir)
-    buckets = lsh_buckets(spark, sf_dir)
-    q = (
-        emb.filter(F.col("vec_id") < N_QUERIES)
-        .join(buckets, "vec_id")
-        .join(norms, "vec_id")
-        .select(
-            F.col("vec_id").alias("qid"),
-            F.col("embedding").alias("q_emb"),
-            F.col("nrm").alias("q_nrm"),
-            "bucket",
-        )
+    feats = _ann_features(spark, sf_dir)
+    q = feats.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        "bucket",
     )
-    corpus = emb.join(buckets, "vec_id").join(norms, "vec_id")
+    corpus = feats
     dot = F.expr(_DOT.format(a="q_emb", b="embedding"))
     scores = (
         corpus.join(F.broadcast(q), "bucket")
