@@ -54,8 +54,16 @@ _SHINGLES_SQL = """
 
 def shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct word-3-gram shingles per document. The tokens array is
-    materialized once so codegen doesn't re-split per shingle."""
-    docs = table(spark, sf_dir, "documents")
+    materialized once so codegen doesn't re-split per shingle.
+
+    The scan is repartitioned first: the fixture is one parquet file
+    (one input split), and the tokenize→explode→md5 chain is the
+    expensive part — without the rebalance it would run on a single
+    core. The shuffle moved is just the raw documents, far smaller
+    than the shingle stream it parallelizes."""
+    docs = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return (
         docs.select("doc_id", F.split("text", " ").alias("toks"))
         .select(

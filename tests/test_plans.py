@@ -124,6 +124,51 @@ def test_global_scalar_threshold_is_broadcast_not_recompute(spark, sf_dir):
     assert plan.count("HashAggregate") >= 4
 
 
+def test_exists_compiles_to_semi_join(spark, sf_dir):
+    from go_http_data_pipeline_spark.operators.analytics3 import (
+        late_order_priority,
+    )
+
+    df = late_order_priority(spark, sf_dir)
+    plan = plan_str(df)
+    strategies = join_strategies(df)
+    # Q4's EXISTS must be a single semi join (equi on orderkey, the
+    # lateness comparison as residual) — never a per-order subquery,
+    # never an inner-join-then-distinct.
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in strategies
+    # The date-range filter reaches the orders scan.
+    assert any("o_orderdate" in f for f in pushed_filters(df))
+
+
+def test_not_in_compiles_to_broadcast_anti_join(spark, sf_dir):
+    from go_http_data_pipeline_spark.operators.analytics3 import (
+        supplier_count_by_part,
+    )
+
+    df = supplier_count_by_part(spark, sf_dir)
+    plan = plan_str(df)
+    strategies = join_strategies(df)
+    assert "LeftAnti" in plan
+    # Both the exclusion set and the filtered part dim broadcast: the
+    # fact table never shuffles before the final distinct agg.
+    assert strategies.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in strategies
+
+
+def test_lone_late_supplier_one_fact_fact_shuffle(spark, sf_dir):
+    from go_http_data_pipeline_spark.operators.analytics3 import (
+        lone_late_supplier,
+    )
+
+    df = lone_late_supplier(spark, sf_dir)
+    strategies = join_strategies(df)
+    # The double-correlated EXISTS/NOT EXISTS pair must not introduce
+    # cartesian products or nested-loop joins; supplier broadcasts.
+    assert "CartesianProduct" not in strategies
+    assert "BroadcastHashJoin" in strategies
+
+
 def test_correlated_min_rewrite_single_lineitem_pass(spark, sf_dir):
     from go_http_data_pipeline_spark.operators.analytics2 import (
         min_price_supplier_per_part,
