@@ -18,8 +18,8 @@ Scale design:
   table is persisted — it feeds signature build + both sides of the
   verification join, and at scale it would be a materialized
   intermediate table, not recomputed lineage;
-* SimHash: one explode + one groupBy with 16 vote columns, all
-  integer arithmetic.
+* SimHash: one explode + one groupBy with 32 vote columns, all
+  integer arithmetic; near-dup pairs via pigeonhole half-collision.
 
 Shingling is word 3-grams; documents are space-tokenized
 (FIXTURES.md: word-soup text, min 10 tokens).
@@ -294,10 +294,8 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "simhash_fingerprints",
-    oracle=f"""
-    WITH toks AS (
+_SIMHASH_SQL = """
+    toks AS (
         SELECT DISTINCT doc_id, tok
         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
     ),
@@ -310,21 +308,28 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                SUM(CASE WHEN (h // b.pw) % 2 = 1 THEN 1 ELSE -1 END) AS vote
         FROM hashed,
              (SELECT b, CAST(pow(2, b) AS BIGINT) AS pw
-              FROM (SELECT unnest(generate_series(0, 15)) AS b)) b
+              FROM (SELECT unnest(generate_series(0, 31)) AS b)) b
         GROUP BY doc_id, b.b, b.pw
+    ),
+    simhashes AS (
+        SELECT doc_id,
+               SUM(CASE WHEN vote > 0 THEN pw ELSE 0 END) AS simhash
+        FROM bit_votes
+        GROUP BY doc_id
     )
-    SELECT doc_id,
-           SUM(CASE WHEN vote > 0 THEN pw ELSE 0 END) AS simhash
-    FROM bit_votes
-    GROUP BY doc_id
-    """,
+"""
+
+
+@query(
+    "simhash_fingerprints",
+    oracle=f"WITH {_SIMHASH_SQL} SELECT doc_id, simhash FROM simhashes",
 )
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash per document: each bit is the sign of the vote
+    """32-bit SimHash per document: each bit is the sign of the vote
     sum (+1/-1 per distinct token by that bit of the token hash).
     Near-dup docs differ in few bits (Hamming distance).
 
-    One groupBy with 16 vote columns (map-side partial sums) — no
+    One groupBy with 32 vote columns (map-side partial sums) — no
     16x row blow-up; the final bit-assembly is a pure projection."""
     docs = table(spark, sf_dir, "documents")
     hashed = docs.select(
@@ -334,14 +339,87 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.when(F.expr(f"(h div {1 << b}) % 2 = 1"), 1).otherwise(-1)
         ).alias(f"v{b}")
-        for b in range(16)
+        for b in range(32)
     ]
     assemble = sum(
-        (F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(0) for b in range(16)),
+        (F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(0) for b in range(32)),
         start=F.lit(0),
     )
     return (
         hashed.groupBy("doc_id")
         .agg(*votes)
         .select("doc_id", assemble.cast("bigint").alias("simhash"))
+    )
+
+
+@query(
+    "simhash_neardup_pairs",
+    oracle=f"""
+    WITH {_SIMHASH_SQL},
+    halves AS (
+        SELECT doc_id, simhash, 0 AS half, simhash % 65536 AS hv FROM simhashes
+        UNION ALL
+        SELECT doc_id, simhash, 1 AS half, simhash // 65536 AS hv FROM simhashes
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.simhash AS sh_a, b.simhash AS sh_b
+        FROM halves a
+        JOIN halves b ON a.half = b.half AND a.hv = b.hv
+                     AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b)) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sh_a, sh_b)) <= 3
+    """,
+)
+def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs: pigeonhole-banded candidate join
+    + Hamming verification. The 32-bit fingerprint splits into two
+    16-bit halves; any pair within Hamming distance 1 must collide on
+    at least one half (pigeonhole), so the self-join runs on the tiny
+    (half, value) keys — never all-pairs. Survivors are verified at
+    Hamming <= 3 via bit_count(xor); the operator's contract is
+    "half-collision AND Hamming <= 3" in both engines.
+
+    At 100 TB the candidate join is bounded by bucket occupancy (65536
+    values per half), the same LSH economics as minhash_lsh_pairs but
+    with an 8-byte fingerprint instead of a shingle table."""
+    fp = simhash_fingerprints(spark, sf_dir)
+    halves = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("half"), (F.col("simhash") % 65536).alias("hv")
+                ),
+                F.struct(
+                    F.lit(1).alias("half"),
+                    F.expr("simhash div 65536").alias("hv"),
+                ),
+            )
+        ).alias("hb"),
+    ).select("doc_id", "simhash", "hb.half", "hb.hv")
+    a, b = halves.alias("a"), halves.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.half") == F.col("b.half"))
+            & (F.col("a.hv") == F.col("b.hv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(
+        F.col("sh_a").bitwiseXOR(F.col("sh_b"))
+    ).alias("hamming")
+    return cand.select("doc_a", "doc_b", hamming).filter(
+        F.col("hamming") <= 3
     )

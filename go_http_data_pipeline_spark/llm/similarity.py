@@ -334,9 +334,7 @@ _BUCKETS_SQL = f"""
 """
 
 
-@query(
-    "ann_lsh_top1",
-    oracle=f"""
+_ANN_TOP1_ORACLE = f"""
     WITH {_NORMS_SQL}, {_BUCKETS_SQL},
     scores AS (
         SELECT q.vec_id AS qid, e.vec_id AS vec_id, bq.bucket,
@@ -358,8 +356,10 @@ _BUCKETS_SQL = f"""
                ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
         FROM scores
     ) WHERE rn = 1
-    """,
-)
+    """
+
+
+@query("ann_lsh_top1", oracle=_ANN_TOP1_ORACLE)
 def ann_lsh_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN: nearest same-bucket neighbor per query (hyperplane LSH).
 
@@ -391,4 +391,46 @@ def ann_lsh_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
         scores.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("qid", "bucket", F.col("vec_id").alias("neighbor_id"), "cosine")
+    )
+
+
+@query(
+    "ann_recall_eval",
+    oracle=f"""
+    WITH brute AS ({_COSINE_TOPK_ORACLE}),
+    ann AS ({_ANN_TOP1_ORACLE})
+    SELECT a.qid, a.neighbor_id AS ann_neighbor, a.cosine AS ann_cosine,
+           b.rank AS brute_rank,
+           CASE WHEN b.rank IS NOT NULL THEN 1 ELSE 0 END AS in_top5
+    FROM ann a
+    LEFT JOIN brute b ON b.qid = a.qid AND b.neighbor_id = a.neighbor_id
+    """,
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality harness: for each query, is the LSH top-1 neighbor
+    inside the exact brute-force top-5? The eval every production ANN
+    deployment runs before trusting the index — expressed as a left
+    join of the approximate result onto the exact one, so recall is
+    ``avg(in_top5)`` one aggregation away.
+
+    Scale: the brute side exists only for the sampled query set (10
+    vectors), so the eval costs one broadcast probe of the corpus —
+    recall measurement stays O(sample x corpus), never all-pairs."""
+    ann = ann_lsh_top1(spark, sf_dir).select(
+        "qid",
+        F.col("neighbor_id").alias("ann_neighbor"),
+        F.col("cosine").alias("ann_cosine"),
+    )
+    brute = cosine_topk(spark, sf_dir).select(
+        "qid", F.col("neighbor_id").alias("ann_neighbor"), "rank"
+    )
+    return (
+        ann.join(F.broadcast(brute), ["qid", "ann_neighbor"], "left")
+        .select(
+            "qid",
+            "ann_neighbor",
+            "ann_cosine",
+            F.col("rank").alias("brute_rank"),
+            F.when(F.col("rank").isNotNull(), 1).otherwise(0).alias("in_top5"),
+        )
     )

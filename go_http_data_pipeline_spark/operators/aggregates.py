@@ -267,3 +267,31 @@ def pivot_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         # absent (flag, status) cells: COUNT semantics say 0, not null
         .na.fill(0, ["F", "O", "P"])
     )
+
+
+@query(
+    "revenue_percentiles",
+    oracle="""
+    SELECT l_returnflag AS returnflag,
+           quantile_cont(l_extendedprice, 0.50) AS median_price,
+           quantile_cont(l_extendedprice, 0.95) AS p95_price,
+           quantile_cont(l_quantity, 0.50) AS median_qty
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def revenue_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per return flag. Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` share the definition
+    and hash-match bitwise (verified empirically at sf0.01).
+
+    Exact percentiles require a per-group sort, so this is the
+    expensive-by-design variant; at 100 TB the approximate twin
+    (``percentile_approx``, sketch-mergeable, one pass) is the
+    default and this exists for small-group exactness."""
+    l = table(spark, sf_dir, "lineitem")
+    return l.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.percentile("l_extendedprice", 0.50).alias("median_price"),
+        F.percentile("l_extendedprice", 0.95).alias("p95_price"),
+        F.percentile("l_quantity", 0.50).alias("median_qty"),
+    )

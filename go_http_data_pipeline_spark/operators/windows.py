@@ -188,3 +188,28 @@ def nation_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
             "region_share"
         ),
     )
+
+
+@query(
+    "acctbal_quartiles",
+    oracle="""
+    SELECT c_custkey AS custkey, c_mktsegment AS segment,
+           ntile(4) OVER (PARTITION BY c_mktsegment
+                          ORDER BY c_acctbal, c_custkey) AS quartile,
+           percent_rank() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal, c_custkey) AS pct_rank
+    FROM customer
+    """,
+)
+def acctbal_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile + percent_rank over account balances per market segment.
+    The order-by includes the key column so tied balances rank
+    deterministically in both engines."""
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+    )

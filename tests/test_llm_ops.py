@@ -79,6 +79,32 @@ def test_minhash_similar_docs_collide(spark):
     assert not (a & c) and not (b & c)
 
 
+def test_simhash_neardup_pigeonhole_guarantee(spark, sf_dir):
+    # Every pair within Hamming distance 1 MUST be caught (one 16-bit
+    # half is then untouched, so the half-collision join finds it);
+    # and every reported pair satisfies the Hamming<=3 contract.
+    from go_http_data_pipeline_spark.llm.dedup import (
+        simhash_fingerprints,
+        simhash_neardup_pairs,
+    )
+
+    pairs = simhash_neardup_pairs(spark, sf_dir)
+    assert pairs.filter(
+        (F.col("hamming") > 3) | (F.col("doc_a") >= F.col("doc_b"))
+    ).count() == 0
+
+    fp = simhash_fingerprints(spark, sf_dir)
+    a = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"))
+    b = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"))
+    close = (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))) <= 1)
+    )
+    missed = close.join(pairs, ["doc_a", "doc_b"], "left_anti")
+    assert missed.count() == 0
+
+
 def test_cosine_topk_self_similarity_excluded(spark, sf_dir):
     from go_http_data_pipeline_spark.llm.similarity import cosine_topk
 
