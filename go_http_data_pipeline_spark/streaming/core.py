@@ -219,3 +219,63 @@ def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_copies"),
     )
     return run_to_memory(spark, agg, "stream_dedup")
+
+
+@query(
+    "streaming_click_purchase_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.user_id AS user_id,
+           CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS secs_before
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
+    """,
+)
+def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: every click by the same user in
+    the 30 minutes before a purchase (attribution). Both sides carry
+    watermarks and the join has an event-time range, so the state
+    store evicts rows once the watermark passes their join window —
+    bounded state at unbounded runtime, the property that makes
+    stream-stream joins viable in production. On bounded replay the
+    result equals the batch join exactly.
+
+    Scale: state is partitioned by user_id (the equi-key); the range
+    condition bounds retention to 30 minutes of each stream."""
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    ).select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        (
+            F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")
+        ).alias("secs_before"),
+    )
+    return run_to_memory(spark, joined, "stream_click_purchase", "append")

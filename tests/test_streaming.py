@@ -77,3 +77,44 @@ def test_rate_user_stream_schema_and_determinism(spark):
     assert len(rows) == 10
     ages = [r.age for r in gen.collect()]
     assert all(18 <= a < 58 for a in ages)
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir):
+    from go_http_data_pipeline_spark.catalog import table
+    from go_http_data_pipeline_spark.streaming.core import (
+        streaming_click_purchase_join,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    batch = {
+        tuple(r)
+        for r in c.join(
+            p,
+            (F.col("c_user") == F.col("user_id"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+            & (F.col("c_ts") <= F.col("p_ts")),
+        )
+        .select(
+            "purchase_id",
+            "click_id",
+            "user_id",
+            (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")).alias(
+                "secs_before"
+            ),
+        )
+        .collect()
+    }
+    stream = {
+        tuple(r) for r in streaming_click_purchase_join(spark, sf_dir).collect()
+    }
+    assert stream == batch and stream
