@@ -33,7 +33,11 @@ HEADLINE = (
     "volume_shipping",          # fact-fact join + disjunctive nation pair
     "min_price_supplier_per_part",  # correlated-MIN rewrite (agg + window)
     "important_parts_value",    # global-scalar broadcast threshold
+    "late_order_priority",      # EXISTS -> residual semi-join (Q4 shape)
+    "lone_late_supplier",       # double-correlation -> windowed one-pass (Q21)
+    "sessionize_events",        # gap-based sessionization (lag + running sum)
     "dedup_exact",              # exact dedup on documents
+    "simhash_neardup_pairs",    # pigeonhole half-collision + Hamming verify
     "embedding_neardup_pairs",  # all-pairs cosine (broadcast matmul)
     "minhash_lsh_pairs",        # MinHash band-LSH near-dup (if present)
     "ngram_jaccard_pairs",      # n-gram Jaccard verify path

@@ -169,11 +169,43 @@ def predict_lang():
     return _udf
 
 
-@query("language_id")
+def _lang_score_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in sorted(_LANG_MARKERS[lang]))
+    return f"len(list_filter(t, x -> x IN ({words})))"
+
+
+_LANG_ORDER = sorted(_LANG_MARKERS)  # tie-break: lexicographic
+
+
+@query(
+    "language_id",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               list_distinct(string_split(lower(text), ' ')) AS t
+        FROM documents
+    ),
+    scores AS (
+        SELECT doc_id, lang,
+               {", ".join(f"{_lang_score_sql(lg)} AS s_{lg}" for lg in _LANG_ORDER)},
+               greatest({", ".join(f"{_lang_score_sql(lg)}" for lg in _LANG_ORDER)}) AS mx
+        FROM toks
+    )
+    SELECT doc_id, lang,
+           CASE WHEN mx = 0 THEN 'und'
+                {" ".join(f"WHEN s_{lg} = mx THEN '{lg}'" for lg in _LANG_ORDER)}
+           END AS predicted_lang
+    FROM scores
+    """,
+)
 def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language identification via vectorized pandas UDF (no oracle:
-    driver records rows-only; pytest pins exact outputs on hand-built
-    texts)."""
+    """Language identification via vectorized pandas UDF.
+
+    The UDF's argmax (highest marker-word overlap, lexicographic
+    tie-break, 'und' on zero) is re-expressed as pure SQL in the
+    oracle, so the Arrow-batched Python path is hash-verified against
+    a declarative twin — cross-paradigm differential testing of the
+    UDF plumbing itself."""
     docs = table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", "lang", predict_lang()(F.col("text")).alias("predicted_lang")

@@ -147,3 +147,66 @@ def daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("dau"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@query(
+    "sessionize_events",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    ids AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM gaps
+    )
+    SELECT user_id, session_id,
+           COUNT(*) AS n_events,
+           CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+           CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS duration_secs
+    FROM ids
+    GROUP BY 1, 2
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization with explicit session IDs: a new
+    session starts after a >30-minute silence; the ID is the running
+    count of session breaks per user (lag + cumulative sum), then
+    sessions aggregate to (start, length, event count).
+
+    This is the window-function twin of the built-in
+    ``session_window_stats`` — unlike session_window it yields stable
+    per-event session IDs joinable back onto the raw stream, which is
+    what downstream feature pipelines need. One shuffle on user_id;
+    the two window passes and the final agg share that partitioning.
+
+    Ties on ts break by event_id so lag() sees one deterministic
+    order in both engines."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ; unix_seconds needs an instant — session tz
+    # is pinned UTC by the catalog, and the offset cancels in the
+    # subtraction anyway.
+    secs = F.unix_seconds(F.col("ts").cast("timestamp"))
+    gap = secs - F.lag(secs).over(w)
+    ids = ev.select(
+        "user_id",
+        "ts",
+        "value",
+        F.sum(
+            F.when(gap > 30 * 60, 1).otherwise(0)
+        ).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("session_id"),
+    )
+    return ids.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").cast("timestamp_ntz").alias("session_start"),
+        (
+            F.max(F.unix_seconds(F.col("ts").cast("timestamp")))
+            - F.min(F.unix_seconds(F.col("ts").cast("timestamp")))
+        ).alias("duration_secs"),
+    )
