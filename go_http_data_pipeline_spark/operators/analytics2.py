@@ -63,13 +63,22 @@ def min_price_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape: for each small STANDARD part, the supplier(s)
     selling it at the minimum average unit price. The correlated
     MIN-per-part subquery is a window over one self-aggregation —
-    a single lineitem scan, no per-part re-execution."""
+    a single lineitem scan, no per-part re-execution.
+
+    The part predicate is pushed BELOW the aggregation as a broadcast
+    semi-join: each part's min is computed only from that part's own
+    rows, so pre-filtering the fact table to qualifying parts is
+    semantics-preserving and shrinks the agg + window input to the
+    predicate's selectivity — the difference between shuffling every
+    (part, supplier) group and only the interesting ones at 100 TB."""
     l = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part").filter(
         (F.col("p_type") == "STANDARD") & (F.col("p_size") < 10)
     )
     s = table(spark, sf_dir, "supplier")
     n = table(spark, sf_dir, "nation")
+    pk = p.select("p_partkey")
+    l = l.join(F.broadcast(pk), l.l_partkey == pk.p_partkey, "left_semi")
     unit = l.groupBy("l_partkey", "l_suppkey").agg(
         (dsum("l_extendedprice") / dsum("l_quantity")).alias("unit_price")
     )

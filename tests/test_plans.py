@@ -180,7 +180,10 @@ def test_correlated_min_rewrite_single_lineitem_pass(spark, sf_dir):
     # Q2's correlated MIN subquery must compile to ONE lineitem scan
     # feeding agg + window — not one subquery execution per part.
     # ("formatted" prints each node twice: tree line + detail header,
-    # so 4 real scans — lineitem + 3 broadcast dims — count as 8.)
-    assert plan.count("Scan parquet") <= 8
+    # so 5 real scans — lineitem, the part-keys semi-join side, and
+    # 3 broadcast dims — count as 10.)
+    assert plan.count("Scan parquet") <= 10
     assert "CartesianProduct" not in strategies
     assert strategies.count("BroadcastHashJoin") >= 3
+    # The part predicate reaches below the aggregation as a semi-join.
+    assert "LeftSemi" in plan
