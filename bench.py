@@ -44,6 +44,7 @@ HEADLINE = (
     "cosine_topk",              # brute-force ANN baseline (JVM codegen)
     "cosine_topk_vectorized",   # same oracle, Arrow+numpy matmul path
     "ann_lsh_top1",             # bucketed ANN scale path
+    "ivf_ann_top1",             # cluster-pruning ANN (cell-local probe)
     "text_quality_scores",      # text analysis sweep
 )
 

@@ -457,3 +457,133 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("rank").isNotNull(), 1).otherwise(0).alias("in_top5"),
         )
     )
+
+
+# --- IVF (inverted-file) ANN --------------------------------------------
+# Coarse quantizer: 16 deterministic centroids (every 31st vector) —
+# a seeded stand-in for k-means that keeps the cell assignment pure
+# integer arithmetic, so the whole index is oracle-checkable. Real
+# pipelines would train centroids offline; the query-time dataflow
+# (assign -> cell-local probe) is identical.
+_CENT_STEP, N_CENTROIDS = 31, 16
+_CENT_MAX = _CENT_STEP * N_CENTROIDS  # vec_id < 496
+
+_CENTS_SQL = f"""
+    cents AS (
+        SELECT vec_id AS cid, embedding
+        FROM embeddings
+        WHERE vec_id % {_CENT_STEP} = 0 AND vec_id < {_CENT_MAX}
+    ),
+    cassign AS (
+        SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY ({_DOT_SQL.format(a='e.embedding', b='c.embedding')}
+                                 / nc.nrm) DESC, c.cid
+                   ) AS rn
+            FROM embeddings e
+            JOIN cents c ON TRUE
+            JOIN norms nc ON nc.vec_id = c.cid,
+                 (SELECT unnest(generate_series(1, 64)) AS i) i
+            GROUP BY e.vec_id, c.cid, nc.nrm
+        ) WHERE rn = 1
+    )
+"""
+
+
+def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cid): nearest-centroid cell per vector. The centroid
+    set (16 rows) broadcasts; assignment is a 16x row expansion,
+    JVM-side dot folds, and a per-vector top-1 — no shuffle of the
+    corpus beyond the final window on vec_id."""
+    emb = _spread(spark, table(spark, sf_dir, "embeddings"))
+    cents = (
+        table(spark, sf_dir, "embeddings")
+        .filter((F.col("vec_id") % _CENT_STEP == 0) & (F.col("vec_id") < _CENT_MAX))
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("c_emb"),
+            F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding"))).alias("c_nrm"),
+        )
+    )
+    dot = F.expr(_DOT.format(a="embedding", b="c_emb"))
+    w = Window.partitionBy("vec_id").orderBy(
+        (dot / F.col("c_nrm")).desc(), F.col("cid")
+    )
+    return (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+
+
+@query(
+    "ivf_ann_top1",
+    oracle=f"""
+    WITH {_NORMS_SQL}, {_CENTS_SQL},
+    scores AS (
+        SELECT q.vec_id AS qid, aq.cid AS cid, e.vec_id AS vec_id,
+               {_DOT_SQL.format(a='q.embedding', b='e.embedding')}
+                   / (qn.nrm * en.nrm) AS cosine
+        FROM embeddings q
+        JOIN cassign aq ON aq.vec_id = q.vec_id
+        JOIN cassign ae ON ae.cid = aq.cid
+        JOIN embeddings e ON e.vec_id = ae.vec_id AND e.vec_id <> q.vec_id
+        JOIN norms qn ON qn.vec_id = q.vec_id
+        JOIN norms en ON en.vec_id = e.vec_id,
+             (SELECT unnest(generate_series(1, 64)) AS i) i
+        WHERE q.vec_id < {N_QUERIES}
+        GROUP BY q.vec_id, aq.cid, e.vec_id, qn.nrm, en.nrm
+    )
+    SELECT qid, cid, vec_id AS neighbor_id, cosine
+    FROM (
+        SELECT qid, cid, vec_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+        FROM scores
+    ) WHERE rn = 1
+    """,
+)
+def ivf_ann_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: nearest neighbor within the query's centroid cell.
+
+    The inverted-file structure is the standard scale path when
+    hyperplane LSH recall is too coarse: partition the corpus by
+    nearest centroid (here 16 deterministic coarse centroids), then
+    probe only the query's cell. At 100 TB the corpus is
+    hash-partitioned — or bucketed on disk — by cid, so a probe
+    touches 1/K of the data; nprobe>1 generalizes by unioning cells.
+    Complements ``ann_lsh_top1`` (hash buckets) with the
+    cluster-pruning family."""
+    assign = ivf_assignments(spark, sf_dir).persist()
+    emb = _spread(spark, table(spark, sf_dir, "embeddings"))
+    feats = emb.join(assign, "vec_id").select(
+        "vec_id",
+        "embedding",
+        "cid",
+        F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding"))).alias("nrm"),
+    )
+    q = feats.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        "cid",
+    )
+    dot = F.expr(_DOT.format(a="q_emb", b="embedding"))
+    scores = (
+        feats.join(F.broadcast(q), "cid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "cid",
+            "vec_id",
+            (dot / (F.col("q_nrm") * F.col("nrm"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("qid", "cid", F.col("vec_id").alias("neighbor_id"), "cosine")
+    )

@@ -79,9 +79,7 @@ def sliding_window_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "session_window_stats",
-    oracle=f"""
+SESSION_STATS_ORACLE = f"""
     WITH flagged AS (
         SELECT user_id, ts, value,
                CASE WHEN LAG(ts) OVER w IS NULL
@@ -101,7 +99,12 @@ def sliding_window_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_events, {dsum_sql('value', 4)} AS total_value
     FROM sessions
     GROUP BY user_id, session_id
-    """,
+    """
+
+
+@query(
+    "session_window_stats",
+    oracle=SESSION_STATS_ORACLE,
 )
 def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user session windows with a 30-minute inactivity gap.

@@ -279,3 +279,37 @@ def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame
         ).alias("secs_before"),
     )
     return run_to_memory(spark, joined, "stream_click_purchase", "append")
+
+
+def _session_stats_oracle() -> str:
+    from ..operators.time_windows import SESSION_STATS_ORACLE
+
+    return SESSION_STATS_ORACLE
+
+
+@query("streaming_session_windows", oracle=_session_stats_oracle())
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` through the STREAMING engine: per-user
+    sessions with a 30-minute inactivity gap, watermarked so closed
+    sessions finalize and their state evicts as event time advances.
+    Shares the batch twin's oracle (`session_window_stats`) — on a
+    bounded replay, streaming session assembly must agree exactly.
+
+    Scale: session state partitions by user_id; the watermark bounds
+    how long an open session can wait for a late event, which bounds
+    state size at unbounded runtime."""
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", 4).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+    return run_to_memory(spark, agg, "stream_sessions")
