@@ -389,17 +389,21 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b)) AS hamming
     FROM cand
-    WHERE bit_count(xor(sh_a, sh_b)) <= 3
+    WHERE bit_count(xor(sh_a, sh_b)) <= 1
     """,
 )
 def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-duplicate pairs: pigeonhole-banded candidate join
-    + Hamming verification. The 32-bit fingerprint splits into two
-    16-bit halves; any pair within Hamming distance 1 must collide on
-    at least one half (pigeonhole), so the self-join runs on the tiny
-    (half, value) keys — never all-pairs. Survivors are verified at
-    Hamming <= 3 via bit_count(xor); the operator's contract is
-    "half-collision AND Hamming <= 3" in both engines.
+    """SimHash near-duplicate pairs — EXACT at Hamming distance 1.
+
+    The 32-bit fingerprint splits into two 16-bit halves; any pair
+    within Hamming distance 1 leaves one half untouched, so it MUST
+    collide on that half (pigeonhole). The self-join therefore runs
+    on the tiny (half, value) keys — never all-pairs — yet has
+    complete recall for the d<=1 contract; bit_count(xor) then keeps
+    exactly the true pairs. (Wider radii generalize by splitting into
+    d+1 bands; d=1 keeps the demo corpus's output meaningful — the
+    fixture's shared word-soup vocabulary makes Hamming<=3 match
+    ~20% of all pairs.)
 
     At 100 TB the candidate join is bounded by bucket occupancy (65536
     values per half), the same LSH economics as minhash_lsh_pairs but
@@ -440,5 +444,5 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sh_a").bitwiseXOR(F.col("sh_b"))
     ).alias("hamming")
     return cand.select("doc_a", "doc_b", hamming).filter(
-        F.col("hamming") <= 3
+        F.col("hamming") <= 1
     )

@@ -313,3 +313,38 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(spark, agg, "stream_sessions")
+
+
+@query(
+    "streaming_enrich_nation_activity",
+    oracle=f"""
+    SELECT n.n_name AS nation, e.event_type,
+           COUNT(*) AS n_events, {dsum_sql('e.value', 4)} AS total_value
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY 1, 2
+    """,
+)
+def streaming_enrich_nation_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: each event joins the static
+    customer and nation dimensions (events.user_id is a customer key
+    in the fixtures), then aggregates activity per (nation, event
+    type). The static side is broadcast to every task and re-resolved
+    per micro-batch — the standard pattern for enriching a stream
+    with slowly-changing dimensions without shuffling the stream."""
+    from ..catalog import table
+
+    ev = events_stream(spark, sf_dir)
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    dim = F.broadcast(c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey))
+    agg = (
+        ev.join(dim, ev.user_id == F.col("c_custkey"))
+        .groupBy(F.col("n_name").alias("nation"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", 4).alias("total_value"),
+        )
+    )
+    return run_to_memory(spark, agg, "stream_enrich_nation")

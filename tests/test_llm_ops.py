@@ -80,9 +80,9 @@ def test_minhash_similar_docs_collide(spark):
 
 
 def test_simhash_neardup_pigeonhole_guarantee(spark, sf_dir):
-    # Every pair within Hamming distance 1 MUST be caught (one 16-bit
-    # half is then untouched, so the half-collision join finds it);
-    # and every reported pair satisfies the Hamming<=3 contract.
+    # The operator is EXACT for Hamming<=1: every such pair leaves one
+    # 16-bit half untouched, so the half-collision join finds it, and
+    # the verify filter keeps nothing farther than 1 bit.
     from go_http_data_pipeline_spark.llm.dedup import (
         simhash_fingerprints,
         simhash_neardup_pairs,
@@ -90,7 +90,7 @@ def test_simhash_neardup_pigeonhole_guarantee(spark, sf_dir):
 
     pairs = simhash_neardup_pairs(spark, sf_dir)
     assert pairs.filter(
-        (F.col("hamming") > 3) | (F.col("doc_a") >= F.col("doc_b"))
+        (F.col("hamming") > 1) | (F.col("doc_a") >= F.col("doc_b"))
     ).count() == 0
 
     fp = simhash_fingerprints(spark, sf_dir)
