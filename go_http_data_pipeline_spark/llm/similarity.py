@@ -324,19 +324,27 @@ def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", _bucket_col().alias("bucket"))
 
 
+_FEATS_CACHE: dict = {}
+
+
 def _ann_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, embedding, nrm, bucket) in ONE pass over the corpus,
     persisted — both the query side and the corpus side of the ANN
     join reuse it instead of recomputing norms and buckets from
     lineage. At cluster scale this is the precomputed ANN index
     table a real pipeline would checkpoint."""
-    emb = _spread(spark, table(spark, sf_dir, "embeddings"))
-    return emb.select(
-        "vec_id",
-        "embedding",
-        F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding"))).alias("nrm"),
-        _bucket_col().alias("bucket"),
-    ).persist()
+    key = (spark.sparkContext.applicationId, sf_dir)
+    feats = _FEATS_CACHE.get(key)
+    if feats is None:
+        emb = _spread(spark, table(spark, sf_dir, "embeddings"))
+        feats = emb.select(
+            "vec_id",
+            "embedding",
+            F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding"))).alias("nrm"),
+            _bucket_col().alias("bucket"),
+        ).persist()
+        _FEATS_CACHE[key] = feats
+    return feats
 
 
 _BUCKETS_SQL = f"""
@@ -556,7 +564,11 @@ def ivf_ann_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     touches 1/K of the data; nprobe>1 generalizes by unioning cells.
     Complements ``ann_lsh_top1`` (hash buckets) with the
     cluster-pruning family."""
-    assign = ivf_assignments(spark, sf_dir).persist()
+    key = ("ivf", spark.sparkContext.applicationId, sf_dir)
+    assign = _FEATS_CACHE.get(key)
+    if assign is None:
+        assign = ivf_assignments(spark, sf_dir).persist()
+        _FEATS_CACHE[key] = assign
     emb = _spread(spark, table(spark, sf_dir, "embeddings"))
     feats = emb.join(assign, "vec_id").select(
         "vec_id",

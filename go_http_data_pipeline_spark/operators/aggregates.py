@@ -295,3 +295,18 @@ def revenue_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("l_extendedprice", 0.95).alias("p95_price"),
         F.percentile("l_quantity", 0.50).alias("median_qty"),
     )
+
+
+@query("approx_revenue_percentiles")  # rows-only: sketch differs per engine
+def approx_revenue_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles via Spark's KLL-style sketch
+    (percentile_approx) — the one-pass, mergeable companion to the
+    exact ``revenue_percentiles``: at 100 TB the sketch aggregates
+    map-side and merges in one reduce, no per-group sort. Rows-only
+    check: DuckDB's approx_quantile uses a different sketch, so
+    values legitimately differ within error bounds."""
+    l = table(spark, sf_dir, "lineitem")
+    return l.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
+        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("approx_p95"),
+    )

@@ -160,3 +160,26 @@ def existence_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count(F.lit(1)) == 0).alias("is_empty"),
         )
     )
+
+
+@query(
+    "deterministic_sample",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 10
+    """,
+)
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% corpus sample keyed on a hash of doc_id — the
+    reproducible alternative to rand()-based TABLESAMPLE for training
+    -data curation: the same document set is selected on every run,
+    every engine, and every partitioning, so downstream experiments
+    are comparable. Pure per-row predicate: pushes to the scan,
+    no shuffle, trivially parallel at any scale."""
+    from ..determinism import md5_int
+
+    docs = table(spark, sf_dir, "documents")
+    return docs.filter(
+        md5_int(F.col("doc_id").cast("string")) % 100 < 10
+    ).select("doc_id", "lang", "n_chars")

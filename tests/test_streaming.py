@@ -118,3 +118,96 @@ def test_stream_stream_join_equals_batch(spark, sf_dir):
         tuple(r) for r in streaming_click_purchase_join(spark, sf_dir).collect()
     }
     assert stream == batch and stream
+
+
+def test_checkpoint_resume_incremental(spark, tmp_path):
+    # Exactly-once across restarts: run a counting stream over file
+    # batch 1 with a checkpoint, stop, land batch 2, resume with the
+    # SAME checkpoint — the final counts must equal one batch job over
+    # all the data (no replays, no gaps).
+    import os
+
+    src = os.path.join(str(tmp_path), "src")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "a")], "id long, k string"
+    ).write.mode("append").parquet(src)
+
+    def run_once():
+        spark.catalog.dropTempView("ckpt_counts")
+        stream = spark.readStream.schema("id long, k string").parquet(src)
+        agg = stream.groupBy("k").count()
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("ckpt_counts")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {(r.k, r["count"]) for r in spark.table("ckpt_counts").collect()}
+
+    first = run_once()
+    assert first == {("a", 2), ("b", 1)}
+
+    spark.createDataFrame(
+        [(4, "a"), (5, "c")], "id long, k string"
+    ).write.mode("append").parquet(src)
+    second = run_once()
+    assert second == {("a", 3), ("b", 1), ("c", 1)}
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    # An event older than (max ts seen - watermark) arriving in a LATER
+    # micro-batch is dropped from the windowed aggregation.
+    import os
+
+    from pyspark.sql import functions as F
+
+    src = os.path.join(str(tmp_path), "late_src")
+    ckpt = os.path.join(str(tmp_path), "late_ckpt")
+    os.makedirs(src)
+    # Batch 1: events at 10:00 and 12:00 -> watermark advances to
+    # 12:00 - 10min = 11:50.
+    spark.createDataFrame(
+        [("2024-01-01 10:00:00",), ("2024-01-01 12:00:00",)], "ts_s string"
+    ).write.mode("append").parquet(src)
+
+    emitted = []
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("ts_s string")
+            .parquet(src)
+            .select(F.col("ts_s").cast("timestamp").alias("ts"))
+            .withWatermark("ts", "10 minutes")
+        )
+        agg = stream.groupBy(F.window("ts", "1 hour").alias("w")).count()
+
+        def collect(batch_df, batch_id):
+            emitted.extend(
+                (str(r.w.start), r["count"]) for r in batch_df.collect()
+            )
+
+        q = (
+            agg.writeStream.foreachBatch(collect)
+            .outputMode("append")  # append: only finalized windows emit
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return set(emitted)
+
+    run_once()
+    # Batch 2: a 10:30 event — 80 min older than the watermark: late.
+    spark.createDataFrame(
+        [("2024-01-01 10:30:00",)], "ts_s string"
+    ).write.mode("append").parquet(src)
+    final = run_once()
+    # The 10:00-11:00 window finalized with ONE event; the late 10:30
+    # arrival was discarded, never resurrecting the closed window.
+    assert ("2024-01-01 10:00:00", 1) in final
+    assert ("2024-01-01 10:00:00", 2) not in final
