@@ -139,3 +139,37 @@ def frame_sample(df: DataFrame, every_n: int = 1000) -> DataFrame:
             f" i -> substring(content, i * {every_n} + 1, 1))"
         ).alias("frames"),
     )
+
+
+@query(
+    "media_frame_samples",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) // 100 AS INT) AS n_frames,
+           array_to_string(
+               list_transform(
+                   generate_series(0, greatest(CAST(octet_length(encode(text)) // 100 AS INT) - 1, 0)),
+                   i -> substr(hex(encode(text)), i * 200 + 1, 2)),
+               '') AS frames_hex
+    FROM documents
+    WHERE doc_id % 3 = 2
+    """,
+)
+def media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over video payloads, oracle-checked: every
+    100th byte of the blob stands in for a container-index frame
+    grab, emitted as a hex fingerprint so the binary slicing is
+    hash-comparable across engines. The slicing is pure JVM-side
+    expression work (substring on binary inside codegen) — the shape
+    a real frame sampler has after swapping the kernel."""
+    media = media_table(spark, sf_dir)
+    n_frames = F.expr("int(octet_length(content) div 100)")
+    return media.filter(F.col("media_type") == "video/mp4").select(
+        "doc_id",
+        n_frames.alias("n_frames"),
+        F.expr(
+            "array_join(transform("
+            " sequence(0, greatest(int(octet_length(content) div 100) - 1, 0)),"
+            " i -> substring(hex(content), i * 200 + 1, 2)), '')"
+        ).alias("frames_hex"),
+    )
