@@ -29,3 +29,24 @@ def test_entry_contract_surface():
 
     assert callable(e.entry)
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_results_invariant_under_partitioning(spark, sf_dir):
+    # The determinism contract behind every oracle: results (including
+    # float aggregates) must not depend on how the input is split.
+    # Exercise the exact-decimal sum path on 1 vs 32 partitions.
+    from pyspark.sql import functions as F
+
+    from go_http_data_pipeline_spark.determinism import dsum
+
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+    def agg(df):
+        return {
+            tuple(r)
+            for r in df.groupBy("l_returnflag")
+            .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+            .collect()
+        }
+
+    assert agg(l.repartition(1)) == agg(l.repartition(32))
