@@ -97,6 +97,28 @@ def _spool_lines(spool: str) -> Iterator[str]:
                     yield line
 
 
+# Spool files are append-only and never rewritten (module contract),
+# so a file's record count is immutable once seen: cache it keyed by
+# (path, size) and skip whole files when a partition's range starts
+# past them — partition reads are O(range + one file) instead of
+# O(everything before it), and latestOffset() only recounts files it
+# hasn't seen.
+_COUNT_CACHE: dict[tuple[str, int], int] = {}
+
+
+def _file_record_counts(spool: str) -> list[tuple[str, int]]:
+    out = []
+    for path in _spool_files(spool):
+        key = (path, os.path.getsize(path))
+        n = _COUNT_CACHE.get(key)
+        if n is None:
+            with open(path, encoding="utf-8") as fh:
+                n = sum(1 for line in fh if line.strip())
+            _COUNT_CACHE[key] = n
+        out.append((path, n))
+    return out
+
+
 def _fields(schema: StructType) -> list[tuple[str, str]]:
     return [(f.name, f.dataType.simpleString()) for f in schema.fields]
 
@@ -155,7 +177,7 @@ class _SpoolStreamReader(DataSourceStreamReader):
         return {"index": 0}
 
     def latestOffset(self) -> dict:
-        n = sum(1 for _ in _spool_lines(self._spool))
+        n = sum(c for _, c in _file_record_counts(self._spool))
         return {"index": n}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
@@ -171,11 +193,22 @@ class _SpoolStreamReader(DataSourceStreamReader):
 
     def read(self, partition: InputPartition):
         lo, hi = partition.value
-        for i, line in enumerate(_spool_lines(self._spool)):
-            if i >= hi:
+        pos = 0
+        for path, n in _file_record_counts(self._spool):
+            if pos + n <= lo:  # file wholly before the range: skip it
+                pos += n
+                continue
+            if pos >= hi:
                 break
-            if i >= lo:
-                yield _decode_line(line, self._fields)
+            with open(path, encoding="utf-8") as fh:
+                for line in fh:
+                    if not line.strip():
+                        continue
+                    if pos >= hi:
+                        break
+                    if pos >= lo:
+                        yield _decode_line(line, self._fields)
+                    pos += 1
 
     def commit(self, end: dict) -> None:
         pass  # spool files are immutable; nothing to clean up
