@@ -95,3 +95,20 @@ def test_stateful_profiles_match_batch(spark, sf_dir):
         n, total = batch[r.user_id]
         assert r.n_events == n
         assert abs(r.total_value - total) < 1e-6 * max(1.0, abs(total))
+
+
+def test_aqe_coalesces_shuffle_partitions(spark, sf_dir):
+    # session.py promises AQE runtime coalescing; prove it engages.
+    # A tiny groupBy under 32 static shuffle partitions must coalesce
+    # to far fewer actual partitions after execution.
+    from pyspark.sql import functions as F
+
+    from go_http_data_pipeline_spark.catalog import table
+
+    df = table(spark, sf_dir, "nation").groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    df.collect()  # materialize so AQE finalizes the plan
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead" in final
+    assert "coalesced" in final
