@@ -90,3 +90,62 @@ def except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return c.subtract(s)
+
+
+@query(
+    "unpivot_part_measures",
+    oracle="""
+    SELECT p_partkey AS partkey, measure, val
+    FROM (
+        SELECT p_partkey,
+               CAST(p_size AS DOUBLE) AS size,
+               p_retailprice AS retailprice
+        FROM part
+    )
+    UNPIVOT (val FOR measure IN (size, retailprice))
+    """,
+)
+def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: wide part measures into (key, measure, value)
+    rows — the inverse of the pivot query. Narrow map-side transform:
+    2x row expansion, no shuffle at any scale."""
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").alias("retailprice"),
+    )
+    return p.unpivot(
+        "p_partkey", ["size", "retailprice"], "measure", "val"
+    ).select(F.col("p_partkey").alias("partkey"), "measure", "val")
+
+
+@query(
+    "embedding_value_histogram",
+    oracle="""
+    SELECT dim_bucket, COUNT(*) AS n, 
+           CAST(SUM(CASE WHEN v >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonneg
+    FROM (
+        SELECT (i.i - 1) // 8 AS dim_bucket, e.embedding[i.i] AS v
+        FROM embeddings e,
+             (SELECT unnest(generate_series(1, 64)) AS i) i
+        WHERE e.vec_id < 100
+    )
+    GROUP BY dim_bucket
+    """,
+)
+def embedding_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode (lateral array expansion): unroll embedding vectors
+    into (position, value) rows and profile them per 8-dim bucket —
+    the table-function shape feature-store audits use. The explode is
+    a narrow transform; only the tiny bucket agg shuffles."""
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    return (
+        emb.select(F.posexplode("embedding").alias("pos", "v"))
+        .groupBy(F.expr("pos div 8").alias("dim_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("v") >= 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_nonneg"),
+        )
+    )
