@@ -156,8 +156,14 @@ def lone_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_orderdate")
     )
     s = table(spark, sf_dir, "supplier")
+    # Hash on l_orderkey ALONE before the grouped collapse: orderkey
+    # partitioning satisfies both the (orderkey, suppkey) groupBy (a
+    # superset clustering) and the window's partitionBy(orderkey), so
+    # the collapsed set flows into the window with NO second shuffle —
+    # one exchange where the naive plan takes two.
     flagged = (
         l.join(o, l.l_orderkey == o.o_orderkey)
+        .repartition("l_orderkey")
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max(late.cast("int")).alias("is_late"))
     )

@@ -167,6 +167,10 @@ def test_lone_late_supplier_one_fact_fact_shuffle(spark, sf_dir):
     # cartesian products or nested-loop joins; supplier broadcasts.
     assert "CartesianProduct" not in strategies
     assert "BroadcastHashJoin" in strategies
+    # One orderkey hash exchange feeds groupBy AND window (subset
+    # clustering), plus the final supplier agg — never a third
+    # shuffle of the collapsed set.
+    assert exchange_count(df) <= 2
 
 
 def test_correlated_min_rewrite_single_lineitem_pass(spark, sf_dir):
