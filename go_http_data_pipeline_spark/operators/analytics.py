@@ -233,9 +233,11 @@ def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: the max-revenue supplier(s) for a quarter.
-    The scalar subquery becomes an unpartitioned window max — one
-    extra exchange of the (tiny) per-supplier aggregate, no second
-    scan of lineitem."""
+    The scalar subquery is a partial+final MAX broadcast back as a
+    single row (the Q11 pattern) — NOT an unpartitioned window, which
+    would funnel every per-supplier row through one task at scale.
+    No second scan of lineitem: srev feeds both the max and the
+    filter."""
     l = table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
     )
@@ -243,10 +245,8 @@ def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     srev = l.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
         dsum(_rev_col()).alias("total_revenue")
     )
-    w = Window.orderBy(F.lit(1)).rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    best = srev.withColumn("mx", F.max("total_revenue").over(w)).filter(
+    mx = srev.agg(F.max("total_revenue").alias("mx"))
+    best = srev.crossJoin(F.broadcast(mx)).filter(
         F.col("total_revenue") == F.col("mx")
     )
     return best.join(F.broadcast(s), best.suppkey == s.s_suppkey).select(

@@ -79,8 +79,13 @@ def min_price_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = table(spark, sf_dir, "nation")
     pk = p.select("p_partkey")
     l = l.join(F.broadcast(pk), l.l_partkey == pk.p_partkey, "left_semi")
-    unit = l.groupBy("l_partkey", "l_suppkey").agg(
-        (dsum("l_extendedprice") / dsum("l_quantity")).alias("unit_price")
+    # Hash on l_partkey alone: satisfies the (partkey, suppkey)
+    # groupBy and the per-part window with ONE exchange (same subset-
+    # clustering trick as lone_late_supplier).
+    unit = (
+        l.repartition("l_partkey")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg((dsum("l_extendedprice") / dsum("l_quantity")).alias("unit_price"))
     )
     w = Window.partitionBy("l_partkey")
     ranked = unit.withColumn("min_price", F.min("unit_price").over(w))
