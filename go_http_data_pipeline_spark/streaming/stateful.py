@@ -22,7 +22,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = "user_id long, n_events long, total_value double, last_ts timestamp"
-STATE_SCHEMA = "n long, total double, last_ts_us long"
+STATE_SCHEMA = "n long, total_scaled long, last_ts_us long"
+
+
+def _quantize_1e4(v: float) -> int:
+    """value -> integer 1e-4 units with HALF_UP ties — the same
+    rounding Spark's DECIMAL(18,4) cast and DuckDB's DECIMAL cast
+    apply, so the stateful sum lands on the identical integers as
+    the ``dsum`` oracle path."""
+    import decimal
+
+    return int(
+        decimal.Decimal(repr(v)).scaleb(4).to_integral_value(
+            rounding=decimal.ROUND_HALF_UP
+        )
+    )
 
 
 def _update_profile(
@@ -31,21 +45,22 @@ def _update_profile(
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
-    n, total, last_us = state.get if state.exists else (0, 0.0, 0)
+    n, total_scaled, last_us = state.get if state.exists else (0, 0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        # Per-batch pandas sum; cross-batch order is fixed by state
-        # accumulation, so results are deterministic for a given
-        # micro-batch sequence.
-        total += float(pdf["value"].sum())
+        # Exact integer accumulation (1e-4 units): order-independent
+        # across batches, partitions, and replays — which is what
+        # makes this custom stateful operator ORACLE-checkable, not
+        # just rows-only.
+        total_scaled += sum(_quantize_1e4(v) for v in pdf["value"])
         batch_max = int(pdf["ts"].astype("int64").max()) // 1000
         last_us = max(last_us, batch_max)
-    state.update((n, total, last_us))
+    state.update((n, total_scaled, last_us))
     yield pd.DataFrame(
         {
             "user_id": [user_id],
             "n_events": [n],
-            "total_value": [total],
+            "total_value": [total_scaled / 1e4],
             "last_ts": [pd.Timestamp(last_us, unit="us")],
         }
     )
@@ -65,10 +80,26 @@ def user_profile_stream(events: DataFrame) -> DataFrame:
 from ..registry import query as _query
 
 
-@_query("stateful_user_profiles")  # rows-only: custom stateful op, float state
+from ..determinism import dsum_sql as _dsum_sql
+
+
+@_query(
+    "stateful_user_profiles",
+    oracle=f"""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           {_dsum_sql('value', 4)} AS total_value,
+           MAX(ts) AS last_ts
+    FROM events
+    GROUP BY user_id
+    """,
+)
 def run_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drive the stateful operator over the bounded events replay and
-    return the final per-user profiles (latest update per user)."""
+    return the final per-user profiles (latest update per user).
+    Exact integer state (1e-4 units, HALF_UP — the DECIMAL(18,4)
+    rounding both engines share) makes even this applyInPandasWithState
+    path hash-match the relational oracle."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 

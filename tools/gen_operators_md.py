@@ -31,7 +31,7 @@ def main() -> int:
     checked = sum(1 for v in groups.values() for _, o, _ in v if o)
     print(
         f"{total} queries; {checked} DuckDB-oracle hash-checked, "
-        f"{total - checked} rows-only (sketches / stubs / float-stateful).\n"
+        f"{total - checked} rows-only (engine-specific sketches, stubbed media decode).\n"
     )
     for mod in sorted(groups):
         print(f"## {mod}\n")
