@@ -327,3 +327,47 @@ def asof_purchase_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
         purchases, signups, on="user_id", left_ts="purchase_ts", right_ts="ts",
         value_cols=[],
     ).select("event_id", "user_id", "purchase_ts", "asof_ts")
+
+
+@query(
+    "nation_presence_reconciliation",
+    oracle="""
+    WITH cust AS (
+        SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers
+        FROM customer GROUP BY 1
+    ),
+    supp AS (
+        SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers
+        FROM supplier GROUP BY 1
+    )
+    SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+           c.n_customers, s.n_suppliers,
+           CASE WHEN c.nationkey IS NULL THEN 'supplier_only'
+                WHEN s.nationkey IS NULL THEN 'customer_only'
+                ELSE 'both' END AS presence
+    FROM cust c
+    FULL OUTER JOIN supp s ON s.nationkey = c.nationkey
+    """,
+)
+def nation_presence_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join: reconcile which nations have customers,
+    suppliers, or both — the two-source audit shape (nulls on either
+    side are the signal, not an error). Shuffles only the two tiny
+    per-nation aggregates; the fact scans pre-aggregate map-side."""
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    cust = c.groupBy(F.col("c_nationkey").alias("c_key")).agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    supp = s.groupBy(F.col("s_nationkey").alias("s_key")).agg(
+        F.count(F.lit(1)).alias("n_suppliers")
+    )
+    return cust.join(supp, cust.c_key == supp.s_key, "full_outer").select(
+        F.coalesce("c_key", "s_key").alias("nationkey"),
+        "n_customers",
+        "n_suppliers",
+        F.when(F.col("c_key").isNull(), "supplier_only")
+        .when(F.col("s_key").isNull(), "customer_only")
+        .otherwise("both")
+        .alias("presence"),
+    )
