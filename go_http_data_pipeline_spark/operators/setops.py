@@ -149,3 +149,47 @@ def embedding_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_nonneg"),
         )
     )
+
+
+@query(
+    "except_all_priorities",
+    oracle="""
+    SELECT o_orderpriority AS priority FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT ALL
+    SELECT o_orderpriority AS priority FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def except_all_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (multiset): per-priority surplus of finished over
+    open orders, keeping duplicate counts — bag semantics where the
+    distinct EXCEPT would collapse to at most five rows. Compiles to
+    a count-compare aggregation, not a row-at-a-time subtract."""
+    o = table(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderpriority").alias("priority")
+    )
+    op = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_orderpriority").alias("priority")
+    )
+    return f.exceptAll(op)
+
+
+@query(
+    "intersect_all_priorities",
+    oracle="""
+    SELECT o_orderpriority AS priority FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT ALL
+    SELECT o_orderpriority AS priority FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def intersect_all_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (multiset): per-priority min(count_F, count_O)
+    occurrences — the bag-intersection twin of except_all."""
+    o = table(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderpriority").alias("priority")
+    )
+    op = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_orderpriority").alias("priority")
+    )
+    return f.intersectAll(op)
