@@ -213,3 +213,46 @@ def acctbal_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).alias("quartile"),
         F.percent_rank().over(w).alias("pct_rank"),
     )
+
+
+@query(
+    "price_band_density",
+    oracle="""
+    SELECT o_orderkey AS orderkey, o_orderpriority AS priority,
+           o_totalprice AS totalprice,
+           COUNT(*) OVER (
+               PARTITION BY o_orderpriority ORDER BY o_totalprice
+               RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW
+           ) AS n_in_band,
+           first_value(o_orderkey) OVER (
+               PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS cheapest_so_far
+    FROM orders
+    """,
+)
+def price_band_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame (value-based, not row-based): how many
+    same-priority orders fall within 1000 price units below each
+    order — the density/banding shape RANGE frames exist for (ties
+    are peers by value, so the count is deterministic without a
+    tiebreak). Plus first_value over a fully-ordered ROWS frame
+    (cheapest order seen so far)."""
+    o = table(spark, sf_dir, "orders")
+    w_range = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice")
+        .rangeBetween(-1000, 0)
+    )
+    w_rows = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_totalprice").alias("totalprice"),
+        F.count(F.lit(1)).over(w_range).alias("n_in_band"),
+        F.first("o_orderkey").over(w_rows).alias("cheapest_so_far"),
+    )

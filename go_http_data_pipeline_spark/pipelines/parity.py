@@ -263,3 +263,44 @@ def employees_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct("id", "name", "age", "yearsofexp", "salary")
         ).alias("json"),
     )
+
+
+@query(
+    "login_response_map",
+    oracle="""
+    SELECT c_name AS username,
+           md5(c_name) AS token,
+           'server_' || CAST(CAST(('0x' || substr(md5(c_name), 1, 8)) AS BIGINT) % 2 + 1 AS VARCHAR)
+               AS server_id,
+           ['server_id', 'token'] AS response_keys
+    FROM customer
+    """,
+)
+def login_response_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The login response as a MAP column (SURVEY §1.4: the
+    reference's ``map[string]string`` response, ``Server/main.go:151``
+    -> MapType). The map is built, read back via element_at, and its
+    key set listed — exercising MapType construction and access in
+    the plan; the oracle checks the extracted values (DuckDB's map
+    extraction semantics differ, so verification happens on the
+    scalars, which is the actual contract)."""
+    c = table(spark, sf_dir, "customer")
+    token = F.md5("c_name")
+    sid = F.concat(
+        F.lit("server_"),
+        (
+            F.conv(F.substring(F.md5("c_name"), 1, 8), 16, 10).cast("long") % 2 + 1
+        ).cast("string"),
+    )
+    resp = c.select(
+        F.col("c_name").alias("username"),
+        F.create_map(
+            F.lit("token"), token, F.lit("server_id"), sid
+        ).alias("response"),
+    )
+    return resp.select(
+        "username",
+        F.element_at("response", "token").alias("token"),
+        F.element_at("response", "server_id").alias("server_id"),
+        F.array_sort(F.map_keys("response")).alias("response_keys"),
+    )
