@@ -36,6 +36,8 @@ HEADLINE = (
     "late_order_priority",      # EXISTS -> residual semi-join (Q4 shape)
     "lone_late_supplier",       # double-correlation -> windowed one-pass (Q21)
     "sessionize_events",        # gap-based sessionization (lag + running sum)
+    "price_band_density",       # RANGE-frame window (value-based banding)
+    "sql_api_revenue_by_year",  # SQL front door (portable ANSI text)
     "dedup_exact",              # exact dedup on documents
     "simhash_neardup_pairs",    # pigeonhole half-collision + Hamming verify
     "embedding_neardup_pairs",  # all-pairs cosine (broadcast matmul)
