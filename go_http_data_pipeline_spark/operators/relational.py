@@ -62,7 +62,7 @@ def point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p_partkey, p_name, p_brand, p_size, p_retailprice
     FROM part
     WHERE p_size IN (5, 10, 15, 20)
-      AND p_type LIKE '%a%'
+      AND p_type LIKE '%AR%'
       AND p_retailprice BETWEEN 500 AND 1500
       AND p_brand IS NOT NULL
     """,
@@ -72,7 +72,7 @@ def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = table(spark, sf_dir, "part")
     return p.filter(
         F.col("p_size").isin(5, 10, 15, 20)
-        & F.col("p_type").like("%a%")
+        & F.col("p_type").like("%AR%")
         & F.col("p_retailprice").between(500, 1500)
         & F.col("p_brand").isNotNull()
     ).select("p_partkey", "p_name", "p_brand", "p_size", "p_retailprice")
