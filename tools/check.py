@@ -81,7 +81,8 @@ def main() -> int:
             n_fail += 1
             continue
         if name not in oracles:
-            print(f"rows-only {name}: {len(srows)} rows  [{time.time()-t0:.1f}s]")
+            flag = "  (EMPTY — verifies nothing!)" if not srows else ""
+            print(f"rows-only {name}: {len(srows)} rows  [{time.time()-t0:.1f}s]{flag}")
             n_rows_only += 1
             continue
         try:
@@ -111,7 +112,8 @@ def main() -> int:
             print(f"FAIL {name}: " + "; ".join(problems))
             n_fail += 1
         else:
-            print(f"PASS {name}: {len(srows)} rows  [{time.time()-t0:.1f}s]")
+            flag = "  (EMPTY — verifies nothing!)" if not srows else ""
+            print(f"PASS {name}: {len(srows)} rows  [{time.time()-t0:.1f}s]{flag}")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
     return 1 if n_fail else 0
