@@ -173,3 +173,54 @@ def media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
             " i -> substring(hex(content), i * 200 + 1, 2)), '')"
         ).alias("frames_hex"),
     )
+
+
+@query(
+    "media_resize_plan",
+    oracle="""
+    WITH meta AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                    WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                    ELSE 'video/mp4' END AS media_type,
+               CAST(64 + CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 1856 AS INT)
+                   AS width,
+               CAST(64 + (CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) // 2048) % 1016
+                   AS INT) AS height
+        FROM documents
+    )
+    SELECT doc_id, media_type, width, height,
+           CAST(floor(width * s) AS INT) AS target_w,
+           CAST(floor(height * s) AS INT) AS target_h
+    FROM (
+        SELECT *,
+               CASE WHEN width >= height
+                    THEN 256.0 / width ELSE 256.0 / height END AS s
+        FROM meta
+    )
+    WHERE media_type IN ('image/png', 'video/mp4')
+    """,
+)
+def media_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize planning for visual media: aspect-preserving fit into a
+    256x256 box (scale = 256 / long edge, floor to pixels) — the pure-
+    arithmetic half of a resize operator, oracle-checked. The pixel
+    kernel itself is the documented stub boundary (`_fake_decode`):
+    a real pipeline swaps in PIL/ffmpeg inside the same mapInPandas
+    plumbing ``media_features`` demonstrates, with (target_w,
+    target_h) as the kernel's argument columns."""
+    meta = media_table(spark, sf_dir)
+    s = F.when(
+        F.col("width") >= F.col("height"), 256.0 / F.col("width")
+    ).otherwise(256.0 / F.col("height"))
+    return (
+        meta.filter(F.col("media_type").isin("image/png", "video/mp4"))
+        .select(
+            "doc_id",
+            "media_type",
+            "width",
+            "height",
+            F.floor(F.col("width") * s).cast("int").alias("target_w"),
+            F.floor(F.col("height") * s).cast("int").alias("target_h"),
+        )
+    )
