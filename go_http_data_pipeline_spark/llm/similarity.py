@@ -599,3 +599,101 @@ def ivf_ann_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("qid", "cid", F.col("vec_id").alias("neighbor_id"), "cosine")
     )
+
+
+@query(
+    "ivf_ann_nprobe2",
+    oracle=f"""
+    WITH {_NORMS_SQL}, {_CENTS_SQL},
+    qassign AS (
+        SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY ({_DOT_SQL.format(a='e.embedding', b='c.embedding')}
+                                 / nc.nrm) DESC, c.cid
+                   ) AS rn
+            FROM embeddings e
+            JOIN cents c ON TRUE
+            JOIN norms nc ON nc.vec_id = c.cid,
+                 (SELECT unnest(generate_series(1, 64)) AS i) i
+            WHERE e.vec_id < {N_QUERIES}
+            GROUP BY e.vec_id, c.cid, nc.nrm
+        ) WHERE rn <= 2
+    ),
+    scores AS (
+        SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+               {_DOT_SQL.format(a='q.embedding', b='e.embedding')}
+                   / (qn.nrm * en.nrm) AS cosine
+        FROM embeddings q
+        JOIN qassign aq ON aq.vec_id = q.vec_id
+        JOIN cassign ae ON ae.cid = aq.cid
+        JOIN embeddings e ON e.vec_id = ae.vec_id AND e.vec_id <> q.vec_id
+        JOIN norms qn ON qn.vec_id = q.vec_id
+        JOIN norms en ON en.vec_id = e.vec_id,
+             (SELECT unnest(generate_series(1, 64)) AS i) i
+        GROUP BY q.vec_id, e.vec_id, qn.nrm, en.nrm
+    )
+    SELECT qid, vec_id AS neighbor_id, cosine
+    FROM (
+        SELECT qid, vec_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+        FROM scores
+    ) WHERE rn = 1
+    """,
+)
+def ivf_ann_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with nprobe=2: each query probes its TWO nearest centroid
+    cells — the standard recall knob when the true neighbor sits just
+    across a cell boundary. Corpus assignment stays single-cell
+    (that's the index layout); only the query fans out, so probe cost
+    scales with nprobe x cell size, still never the full corpus."""
+    assign = ivf_assignments(spark, sf_dir)
+    emb = _spread(spark, table(spark, sf_dir, "embeddings"))
+    feats = emb.join(assign, "vec_id").select(
+        "vec_id",
+        "embedding",
+        "cid",
+        F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding"))).alias("nrm"),
+    )
+    cents = (
+        table(spark, sf_dir, "embeddings")
+        .filter((F.col("vec_id") % _CENT_STEP == 0) & (F.col("vec_id") < _CENT_MAX))
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("c_emb"),
+            F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding"))).alias("c_nrm"),
+        )
+    )
+    q_base = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        F.sqrt(F.expr(_DOT.format(a="q_emb", b="q_emb"))).alias("q_nrm"),
+    )
+    cdot = F.expr(_DOT.format(a="q_emb", b="c_emb"))
+    wq = Window.partitionBy("qid").orderBy(
+        (cdot / F.col("c_nrm")).desc(), F.col("cid")
+    )
+    qassign = (
+        q_base.crossJoin(F.broadcast(cents))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= 2)
+        .select("qid", "q_emb", "q_nrm", "cid")
+    )
+    dot = F.expr(_DOT.format(a="q_emb", b="embedding"))
+    scores = (
+        feats.join(F.broadcast(qassign), "cid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            (dot / (F.col("q_nrm") * F.col("nrm"))).alias("cosine"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("qid", F.col("vec_id").alias("neighbor_id"), "cosine")
+    )
