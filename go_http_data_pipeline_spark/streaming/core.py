@@ -348,3 +348,71 @@ def streaming_enrich_nation_activity(spark: SparkSession, sf_dir: str) -> DataFr
         )
     )
     return run_to_memory(spark, agg, "stream_enrich_nation")
+
+
+@query(
+    "streaming_minhash_signatures",
+    oracle="""
+    WITH shingles AS (
+        SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             LATERAL (SELECT unnest(generate_series(1, len(toks) - 2)) AS i) t
+    ),
+    hashed AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) % 2147483647 AS h
+        FROM shingles
+    )
+    SELECT doc_id, j,
+           MIN(((j * 40503 + 10007) * h + (j * 7919 + 13)) % 2147483647) AS mh
+    FROM hashed, (SELECT unnest(generate_series(0, 15)) AS j) js
+    GROUP BY doc_id, j
+    """,
+)
+def streaming_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature building through the STREAMING engine: as
+    documents arrive, shingle -> hash -> per-doc MIN per hash
+    function, maintained as streaming aggregation state. Element-wise
+    MIN is associative and commutative, so signatures are correct
+    under any arrival order, batching, or replay — the property that
+    makes incremental near-dup indexing of a live corpus possible
+    (each micro-batch only touches state for the docs it contains).
+
+    On bounded replay the signatures equal the batch build exactly
+    (shared constants with llm.dedup); output is unpivoted to
+    (doc_id, j, mh) rows for the oracle."""
+    from ..determinism import MERSENNE31 as P
+    from ..determinism import md5_int
+    from ..llm.dedup import _A_ADD, _A_MUL, _B_ADD, _B_MUL, N_HASHES
+
+    docs = spark.readStream.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).parquet(_as_stream_dir(f"{sf_dir}/documents.parquet"))
+    sh = docs.select("doc_id", F.split("text", " ").alias("toks")).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 2),"
+                    " i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"
+                )
+            )
+        ).alias("shingle"),
+    )
+    h = (md5_int("shingle") % P).alias("h")
+    mins = [
+        F.min(
+            ((F.lit(j) * _A_MUL + _A_ADD) * F.col("h") + (F.lit(j) * _B_MUL + _B_ADD))
+            % P
+        ).alias(f"mh{j}")
+        for j in range(N_HASHES)
+    ]
+    agg = sh.select("doc_id", h).groupBy("doc_id").agg(*mins)
+    wide = run_to_memory(spark, agg, "stream_minhash")
+    return wide.unpivot(
+        "doc_id", [f"mh{j}" for j in range(N_HASHES)], "jcol", "mh"
+    ).select(
+        "doc_id",
+        F.regexp_replace("jcol", "mh", "").cast("bigint").alias("j"),
+        "mh",
+    )
