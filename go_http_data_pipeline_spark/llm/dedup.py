@@ -98,6 +98,18 @@ def shingles_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sh
 
 
+def lsh_bands_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted banded-signature index, memoized per (session, sf) —
+    the LSH index table a production near-dup pipeline checkpoints
+    and reuses across probe jobs."""
+    key = ("bands", spark.sparkContext.applicationId, sf_dir)
+    bands = _SHINGLE_CACHE.get(key)
+    if bands is None:
+        bands = lsh_bands(shingles_cached(spark, sf_dir)).persist()
+        _SHINGLE_CACHE[key] = bands
+    return bands
+
+
 @query(
     "dedup_exact",
     oracle="""
@@ -225,7 +237,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     intermediate (at cluster scale: a checkpointed table) instead of
     4x-recomputed lineage."""
     sh = shingles_cached(spark, sf_dir)
-    bands = lsh_bands(sh)
+    bands = lsh_bands_cached(spark, sf_dir)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
