@@ -38,6 +38,7 @@ _MODULES = (
     "go_http_data_pipeline_spark.pipelines.parity",
     "go_http_data_pipeline_spark.streaming.core",
     "go_http_data_pipeline_spark.sources.http_json",
+    "go_http_data_pipeline_spark.sources.jdbc",
     "go_http_data_pipeline_spark.llm.dedup",
     "go_http_data_pipeline_spark.llm.similarity",
     "go_http_data_pipeline_spark.llm.textstats",
