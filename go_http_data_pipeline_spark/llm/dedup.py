@@ -458,3 +458,65 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.select("doc_a", "doc_b", hamming).filter(
         F.col("hamming") <= 1
     )
+
+
+@query(
+    "simhash_neardup_pairs_d3",
+    oracle=f"""
+    WITH {_SIMHASH_SQL},
+    bands AS (
+        SELECT doc_id, simhash, b.b AS band,
+               (simhash // CAST(pow(256, b.b) AS BIGINT)) % 256 AS bv
+        FROM simhashes,
+             (SELECT unnest(generate_series(0, 3)) AS b) b
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.simhash AS sh_a, b.simhash AS sh_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.bv = b.bv
+                    AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b)) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sh_a, sh_b)) <= 3
+    """,
+)
+def simhash_neardup_pairs_d3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs — EXACT at Hamming distance 3 — the
+    radius knob over :func:`simhash_neardup_pairs`'s d=1. Pigeonhole
+    with d+1 = 4 bands of 8 bits: any pair within distance 3 leaves
+    at least one band untouched, so the 4-way band join has complete
+    recall at d<=3 and bit_count verification keeps exactly the true
+    pairs. The tradeoff is physical, not semantic: 8-bit bands mean
+    256 buckets per band (vs 65536 for d=1's halves), so candidate
+    volume — and the verify bill — grows as the radius widens."""
+    fp = simhash_fingerprints(spark, sf_dir)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.expr(f"(simhash div {256 ** b}) % 256").alias("bv"),
+        )
+        for b in range(4)
+    ]
+    bands = fp.select(
+        "doc_id", "simhash", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", "simhash", "bb.band", "bb.bv")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming")
+    return cand.select("doc_a", "doc_b", hamming).filter(F.col("hamming") <= 3)
