@@ -697,3 +697,45 @@ def ivf_ann_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("qid", F.col("vec_id").alias("neighbor_id"), "cosine")
     )
+
+
+@query(
+    "embedding_int8_quantize",
+    oracle="""
+    SELECT vec_id,
+           mn AS zero_point,
+           (mx - mn) / 255.0 AS scale,
+           list_transform(embedding,
+               x -> CAST(round((CAST(x AS DOUBLE) - mn) / ((mx - mn) / 255.0))
+                    AS BIGINT)) AS q
+    FROM (
+        SELECT vec_id, embedding,
+               list_min(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS mn,
+               list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS mx
+        FROM embeddings
+    )
+    """,
+)
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector affine int8 quantization (min-max calibration):
+    zero_point = min, scale = range/255, q = round((x - zp)/scale) —
+    the 4x storage shrink that makes a 100 TB embedding table a
+    25 TB one, with scale/zero-point kept per vector for exact
+    dequantize bounds. Pure per-row array arithmetic in codegen:
+    no shuffle, no UDF. round() is HALF_EVEN on exact double inputs
+    in both engines (values here are float32-exact)."""
+    emb = table(spark, sf_dir, "embeddings")
+    mn = F.array_min(F.expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+    mx = F.array_max(F.expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+    return emb.select(
+        "vec_id",
+        mn.alias("zero_point"),
+        ((mx - mn) / 255.0).alias("scale"),
+        F.expr(
+            "transform(embedding, x -> CAST(round((CAST(x AS DOUBLE) - "
+            "array_min(transform(embedding, y -> CAST(y AS DOUBLE)))) / "
+            "((array_max(transform(embedding, y -> CAST(y AS DOUBLE))) - "
+            "array_min(transform(embedding, y -> CAST(y AS DOUBLE)))) / 255.0)) "
+            "AS BIGINT))"
+        ).alias("q"),
+    )

@@ -210,3 +210,34 @@ def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", "lang", predict_lang()(F.col("text")).alias("predicted_lang")
     )
+
+
+@query(
+    "vocab_term_frequencies",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    counts AS (
+        SELECT term, COUNT(*) AS tf FROM toks GROUP BY term
+    )
+    SELECT term, tf FROM (
+        SELECT term, tf,
+               ROW_NUMBER() OVER (ORDER BY tf DESC, term) AS rn
+        FROM counts
+    ) WHERE rn <= 100
+    """,
+)
+def vocab_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary building: term frequencies with a top-100
+    cut — the first pass of tokenizer training (BPE seed vocab) and
+    of stopword discovery. explode -> partial+final count agg ->
+    TakeOrdered; the shuffle carries one row per distinct term per
+    task, never the token stream."""
+    docs = table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return counts.orderBy(F.col("tf").desc(), "term").limit(100)
