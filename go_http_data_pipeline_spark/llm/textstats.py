@@ -1,14 +1,14 @@
 """Text analysis operators: quality scoring, token counting, document
-fingerprinting, language identification.
+fingerprinting, language identification, vocabulary building.
 
-All-but-one are pure JVM-side column expressions (oracle-checked);
-language ID is a vectorized pandas UDF (Arrow-batched, rows-only
-check) because its trigram-profile scoring isn't SQL-expressible.
+All are oracle-checked — including language ID, whose vectorized
+pandas UDF is hash-verified against a pure-SQL re-expression of the
+same marker-word argmax (cross-paradigm differential testing).
 
-Scale notes: every operator is a per-row map over ``documents`` —
-embarrassingly parallel, no shuffle at all except the final
-fingerprint groupBy-free projection. The pandas UDF processes Arrow
-batches (~10k rows), not rows.
+Scale notes: the per-document operators are per-row maps —
+embarrassingly parallel, no shuffle; vocabulary building shuffles
+one row per distinct term per task (partial+final count agg), never
+the token stream. The pandas UDF processes Arrow batches, not rows.
 """
 
 from __future__ import annotations
