@@ -203,10 +203,8 @@ def lsh_bands(sh: DataFrame) -> DataFrame:
     ).select("doc_id", "bs.band", "bs.sig")
 
 
-@query(
-    "minhash_lsh_pairs",
-    oracle=f"""
-    WITH {_SHINGLES_SQL}, {_MINHASH_SQL},
+_MINHASH_PAIRS_BODY = f"""
+    {_SHINGLES_SQL}, {_MINHASH_SQL},
     cnt AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
     common AS (
         SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
@@ -214,13 +212,23 @@ def lsh_bands(sh: DataFrame) -> DataFrame:
         JOIN shingles sa ON sa.doc_id = c.doc_a
         JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
         GROUP BY c.doc_a, c.doc_b
+    ),
+    verified AS (
+        SELECT cm.doc_a, cm.doc_b, cm.n_common,
+               (CAST(cm.n_common AS DOUBLE) / (ca.n + cb.n - cm.n_common)) AS jaccard
+        FROM common cm
+        JOIN cnt ca ON ca.doc_id = cm.doc_a
+        JOIN cnt cb ON cb.doc_id = cm.doc_b
+        WHERE (CAST(cm.n_common AS DOUBLE) / (ca.n + cb.n - cm.n_common)) >= 0.3
     )
-    SELECT cm.doc_a, cm.doc_b, cm.n_common,
-           (CAST(cm.n_common AS DOUBLE) / (ca.n + cb.n - cm.n_common)) AS jaccard
-    FROM common cm
-    JOIN cnt ca ON ca.doc_id = cm.doc_a
-    JOIN cnt cb ON cb.doc_id = cm.doc_b
-    WHERE (CAST(cm.n_common AS DOUBLE) / (ca.n + cb.n - cm.n_common)) >= 0.3
+"""
+
+
+@query(
+    "minhash_lsh_pairs",
+    oracle=f"""
+    WITH {_MINHASH_PAIRS_BODY}
+    SELECT doc_a, doc_b, n_common, jaccard FROM verified
     """,
 )
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -520,3 +528,84 @@ def simhash_neardup_pairs_d3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming")
     return cand.select("doc_a", "doc_b", hamming).filter(F.col("hamming") <= 3)
+
+
+@query(
+    "dedup_components",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_PAIRS_BODY},
+    sym AS (
+        SELECT doc_a AS src, doc_b AS dst FROM verified
+        UNION
+        SELECT doc_b AS src, doc_a AS dst FROM verified
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM sym
+        UNION
+        SELECT r.src, s.dst FROM reach r JOIN sym s ON s.src = r.dst
+    )
+    SELECT src AS doc_id,
+           LEAST(src, MIN(dst)) AS component_id,
+           CASE WHEN LEAST(src, MIN(dst)) = src THEN 1 ELSE 0 END AS is_keeper
+    FROM reach
+    GROUP BY src
+    """,
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-duplicate graph — the
+    clustering step a production dedup pipeline runs after pair
+    generation, so each duplicate CLUSTER keeps exactly one document
+    (the min doc_id), not just each pair.
+
+    Distributed iterative min-label propagation: every node starts
+    labeled with itself; each round takes the min of its own and its
+    neighbors' labels (one join + one grouped min, both partitioned
+    on the node key); converged when no label changes. Rounds needed
+    = graph diameter — near-dup clusters are shallow, so a handful.
+    The driver loop only checks the convergence count, GraphX-pregel
+    style; all data work is distributed. The oracle replays the same
+    closure as a recursive CTE (iterative algorithms ARE
+    SQL-expressible when the engine has WITH RECURSIVE)."""
+    edges = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    sym = edges.union(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).distinct().persist()
+    labels = (
+        sym.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("component_id"))
+        .persist()
+    )
+    while True:
+        nbr_min = (
+            sym.join(labels, sym.doc_b == labels.doc_id)
+            .groupBy(F.col("doc_a").alias("node"))
+            .agg(F.min("component_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.doc_id == F.col("node"), "left")
+            .select(
+                "doc_id",
+                F.least(
+                    "component_id", F.coalesce("nbr_min", "component_id")
+                ).alias("component_id"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component_id") != F.col("o.component_id"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id",
+        "component_id",
+        F.when(F.col("component_id") == F.col("doc_id"), 1)
+        .otherwise(0)
+        .alias("is_keeper"),
+    )
