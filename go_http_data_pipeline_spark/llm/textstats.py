@@ -241,3 +241,93 @@ def vocab_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     return counts.orderBy(F.col("tf").desc(), "term").limit(100)
+
+
+# BM25 with RATIONAL idf: idf_ratio = (N - df + 0.5)/(df + 0.5) instead
+# of its logarithm. Monotone in the same direction, and — unlike ln() —
+# bit-identical across engines (libm vs JVM log differ by ulps). The
+# choice trades absolute-score comparability with textbook BM25 for
+# exact cross-engine verifiability; rankings per term are unchanged.
+_BM25_TERMS = ("join", "hash", "scan")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def _bm25_term_sql(t: str) -> str:
+    return f"""(
+        ((n_docs - df_{t} + 0.5) / (df_{t} + 0.5))
+        * (tf_{t} * ({_BM25_K1} + 1.0))
+        / (tf_{t} + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl))
+    )"""
+
+
+@query(
+    "bm25_relevance",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    stats AS (
+        SELECT doc_id,
+               CAST(len(t) AS DOUBLE) AS dl,
+               {", ".join(f"CAST(len(list_filter(t, x -> x = '{t}')) AS DOUBLE) AS tf_{t}" for t in _BM25_TERMS)}
+        FROM toks
+    ),
+    corpus AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+               (CAST(SUM(CAST(dl AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)) AS avgdl,
+               {", ".join(f"CAST(SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_{t}" for t in _BM25_TERMS)}
+        FROM stats
+    )
+    SELECT doc_id,
+           {" + ".join(_bm25_term_sql(t) for t in _BM25_TERMS)} AS score
+    FROM stats, corpus
+    WHERE {" + ".join(f"tf_{t}" for t in _BM25_TERMS)} > 0
+    """,
+)
+def bm25_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance of every document to the fixed query
+    '{join hash scan}' (rational-idf variant — see module constant
+    comment). One pass computes per-doc term frequencies and length;
+    one single-row corpus aggregate (N, avgdl, per-term df)
+    broadcasts back; scoring is pure arithmetic in codegen with a
+    fixed left-to-right add order so both engines produce identical
+    doubles. The full-text-search scoring shape, minus the inverted
+    index Spark doesn't need for scan-scoring."""
+    docs = table(spark, sf_dir, "documents")
+    t_arr = F.split("text", " ")
+    stats = docs.select(
+        "doc_id",
+        F.size(t_arr).cast("double").alias("dl"),
+        *[
+            F.expr(f"CAST(size(filter(split(text, ' '), x -> x = '{t}')) AS DOUBLE)").alias(f"tf_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    from ..determinism import dsum
+
+    corpus = stats.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (dsum("dl") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0))
+            .cast("double")
+            .alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+
+    def term_score(t: str) -> F.Column:
+        idf = (F.col("n_docs") - F.col(f"df_{t}") + 0.5) / (F.col(f"df_{t}") + 0.5)
+        tf = F.col(f"tf_{t}")
+        denom = tf + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        return idf * (tf * (_BM25_K1 + 1.0)) / denom
+
+    score = term_score(_BM25_TERMS[0])
+    for t in _BM25_TERMS[1:]:
+        score = score + term_score(t)
+    any_tf = sum((F.col(f"tf_{t}") for t in _BM25_TERMS), start=F.lit(0.0))
+    return (
+        stats.crossJoin(F.broadcast(corpus))
+        .filter(any_tf > 0)
+        .select("doc_id", score.alias("score"))
+    )
