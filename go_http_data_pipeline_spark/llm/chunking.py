@@ -1,0 +1,191 @@
+"""Document chunking and positional fingerprinting.
+
+Training-data pipelines cut documents into fixed-size token windows
+before tokenization/packing (context-length budgeting), and fingerprint
+them positionally for overlap/plagiarism detection. Two operators:
+
+* ``doc_chunks`` — overlapping fixed-size token windows (CHUNK=32,
+  STRIDE=24), the standard chunk-for-training shape. Pure per-row
+  array arithmetic: ``sequence`` generates the starts, ``slice`` cuts
+  the window — no shuffle at all, so at 100 TB this is an
+  embarrassingly parallel map over the corpus scan.
+* ``winnowing_fingerprints`` — MOSS-style winnowing (Schleimer,
+  Wilkerson, Aiken, SIGMOD'03): hash every token k-gram, slide a
+  window of ``W`` consecutive hashes, select the minimum per window
+  (rightmost on ties), emit the distinct selected (position, hash)
+  pairs. Guarantees every match of length >= W+K-1 shares a
+  fingerprint, with ~2/(W+1) sampling density — the order-sensitive
+  complement to the set-based MinHash in ``dedup.py``.
+
+Determinism: hashes are md5-derived integers (``determinism.md5_int``)
+and the rightmost-min tie-break is encoded into one integer key
+(``h * 128 + (127 - pos)``, exact in both engines), so both operators
+are fully DuckDB-oracle hash-checkable.
+
+Reference scope note: the reference (Server/main.go:209-227) ingests
+whole records and never windows text — these extend the engine per the
+north star (BASELINE.json), not reference parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..determinism import MERSENNE31 as P
+from ..registry import query
+
+CHUNK = 32  # tokens per chunk
+STRIDE = 24  # tokens between chunk starts (overlap = CHUNK - STRIDE = 8)
+
+_K = 4  # tokens per winnowing k-gram
+_W = 5  # winnowing window: consecutive k-gram hashes per window
+# Positions fit in 7 bits (documents are <= 99 tokens; at larger document
+# sizes widen the radix): key = h * 128 + (127 - pos) makes MIN(key)
+# select (min hash, rightmost position) in one integer comparison.
+_POS_RADIX = 128
+
+
+@query(
+    "doc_chunks",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t, len(string_split(text, ' ')) AS n
+        FROM documents
+    )
+    SELECT doc_id,
+           s.s // {STRIDE} AS chunk_idx,
+           s.s AS start_tok,
+           LEAST({CHUNK}, n - s.s) AS chunk_tokens,
+           array_to_string(t[s.s + 1 : s.s + {CHUNK}], ' ') AS chunk_text
+    FROM toks,
+         LATERAL (SELECT unnest(generate_series(0, n - 1, {STRIDE})) AS s) s
+    WHERE s.s = 0 OR n - s.s > {CHUNK - STRIDE}
+    """,
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-token-window chunks: starts at 0, STRIDE,
+    2*STRIDE, ...; each chunk takes up to CHUNK tokens. Tail chunks
+    that would contain only tokens already covered by the previous
+    chunk (fewer than CHUNK - STRIDE fresh tokens... i.e. none) are
+    dropped, so every emitted chunk contributes new content.
+
+    Physical shape: ``sequence``/``slice`` inside codegen — a pure
+    narrow map with no shuffle; chunking a 100 TB corpus is exactly
+    one pass over the scan, and the output stays partitioned like
+    the input for the downstream tokenize/pack stages."""
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("t"),
+        F.size(F.split("text", " ")).alias("n"),
+    )
+    return (
+        base.select(
+            "doc_id",
+            "n",
+            "t",
+            F.explode(F.expr(f"sequence(0, n - 1, {STRIDE})")).alias("s"),
+        )
+        .filter((F.col("s") == 0) | (F.col("n") - F.col("s") > CHUNK - STRIDE))
+        .select(
+            "doc_id",
+            F.expr(f"s div {STRIDE}").alias("chunk_idx"),
+            F.col("s").alias("start_tok"),
+            F.least(F.lit(CHUNK), F.col("n") - F.col("s")).alias("chunk_tokens"),
+            F.concat_ws(" ", F.expr(f"slice(t, s + 1, {CHUNK})")).alias("chunk_text"),
+        )
+    )
+
+
+@query(
+    "winnowing_fingerprints",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t,
+               len(string_split(text, ' ')) - {_K - 1} AS n_grams
+        FROM documents
+    ),
+    keyed AS (
+        SELECT doc_id, n_grams, i.i AS pos,
+               (CAST(('0x' || substr(md5(array_to_string(t[i.i : i.i + {_K - 1}], ' ')), 1, 8)) AS BIGINT)
+                % {P}) * {_POS_RADIX} + ({_POS_RADIX - 1} - i.i) AS key
+        FROM toks,
+             LATERAL (SELECT unnest(generate_series(1, n_grams)) AS i) i
+    ),
+    wins AS (
+        SELECT doc_id, w.w AS w_id, MIN(key) AS sel
+        FROM keyed,
+             LATERAL (SELECT unnest(generate_series(
+                 GREATEST(pos, {_W}), LEAST(pos + {_W - 1}, n_grams))) AS w) w
+        GROUP BY doc_id, w.w
+    )
+    SELECT DISTINCT doc_id,
+           {_POS_RADIX - 1} - (sel % {_POS_RADIX}) AS pos,
+           sel // {_POS_RADIX} AS fingerprint
+    FROM wins
+    """,
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints: md5-hash every token 4-gram,
+    then in every window of W=5 consecutive gram hashes select the
+    minimum (rightmost position on hash ties), and emit the distinct
+    selected (pos, fingerprint) pairs per document.
+
+    The rightmost-min tie-break is branchless: ``key = h * 128 +
+    (127 - pos)`` so one ``MIN`` picks minimal hash, then maximal
+    position — no nested window functions, just a groupBy. The
+    window membership is a bounded explode (each gram belongs to at
+    most W windows), so cost is a flat W-fold map + one partial-agg
+    shuffle on (doc_id, window) — winnowing a 100 TB corpus keeps
+    map-side combine because windows of one document are contiguous
+    within a partition."""
+    docs = table(spark, sf_dir, "documents")
+    grams = (
+        docs.select(
+            "doc_id",
+            F.split("text", " ").alias("t"),
+        )
+        .select(
+            "doc_id",
+            (F.size("t") - (_K - 1)).alias("n_grams"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(t) - {_K - 1}), i -> "
+                    "struct(i AS pos, concat_ws(' ', "
+                    + ", ".join(f"t[i + {j} - 1]" for j in range(_K))
+                    + ") AS gram))"
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", "n_grams", "g.pos", "g.gram")
+    )
+    keyed = grams.select(
+        "doc_id",
+        "n_grams",
+        "pos",
+        (
+            (F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long") % P)
+            * _POS_RADIX
+            + (F.lit(_POS_RADIX - 1) - F.col("pos"))
+        ).alias("key"),
+    )
+    wins = (
+        keyed.select(
+            "doc_id",
+            "key",
+            F.explode(
+                F.expr(
+                    f"sequence(greatest(pos, {_W}), least(pos + {_W - 1}, n_grams))"
+                )
+            ).alias("w_id"),
+        )
+        .groupBy("doc_id", "w_id")
+        .agg(F.min("key").alias("sel"))
+    )
+    return wins.select(
+        "doc_id",
+        (F.lit(_POS_RADIX - 1) - F.col("sel") % _POS_RADIX).alias("pos"),
+        F.expr(f"sel div {_POS_RADIX}").alias("fingerprint"),
+    ).distinct()

@@ -1,0 +1,203 @@
+"""Embedding clustering: one exact-integer Lloyd (k-means) round.
+
+``ivf_ann_*`` (similarity.py) assigns vectors to FIXED coarse
+centroids; this module runs the actual k-means update those indexes
+train with offline: E-step (assign to nearest centroid), M-step
+(recompute centroids as cluster means), then re-assign — one full
+Lloyd round, every step oracle-checkable.
+
+Why one round and not to-convergence: each round is the SAME dataflow
+(the driver loop adds nothing semantically — ``dedup_components``
+already demonstrates iterate-until-converged on a distributed op),
+and a single round keeps the oracle a finite SQL expression instead
+of a recursive CTE over 64-wide state. The convergence signal
+(``moved``) is in the output, so callers chain rounds.
+
+Exactness: embeddings quantize to ``floor(x * 1e7)`` BIGINTs (the
+shared similarity.py convention). Squared distances are pure BIGINT
+sums (max ~9.2e15 < 2^63). Cluster means round to the SAME integer
+grid via ``FLOOR(sum::DOUBLE / n)`` — sums < 2^53 are double-exact
+and one IEEE division + floor is bit-identical in both engines — so
+round 2's distances are again pure integer arithmetic. Ties break to
+the lowest centroid id.
+
+Scale design: centroids are O(K * dim) — broadcast; each E-step is a
+narrow map over the corpus (zip_with fold per centroid, JVM codegen,
+no corpus shuffle); the M-step shuffles only (cid, dim, partial-sum)
+after map-side combine — K * 64 rows per partition, independent of
+corpus size. That is the canonical 100 TB k-means layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+
+K = 8  # clusters; initial centroids = vectors with vec_id < K
+DIM = 64
+
+# Quantized element: BIGINT floor(x * 1e7) (similarity.py convention).
+_Q = "CAST(FLOOR(CAST({x} AS DOUBLE) * 1e7) AS BIGINT)"
+
+# Exact integer squared distance between a corpus vector and a
+# centroid array (both already-quantized BIGINT arrays).
+_DIST = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
+    " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+)
+
+_QVECS_SQL = f"""
+    qvecs AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> {_Q.format(x='x')}) AS q
+        FROM embeddings
+    )
+"""
+
+# Long-form (vec_id, d, qd) view; DuckDB's per-index unnest keeps the
+# oracle's arithmetic identical to Spark's zip_with fold.
+_QLONG_SQL = """
+    qlong AS (
+        SELECT vec_id, d.d AS d, q[d.d] AS qd
+        FROM qvecs, LATERAL (SELECT unnest(generate_series(1, 64)) AS d) d
+    )
+"""
+
+_ASSIGN1_SQL = f"""
+    dist1 AS (
+        SELECT v.vec_id, c.vec_id AS cid,
+               SUM((v.qd - c.qd) * (v.qd - c.qd)) AS dist_sq
+        FROM qlong v
+        JOIN qlong c ON c.d = v.d AND c.vec_id < {K}
+        GROUP BY v.vec_id, c.vec_id
+    ),
+    assign1 AS (
+        SELECT vec_id, cid, dist_sq FROM (
+            SELECT vec_id, cid, dist_sq,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY dist_sq, cid) AS rn
+            FROM dist1
+        ) WHERE rn = 1
+    )
+"""
+
+_MSTEP_SQL = """
+    means AS (
+        SELECT a.cid, v.d,
+               CAST(FLOOR(CAST(CAST(SUM(v.qd) AS BIGINT) AS DOUBLE)
+                          / COUNT(*)) AS BIGINT) AS md
+        FROM qlong v JOIN assign1 a ON a.vec_id = v.vec_id
+        GROUP BY a.cid, v.d
+    )
+"""
+
+_ASSIGN2_SQL = """
+    dist2 AS (
+        SELECT v.vec_id, m.cid,
+               SUM((v.qd - m.md) * (v.qd - m.md)) AS dist_sq
+        FROM qlong v
+        JOIN means m ON m.d = v.d
+        GROUP BY v.vec_id, m.cid
+    ),
+    assign2 AS (
+        SELECT vec_id, cid, dist_sq FROM (
+            SELECT vec_id, cid, dist_sq,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY dist_sq, cid) AS rn
+            FROM dist2
+        ) WHERE rn = 1
+    )
+"""
+
+
+def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, q): embeddings as quantized BIGINT arrays, spread
+    across cores (single-file fixture scan -> one input split)."""
+    emb = table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return emb.select(
+        "vec_id",
+        F.expr(f"transform(embedding, x -> {_Q.format(x='x')})").alias("q"),
+    )
+
+
+def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """E-step: nearest centroid per vector (exact integer distance,
+    ties to lowest cid). ``cents`` is (cid, cq) and is broadcast —
+    the corpus never shuffles; the only wide op is the per-vector
+    top-1, a window on vec_id."""
+    dist = F.expr(_DIST.format(a="q", b="cq"))
+    w = Window.partitionBy("vec_id").orderBy("dist_sq", "cid")
+    return (
+        vecs.crossJoin(F.broadcast(cents))
+        .select("vec_id", "q", "cid", dist.alias("dist_sq"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "q", "cid", "dist_sq")
+    )
+
+
+@query(
+    "kmeans_iteration",
+    oracle=f"""
+    WITH {_QVECS_SQL}, {_QLONG_SQL}, {_ASSIGN1_SQL}, {_MSTEP_SQL}, {_ASSIGN2_SQL}
+    SELECT a2.vec_id, a1.cid AS prev_cid, a2.cid, a2.dist_sq,
+           CASE WHEN a1.cid <> a2.cid THEN 1 ELSE 0 END AS moved
+    FROM assign2 a2 JOIN assign1 a1 ON a1.vec_id = a2.vec_id
+    """,
+)
+def kmeans_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full Lloyd round over the embeddings: seed centroids =
+    vectors 0..K-1, assign all vectors, recompute centroids as
+    integer-grid cluster means, re-assign; report each vector's new
+    cluster, its previous one, the exact squared distance, and
+    whether it moved (sum(moved) is the convergence signal a driver
+    loop would test, exactly as ``dedup_components`` does for label
+    propagation).
+
+    Physical plan: two broadcast E-steps (no corpus shuffle, JVM
+    zip_with folds) around one M-step whose shuffle carries only
+    (cid, dim, partial sum) — map-side combine makes that K*64 rows
+    per partition regardless of corpus size."""
+    vecs = _quantized(spark, sf_dir)
+    cents0 = vecs.filter(F.col("vec_id") < K).select(
+        F.col("vec_id").alias("cid"), F.col("q").alias("cq")
+    )
+    a1 = _assign(vecs, cents0).persist()  # feeds M-step AND the final join
+
+    # M-step: per-(cid, dim) exact integer sums -> floor-div mean on
+    # the same 1e-7 grid; reassemble arrays so round 2 stays a fold.
+    sums = (
+        a1.select("cid", F.posexplode("q").alias("d", "qd"))
+        .groupBy("cid", "d")
+        .agg(F.sum("qd").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "cid",
+            "d",
+            F.floor(F.col("s").cast("double") / F.col("n")).alias("md"),
+        )
+    )
+    cents1 = (
+        sums.groupBy("cid")
+        .agg(F.array_sort(F.collect_list(F.struct("d", "md"))).alias("pairs"))
+        .select("cid", F.expr("transform(pairs, p -> p.md)").alias("cq"))
+    )
+    a2 = _assign(vecs, cents1)
+    return (
+        a2.select("vec_id", "cid", "dist_sq")
+        .join(
+            a1.select("vec_id", F.col("cid").alias("prev_cid")),
+            "vec_id",
+        )
+        .select(
+            "vec_id",
+            "prev_cid",
+            "cid",
+            "dist_sq",
+            F.when(F.col("prev_cid") != F.col("cid"), 1).otherwise(0).alias("moved"),
+        )
+    )

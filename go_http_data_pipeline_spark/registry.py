@@ -41,6 +41,8 @@ _MODULES = (
     "go_http_data_pipeline_spark.sources.jdbc",
     "go_http_data_pipeline_spark.llm.dedup",
     "go_http_data_pipeline_spark.llm.similarity",
+    "go_http_data_pipeline_spark.llm.chunking",
+    "go_http_data_pipeline_spark.llm.clustering",
     "go_http_data_pipeline_spark.llm.textstats",
     "go_http_data_pipeline_spark.llm.multimodal",
 )

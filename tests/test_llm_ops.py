@@ -164,3 +164,129 @@ def test_frame_sample_shape(spark, sf_dir):
     assert frames.join(media, "doc_id").filter(
         F.col("media_type") != "video/mp4"
     ).count() == 0
+
+
+def _tmp_docs(spark, tmp_path, texts):
+    """Write crafted rows as a documents.parquet fixture clone."""
+    rows = [(i, t, "en", "src0", len(t)) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    return str(tmp_path)
+
+
+def test_doc_chunks_exact(spark, tmp_path):
+    from go_http_data_pipeline_spark.llm.chunking import doc_chunks
+
+    toks40 = [f"t{i}" for i in range(40)]
+    toks10 = [f"u{i}" for i in range(10)]
+    d = _tmp_docs(spark, tmp_path, [" ".join(toks40), " ".join(toks10)])
+    out = {
+        (r.doc_id, r.chunk_idx): r for r in doc_chunks(spark, d).collect()
+    }
+    # 40 tokens -> chunks at 0 (32 toks) and 24 (16 toks); 10 tokens ->
+    # single chunk of all 10.
+    assert set(out) == {(0, 0), (0, 1), (1, 0)}
+    assert out[(0, 0)].chunk_text == " ".join(toks40[:32])
+    assert (out[(0, 1)].start_tok, out[(0, 1)].chunk_tokens) == (24, 16)
+    assert out[(0, 1)].chunk_text == " ".join(toks40[24:40])
+    assert out[(1, 0)].chunk_text == " ".join(toks10)
+
+
+def test_doc_chunks_cover_corpus(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from go_http_data_pipeline_spark.llm.chunking import doc_chunks
+
+    out = doc_chunks(spark, sf_dir)
+    # chunk_text really holds chunk_tokens tokens, and per doc the
+    # last chunk ends exactly at the token count (full coverage —
+    # stride < chunk means no gaps are possible).
+    assert out.filter(
+        F.size(F.split("chunk_text", " ")) != F.col("chunk_tokens")
+    ).count() == 0
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n")
+    )
+    ends = out.groupBy("doc_id").agg(
+        F.max(F.col("start_tok") + F.col("chunk_tokens")).alias("covered")
+    )
+    assert ends.join(docs, "doc_id").filter(
+        F.col("covered") != F.col("n")
+    ).count() == 0
+
+
+def test_winnowing_differential_python(spark, tmp_path):
+    """Exact differential against an independent pure-Python winnower."""
+    import hashlib
+
+    from go_http_data_pipeline_spark.llm.chunking import (
+        _K,
+        _POS_RADIX,
+        _W,
+        winnowing_fingerprints,
+    )
+    from go_http_data_pipeline_spark.determinism import MERSENNE31 as P
+
+    toks = [f"w{i % 7}x{i % 5}" for i in range(20)]  # some repeated grams
+    d = _tmp_docs(spark, tmp_path, [" ".join(toks)])
+
+    def h(gram: str) -> int:
+        return int(hashlib.md5(gram.encode()).hexdigest()[:8], 16) % P
+
+    n_grams = len(toks) - (_K - 1)
+    keys = {
+        pos: h(" ".join(toks[pos - 1 : pos - 1 + _K])) * _POS_RADIX
+        + (_POS_RADIX - 1 - pos)
+        for pos in range(1, n_grams + 1)
+    }
+    expected = set()
+    for w_id in range(_W, n_grams + 1):
+        sel = min(keys[p] for p in range(w_id - _W + 1, w_id + 1))
+        expected.add((_POS_RADIX - 1 - sel % _POS_RADIX, sel // _POS_RADIX))
+    got = {
+        (r.pos, r.fingerprint)
+        for r in winnowing_fingerprints(spark, d).collect()
+    }
+    assert got == expected
+
+
+def test_winnowing_shared_run_guarantee(spark, tmp_path):
+    """Two docs sharing a run of >= W+K-1 tokens share a fingerprint."""
+    from go_http_data_pipeline_spark.llm.chunking import (
+        _K,
+        _W,
+        winnowing_fingerprints,
+    )
+
+    shared = [f"s{i}" for i in range(_W + _K - 1)]  # 8 shared tokens
+    doc_a = " ".join([f"a{i}" for i in range(6)] + shared + ["atail"])
+    doc_b = " ".join(["bhead"] + shared + [f"b{i}" for i in range(8)])
+    d = _tmp_docs(spark, tmp_path, [doc_a, doc_b])
+    rows = winnowing_fingerprints(spark, d).collect()
+    fps = {0: set(), 1: set()}
+    for r in rows:
+        fps[r.doc_id].add(r.fingerprint)
+    assert fps[0] & fps[1], "winnowing guarantee violated"
+
+
+def test_kmeans_iteration_invariants(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from go_http_data_pipeline_spark.llm.clustering import K, kmeans_iteration
+
+    out = kmeans_iteration(spark, sf_dir).persist()
+    n_vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert out.count() == n_vecs
+    assert out.select("vec_id").distinct().count() == n_vecs
+    assert out.filter((F.col("cid") < 0) | (F.col("cid") >= K)).count() == 0
+    assert out.filter(F.col("dist_sq") < 0).count() == 0
+    # Seed vectors are their own nearest centroid in round 1 (distance 0).
+    seeds = out.filter(F.col("vec_id") < K)
+    assert seeds.filter(F.col("prev_cid") != F.col("vec_id")).count() == 0
+    # moved is exactly the prev/new disagreement indicator.
+    assert out.filter(
+        (F.col("moved") == 1) != (F.col("prev_cid") != F.col("cid"))
+    ).count() == 0
+    out.unpersist()
