@@ -48,6 +48,9 @@ HEADLINE = (
     "ann_lsh_top1",             # bucketed ANN scale path
     "ivf_ann_top1",             # cluster-pruning ANN (cell-local probe)
     "text_quality_scores",      # text analysis sweep
+    "doc_chunks",               # token-window chunking (zero-shuffle map)
+    "winnowing_fingerprints",   # per-doc winnowing in codegen (zero-shuffle)
+    "kmeans_iteration",         # one exact-integer Lloyd round
 )
 
 

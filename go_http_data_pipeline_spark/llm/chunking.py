@@ -134,58 +134,39 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     selected (pos, fingerprint) pairs per document.
 
     The rightmost-min tie-break is branchless: ``key = h * 128 +
-    (127 - pos)`` so one ``MIN`` picks minimal hash, then maximal
-    position — no nested window functions, just a groupBy. The
-    window membership is a bounded explode (each gram belongs to at
-    most W windows), so cost is a flat W-fold map + one partial-agg
-    shuffle on (doc_id, window) — winnowing a 100 TB corpus keeps
-    map-side combine because windows of one document are contiguous
-    within a partition."""
-    docs = table(spark, sf_dir, "documents")
-    grams = (
-        docs.select(
-            "doc_id",
-            F.split("text", " ").alias("t"),
-        )
+    (127 - pos)`` so ``array_min`` picks minimal hash, then maximal
+    position, in one integer comparison.
+
+    Physical shape: winnowing is a pure per-document function, so the
+    whole pipeline — gram hashing, per-window minima, within-doc
+    dedup — runs as array lambdas inside codegen: ZERO shuffles (the
+    oracle's groupBy-per-window formulation is the semantic spec, not
+    the plan). At 100 TB this is a narrow map over the corpus scan,
+    same as ``doc_chunks``; the O(n_grams * W) window scan per row is
+    trivial next to md5."""
+    # Single-file fixture scan -> one input split; spread the
+    # gram-hash map across cores (same rationale as dedup.shingles).
+    # On a many-file cluster table this is a no-op-sized rebalance.
+    docs = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    gram = "concat_ws(' ', " + ", ".join(f"t[i + {j} - 1]" for j in range(_K)) + ")"
+    keys = (
+        f"transform(sequence(1, size(t) - {_K - 1}), i -> "
+        f"(CAST(conv(substring(md5({gram}), 1, 8), 16, 10) AS BIGINT) % {P})"
+        f" * {_POS_RADIX} + ({_POS_RADIX - 1} - i))"
+    )
+    sels = (
+        f"array_distinct(transform(sequence({_W}, size(keys)), w -> "
+        f"array_min(slice(keys, w - {_W - 1}, {_W}))))"
+    )
+    return (
+        docs.select("doc_id", F.split("text", " ").alias("t"))
+        .select("doc_id", F.expr(keys).alias("keys"))
+        .select("doc_id", F.explode(F.expr(sels)).alias("sel"))
         .select(
             "doc_id",
-            (F.size("t") - (_K - 1)).alias("n_grams"),
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, size(t) - {_K - 1}), i -> "
-                    "struct(i AS pos, concat_ws(' ', "
-                    + ", ".join(f"t[i + {j} - 1]" for j in range(_K))
-                    + ") AS gram))"
-                )
-            ).alias("g"),
+            (F.lit(_POS_RADIX - 1) - F.col("sel") % _POS_RADIX).alias("pos"),
+            F.expr(f"sel div {_POS_RADIX}").alias("fingerprint"),
         )
-        .select("doc_id", "n_grams", "g.pos", "g.gram")
     )
-    keyed = grams.select(
-        "doc_id",
-        "n_grams",
-        "pos",
-        (
-            (F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long") % P)
-            * _POS_RADIX
-            + (F.lit(_POS_RADIX - 1) - F.col("pos"))
-        ).alias("key"),
-    )
-    wins = (
-        keyed.select(
-            "doc_id",
-            "key",
-            F.explode(
-                F.expr(
-                    f"sequence(greatest(pos, {_W}), least(pos + {_W - 1}, n_grams))"
-                )
-            ).alias("w_id"),
-        )
-        .groupBy("doc_id", "w_id")
-        .agg(F.min("key").alias("sel"))
-    )
-    return wins.select(
-        "doc_id",
-        (F.lit(_POS_RADIX - 1) - F.col("sel") % _POS_RADIX).alias("pos"),
-        F.expr(f"sel div {_POS_RADIX}").alias("fingerprint"),
-    ).distinct()
