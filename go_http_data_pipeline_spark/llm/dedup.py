@@ -90,10 +90,18 @@ _SHINGLE_CACHE: dict = {}
 
 
 def shingles_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Persisted hash-partitioned BY SHINGLE: the expensive consumers
+    # (the ngram/minhash verification self-joins) join on the shingle
+    # key, and a persisted DataFrame keeps its outputPartitioning —
+    # both join sides arrive co-partitioned and the joins run with no
+    # exchange at all. The doc_id-keyed consumers (signatures, counts)
+    # re-shuffle either way, so keying the cache to the join-heavy
+    # side is strictly better; on a cluster this is "bucket the
+    # materialized shingle table by its join key".
     key = (spark.sparkContext.applicationId, sf_dir)
     sh = _SHINGLE_CACHE.get(key)
     if sh is None:
-        sh = shingles(spark, sf_dir).persist()
+        sh = shingles(spark, sf_dir).repartition("shingle").persist()
         _SHINGLE_CACHE[key] = sh
     return sh
 
@@ -368,26 +376,30 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum (+1/-1 per distinct token by that bit of the token hash).
     Near-dup docs differ in few bits (Hamming distance).
 
-    One groupBy with 32 vote columns (map-side partial sums) — no
-    16x row blow-up; the final bit-assembly is a pure projection."""
-    docs = table(spark, sf_dir, "documents")
-    hashed = docs.select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
-    ).select("doc_id", md5_int("tok").alias("h"))
-    votes = [
-        F.sum(
-            F.when(F.expr(f"(h div {1 << b}) % 2 = 1"), 1).otherwise(-1)
-        ).alias(f"v{b}")
+    The fingerprint is a pure function of one document's token set,
+    so the whole build — distinct tokens, md5 ints, 32 vote folds,
+    bit assembly — runs as array lambdas inside codegen: ZERO
+    shuffles, no explode/groupBy row blow-up. At 100 TB this is a
+    narrow map over the corpus scan (the earlier formulation, one
+    groupBy with 32 vote columns, paid a full (doc_id, token-hash)
+    shuffle for the same answer). The single-file fixture scan is
+    spread across cores first, as in :func:`shingles`."""
+    docs = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    hs = (
+        "transform(array_distinct(split(text, ' ')), tk -> "
+        "CAST(conv(substring(md5(tk), 1, 8), 16, 10) AS BIGINT))"
+    )
+    votes = " + ".join(
+        f"(CASE WHEN aggregate(hs, CAST(0 AS BIGINT), (acc, h) -> "
+        f"acc + (CASE WHEN (h div {1 << b}) % 2 = 1 THEN 1 ELSE -1 END)) > 0 "
+        f"THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
         for b in range(32)
-    ]
-    assemble = sum(
-        (F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(0) for b in range(32)),
-        start=F.lit(0),
     )
     return (
-        hashed.groupBy("doc_id")
-        .agg(*votes)
-        .select("doc_id", assemble.cast("bigint").alias("simhash"))
+        docs.select("doc_id", F.expr(hs).alias("hs"))
+        .select("doc_id", F.expr(votes).alias("simhash"))
     )
 
 
