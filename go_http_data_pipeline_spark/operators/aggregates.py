@@ -310,3 +310,95 @@ def approx_revenue_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
         F.percentile_approx("l_extendedprice", 0.95, 10000).alias("approx_p95"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Statistical moments: variance / stddev / covariance / correlation /
+# regression slope. The builtins (stddev_samp, corr, ...) accumulate
+# doubles in partition order, so their low bits drift between engines
+# and partitionings. Instead we aggregate EXACT integer power sums
+# (n, Σx, Σx², Σy, Σy², Σxy — quantity is integral, discount becomes
+# integer percent) and derive every moment in one deterministic
+# projection: decimal(18,0) products (exact in Spark and DuckDB, no
+# 38-digit overflow), one double division, IEEE sqrt. Same shape the
+# builtins use internally (partial + final merge of moment sums), so
+# at 100 TB this shuffles only six numbers per group.
+# ---------------------------------------------------------------------------
+
+_STATS_DERIVE = {
+    # shared Spark/DuckDB SQL over the power sums (n, sq, sqq, sd, sdd, sqd)
+    "nn1": "CAST(CAST(n AS DECIMAL(18,0)) * CAST(n - 1 AS DECIMAL(18,0)) AS DOUBLE)",
+    "num_q": (
+        "CAST(CAST(n AS DECIMAL(18,0)) * CAST(sqq AS DECIMAL(18,0))"
+        " - CAST(sq AS DECIMAL(18,0)) * CAST(sq AS DECIMAL(18,0)) AS DOUBLE)"
+    ),
+    "num_d": (
+        "CAST(CAST(n AS DECIMAL(18,0)) * CAST(sdd AS DECIMAL(18,0))"
+        " - CAST(sd AS DECIMAL(18,0)) * CAST(sd AS DECIMAL(18,0)) AS DOUBLE)"
+    ),
+    "num_qd": (
+        "CAST(CAST(n AS DECIMAL(18,0)) * CAST(sqd AS DECIMAL(18,0))"
+        " - CAST(sq AS DECIMAL(18,0)) * CAST(sd AS DECIMAL(18,0)) AS DOUBLE)"
+    ),
+}
+
+_STATS_FINAL = {
+    "avg_qty": "CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)",
+    "var_qty": f"{_STATS_DERIVE['num_q']} / {_STATS_DERIVE['nn1']}",
+    "std_qty": f"SQRT({_STATS_DERIVE['num_q']} / {_STATS_DERIVE['nn1']})",
+    "var_disc_pct": f"{_STATS_DERIVE['num_d']} / {_STATS_DERIVE['nn1']}",
+    "covar_qty_disc": f"{_STATS_DERIVE['num_qd']} / {_STATS_DERIVE['nn1']}",
+    "corr_qty_disc": (
+        f"{_STATS_DERIVE['num_qd']} / "
+        f"(SQRT({_STATS_DERIVE['num_q']}) * SQRT({_STATS_DERIVE['num_d']}))"
+    ),
+    "slope_disc_per_qty": f"{_STATS_DERIVE['num_qd']} / {_STATS_DERIVE['num_q']}",
+}
+
+
+@query(
+    "stats_moments_profile",
+    oracle=f"""
+    SELECT l_returnflag, n AS n_items,
+           {', '.join(f"{sql} AS {name}" for name, sql in _STATS_FINAL.items())}
+    FROM (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               SUM(q) AS sq, SUM(q * q) AS sqq,
+               SUM(d) AS sd, SUM(d * d) AS sdd,
+               SUM(q * d) AS sqd
+        FROM (
+            SELECT l_returnflag,
+                   CAST(l_quantity AS BIGINT) AS q,
+                   CAST(ROUND(l_discount * 100) AS BIGINT) AS d
+            FROM lineitem
+        )
+        GROUP BY l_returnflag
+    )
+    """,
+)
+def stats_moments_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance, stddev, covariance, Pearson correlation, and
+    least-squares slope of (quantity, discount%) per return flag —
+    exact-integer power sums, deterministic derivation (see module
+    comment). Engine surface absent in the reference (SURVEY.md §2.4:
+    its only aggregate is an existence check, ``Server/main.go:249``).
+    """
+    base = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("bigint").alias("q"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("d"),
+    )
+    sums = base.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("sq"),
+        F.sum(F.expr("q * q")).alias("sqq"),
+        F.sum("d").alias("sd"),
+        F.sum(F.expr("d * d")).alias("sdd"),
+        F.sum(F.expr("q * d")).alias("sqd"),
+    )
+    return sums.select(
+        "l_returnflag",
+        F.col("n").alias("n_items"),
+        *[F.expr(sql).alias(name) for name, sql in _STATS_FINAL.items()],
+    )
