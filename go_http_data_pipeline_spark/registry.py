@@ -44,6 +44,7 @@ _MODULES = (
     "go_http_data_pipeline_spark.llm.chunking",
     "go_http_data_pipeline_spark.llm.clustering",
     "go_http_data_pipeline_spark.llm.textstats",
+    "go_http_data_pipeline_spark.llm.cleaning",
     "go_http_data_pipeline_spark.llm.multimodal",
 )
 
