@@ -77,6 +77,19 @@ def shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("shingle"),
         )
+        # Hash the string away immediately: downstream only ever needs
+        # equality (verify joins) and the minhash input, so the cached
+        # table carries two bigints instead of a ~25-byte string —
+        # smaller cache, cheaper shuffles, integer join compares.
+        # sh_h is 48-bit (collision expectation n^2/2^49: ~1e-7 at the
+        # sf0.01 gate); h is the 8-hex minhash domain used by the
+        # oracle's formula verbatim.
+        .select("doc_id", F.md5("shingle").alias("m"))
+        .select(
+            "doc_id",
+            F.conv(F.substring("m", 1, 12), 16, 10).cast("long").alias("sh_h"),
+            (F.conv(F.substring("m", 1, 8), 16, 10).cast("long") % P).alias("h"),
+        )
     )
 
 
@@ -101,7 +114,7 @@ def shingles_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     sh = _SHINGLE_CACHE.get(key)
     if sh is None:
-        sh = shingles(spark, sf_dir).repartition("shingle").persist()
+        sh = shingles(spark, sf_dir).repartition("sh_h").persist()
         _SHINGLE_CACHE[key] = sh
     return sh
 
@@ -148,9 +161,9 @@ def minhash_signatures(sh: DataFrame) -> DataFrame:
     per (doc, partition). Coefficient products stay < 2^51 (a_15 * P
     ~= 1.3e15), overflow-safe in both engines.
 
-    ``sh`` is the (doc_id, shingle) DataFrame from :func:`shingles`.
+    ``sh`` is the (doc_id, sh_h, h) DataFrame from :func:`shingles`;
+    ``h`` is the pre-hashed minhash input domain.
     """
-    h = (md5_int("shingle") % P).alias("h")
     mins = [
         F.min(
             ((F.lit(j) * _A_MUL + _A_ADD) * F.col("h") + (F.lit(j) * _B_MUL + _B_ADD))
@@ -158,7 +171,7 @@ def minhash_signatures(sh: DataFrame) -> DataFrame:
         ).alias(f"mh{j}")
         for j in range(N_HASHES)
     ]
-    return sh.select("doc_id", h).groupBy("doc_id").agg(*mins)
+    return sh.select("doc_id", "h").groupBy("doc_id").agg(*mins)
 
 
 _MINHASH_SQL = f"""
@@ -274,7 +287,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(
             sb,
             (F.col("sb.doc_id") == F.col("doc_b"))
-            & (F.col("sb.shingle") == F.col("sa.shingle")),
+            & (F.col("sb.sh_h") == F.col("sa.sh_h")),
         )
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
@@ -321,7 +334,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     common = (
         a.join(
             b,
-            (F.col("a.shingle") == F.col("b.shingle"))
+            (F.col("a.sh_h") == F.col("b.sh_h"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(

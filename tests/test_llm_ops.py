@@ -70,6 +70,13 @@ def test_minhash_similar_docs_collide(spark):
                 )
             )
         ).alias("shingle"),
+    ).select(
+        "doc_id",
+        # same hash projection shingles() applies (minhash input domain)
+        (
+            F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
+            % dedup.P
+        ).alias("h"),
     )
     bands = dedup.lsh_bands(sh)
     a = {(r.band, r.sig) for r in bands.filter("doc_id = 1").collect()}
