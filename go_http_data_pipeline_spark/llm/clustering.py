@@ -201,3 +201,64 @@ def kmeans_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("prev_cid") != F.col("cid"), 1).otherwise(0).alias("moved"),
         )
     )
+
+
+# Shared derivation over the per-dimension power sums (n, sq, sqq,
+# mn, mx): exact decimal(18,0) products, one double division, then a
+# final /1e7 (or /1e14 for the squared units) to return to embedding
+# units — every step IEEE-deterministic in both engines. BIGINT power
+# sums hold to ~1e18: at 1e9+ vectors per dimension, drop the
+# quantization scale or widen the sum to DECIMAL.
+_DIM_STATS_FINAL = {
+    "mean_val": "(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)) / 1e7",
+    "var_val": (
+        "(CAST(CAST(n AS DECIMAL(18,0)) * CAST(sqq AS DECIMAL(18,0))"
+        " - CAST(sq AS DECIMAL(18,0)) * CAST(sq AS DECIMAL(18,0)) AS DOUBLE)"
+        " / CAST(CAST(n AS DECIMAL(18,0)) * CAST(n - 1 AS DECIMAL(18,0))"
+        " AS DOUBLE)) / 1e14"
+    ),
+    "min_val": "CAST(mn AS DOUBLE) / 1e7",
+    "max_val": "CAST(mx AS DOUBLE) / 1e7",
+}
+
+
+@query(
+    "embedding_dim_stats",
+    oracle=f"""
+    WITH {_QVECS_SQL}, {_QLONG_SQL},
+    s AS (
+        SELECT d, COUNT(*) AS n, SUM(qd) AS sq, SUM(qd * qd) AS sqq,
+               MIN(qd) AS mn, MAX(qd) AS mx
+        FROM qlong
+        GROUP BY d
+    )
+    SELECT d, n AS n_vectors,
+           {', '.join(f"{sql} AS {name}" for name, sql in _DIM_STATS_FINAL.items())}
+    FROM s
+    """,
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension corpus statistics over the embedding column
+    (mean/variance/min/max of each of the 64 dims) — the diagnostic a
+    pipeline runs before whitening, quantization calibration, or
+    dead-dimension pruning. Long-form explode then groupBy(dim):
+    map-side partial sums reduce the shuffle to 64 rows per task
+    regardless of corpus size; all arithmetic is the exact-integer
+    moment pattern (see ``operators/aggregates.py``)."""
+    longf = (
+        _quantized(spark, sf_dir)
+        .select(F.posexplode("q").alias("d0", "qd"))
+        .select((F.col("d0") + 1).alias("d"), "qd")
+    )
+    sums = longf.groupBy("d").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("qd").alias("sq"),
+        F.sum(F.expr("qd * qd")).alias("sqq"),
+        F.min("qd").alias("mn"),
+        F.max("qd").alias("mx"),
+    )
+    return sums.select(
+        "d",
+        F.col("n").alias("n_vectors"),
+        *[F.expr(sql).alias(name) for name, sql in _DIM_STATS_FINAL.items()],
+    )

@@ -1,0 +1,82 @@
+"""Stratified corpus sampling with exact per-stratum quotas.
+
+Training-data curation needs "take exactly K documents per language
+(or source, or domain)" — the data-mixing primitive behind corpus
+recipes. The naive way is a global window rank per stratum, which
+shuffles the WHOLE corpus into as many partitions as there are strata
+(5 languages = 5 reducers for 100 TB: unusable). This implements the
+scalable two-phase form:
+
+1. per-stratum counts (tiny agg, broadcast back);
+2. hash-threshold pre-filter sized to ~OVERSAMPLE*quota expected
+   survivors per stratum (narrow map — the corpus never shuffles);
+3. exact rank only over the tiny survivor set.
+
+Determinism: the "random" key is md5(doc_id) (``determinism.py``
+convention), so the selected set is identical on every run and both
+engines, and the whole pipeline is oracle-checkable — unlike
+``TABLESAMPLE``/``rand()`` sampling. With Poisson(OVERSAMPLE*quota)
+survivors, falling short of the quota has probability ~e-20; a
+production run would assert-and-retry with a higher threshold.
+
+The reference has no sampling surface (its only "sample" is the
+client's hardcoded 10-record loop, ``Random/main.go:74``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..determinism import md5_int, md5_int_sql
+from ..registry import query
+
+QUOTA = 20  # docs kept per language
+OVERSAMPLE = 4  # pre-filter sized to 4x quota expected survivors
+MOD = 1_000_000
+
+
+@query(
+    "stratified_sample_per_lang",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, lang,
+               {md5_int_sql("CAST(doc_id AS STRING)")} AS hkey
+        FROM documents
+    ),
+    c AS (SELECT lang, COUNT(*) AS n_stratum FROM documents GROUP BY lang),
+    pre AS (
+        SELECT d.doc_id, d.lang, d.hkey, c.n_stratum
+        FROM d JOIN c USING (lang)
+        WHERE d.hkey % {MOD} < ({QUOTA * OVERSAMPLE * MOD} // c.n_stratum)
+    ),
+    r AS (
+        SELECT lang, doc_id, n_stratum,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY hkey, doc_id) AS rk
+        FROM pre
+    )
+    SELECT lang, doc_id, rk, n_stratum FROM r WHERE rk <= {QUOTA}
+    """,
+)
+def stratified_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly ``QUOTA`` documents per language, chosen by md5 rank —
+    two-phase (count -> hash-threshold pre-filter -> rank survivors)
+    so only ~OVERSAMPLE*quota rows per stratum ever reach the window.
+    """
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        md5_int(F.col("doc_id").cast("string")).alias("hkey"),
+    )
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_stratum"))
+    pre = docs.join(F.broadcast(counts), "lang").filter(
+        F.col("hkey") % MOD < F.expr(f"{QUOTA * OVERSAMPLE * MOD} div n_stratum")
+    )
+    w = Window.partitionBy("lang").orderBy("hkey", "doc_id")
+    return (
+        pre.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= QUOTA)
+        .select("lang", "doc_id", "rk", "n_stratum")
+    )
