@@ -30,7 +30,7 @@ corpus size. That is the canonical 100 TB k-means layout.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -113,31 +113,51 @@ _ASSIGN2_SQL = """
 """
 
 
+_QCACHE: dict = {}
+
+
 def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, q): embeddings as quantized BIGINT arrays, spread
-    across cores (single-file fixture scan -> one input split)."""
-    emb = table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
-    )
-    return emb.select(
-        "vec_id",
-        F.expr(f"transform(embedding, x -> {_Q.format(x='x')})").alias("q"),
-    )
+    across cores (single-file fixture scan -> one input split).
+    Persisted per (session, sf): it feeds both k-means passes and
+    the dim-stats scan — a checkpointed intermediate at scale."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    q = _QCACHE.get(key)
+    if q is None:
+        emb = table(spark, sf_dir, "embeddings").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+        q = emb.select(
+            "vec_id",
+            F.expr(f"transform(embedding, x -> {_Q.format(x='x')})").alias("q"),
+        ).persist()
+        _QCACHE[key] = q
+    return q
 
 
-def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
-    """E-step: nearest centroid per vector (exact integer distance,
-    ties to lowest cid). ``cents`` is (cid, cq) and is broadcast —
-    the corpus never shuffles; the only wide op is the per-vector
-    top-1, a window on vec_id."""
-    dist = F.expr(_DIST.format(a="q", b="cq"))
-    w = Window.partitionBy("vec_id").orderBy("dist_sq", "cid")
+def _cent_literal(cent_rows: list) -> str:
+    """SQL literal ``array<struct<cid,cq>>`` from driver-side centroid
+    rows. Centroids are control-plane data (K * DIM ints): every
+    practical distributed k-means collects them to the driver between
+    rounds and re-broadcasts — here as a literal folded into codegen,
+    so the E-step is a pure projection with no join at all."""
+    return "array(" + ", ".join(
+        f"named_struct('cid', CAST({cid} AS BIGINT), 'cq', array("
+        + ", ".join(f"CAST({v} AS BIGINT)" for v in cq)
+        + "))"
+        for cid, cq in cent_rows
+    ) + ")"
+
+
+def _best_expr(cents_sql: str) -> str:
+    """``struct(dist_sq, cid)`` of the nearest centroid: array_min's
+    lexicographic struct order = min distance, ties to lowest cid —
+    the same (dist_sq, cid) ordering the oracle's ROW_NUMBER uses.
+    Zero shuffle: one zip_with fold per centroid inside codegen."""
+    d = _DIST.format(a="q", b="c.cq")
     return (
-        vecs.crossJoin(F.broadcast(cents))
-        .select("vec_id", "q", "cid", dist.alias("dist_sq"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "q", "cid", "dist_sq")
+        f"array_min(transform({cents_sql},"
+        f" c -> named_struct('dist_sq', {d}, 'cid', c.cid)))"
     )
 
 
@@ -159,18 +179,27 @@ def kmeans_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     loop would test, exactly as ``dedup_components`` does for label
     propagation).
 
-    Physical plan: two broadcast E-steps (no corpus shuffle, JVM
-    zip_with folds) around one M-step whose shuffle carries only
-    (cid, dim, partial sum) — map-side combine makes that K*64 rows
-    per partition regardless of corpus size."""
+    Physical plan: the ONLY wide op is the M-step's (cid, dim,
+    partial-sum) shuffle — map-side combine makes that K*64 rows per
+    partition regardless of corpus size. Both E-steps are pure
+    projections (centroid literals folded into codegen, see
+    :func:`_cent_literal`), and prev/new assignments come out of one
+    final pass over the cached corpus — no join anywhere."""
     vecs = _quantized(spark, sf_dir)
-    cents0 = vecs.filter(F.col("vec_id") < K).select(
-        F.col("vec_id").alias("cid"), F.col("q").alias("cq")
-    )
-    a1 = _assign(vecs, cents0).persist()  # feeds M-step AND the final join
+    cents0 = [
+        (r["vec_id"], r["q"])
+        for r in sorted(
+            vecs.filter(F.col("vec_id") < K).collect(), key=lambda r: r["vec_id"]
+        )
+    ]
+    best0 = _best_expr(_cent_literal(cents0))
+    a1 = vecs.select("vec_id", "q", F.expr(f"{best0}.cid").alias("cid"))
 
     # M-step: per-(cid, dim) exact integer sums -> floor-div mean on
-    # the same 1e-7 grid; reassemble arrays so round 2 stays a fold.
+    # the same 1e-7 grid (sums < 2^53 are double-exact; one IEEE
+    # division + floor is bit-identical in both engines). The K*64
+    # result rows come back to the driver — centroids are
+    # control-plane data between rounds.
     sums = (
         a1.select("cid", F.posexplode("q").alias("d", "qd"))
         .groupBy("cid", "d")
@@ -181,25 +210,21 @@ def kmeans_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("s").cast("double") / F.col("n")).alias("md"),
         )
     )
-    cents1 = (
-        sums.groupBy("cid")
-        .agg(F.array_sort(F.collect_list(F.struct("d", "md"))).alias("pairs"))
-        .select("cid", F.expr("transform(pairs, p -> p.md)").alias("cq"))
-    )
-    a2 = _assign(vecs, cents1)
-    return (
-        a2.select("vec_id", "cid", "dist_sq")
-        .join(
-            a1.select("vec_id", F.col("cid").alias("prev_cid")),
-            "vec_id",
-        )
-        .select(
-            "vec_id",
-            "prev_cid",
-            "cid",
-            "dist_sq",
-            F.when(F.col("prev_cid") != F.col("cid"), 1).otherwise(0).alias("moved"),
-        )
+    by_cid: dict = {}
+    for r in sums.collect():
+        by_cid.setdefault(r["cid"], {})[r["d"]] = r["md"]
+    cents1 = [
+        (cid, [dims[d] for d in sorted(dims)]) for cid, dims in sorted(by_cid.items())
+    ]
+    best1 = _best_expr(_cent_literal(cents1))
+    return vecs.select(
+        "vec_id",
+        F.expr(f"{best0}.cid").alias("prev_cid"),
+        F.expr(f"{best1}.cid").alias("cid"),
+        F.expr(f"{best1}.dist_sq").alias("dist_sq"),
+    ).withColumn(
+        "moved",
+        F.when(F.col("prev_cid") != F.col("cid"), 1).otherwise(0),
     )
 
 
