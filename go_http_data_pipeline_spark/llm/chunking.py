@@ -29,7 +29,7 @@ north star (BASELINE.json), not reference parity.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -169,4 +169,65 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(_POS_RADIX - 1) - F.col("sel") % _POS_RADIX).alias("pos"),
             F.expr(f"sel div {_POS_RADIX}").alias("fingerprint"),
         )
+    )
+
+
+SEQ_BUDGET = 512  # tokens per packed training sequence
+
+
+@query(
+    "sequence_packing",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ),
+    runs AS (
+        SELECT doc_id, source, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS tok_offset
+        FROM toks
+    )
+    SELECT doc_id, source, n_tokens, tok_offset,
+           tok_offset // {SEQ_BUDGET} AS first_seq,
+           (tok_offset + n_tokens - 1) // {SEQ_BUDGET} AS last_seq,
+           ((tok_offset + n_tokens - 1) // {SEQ_BUDGET})
+               - (tok_offset // {SEQ_BUDGET}) + 1 AS n_seqs
+    FROM runs
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are concatenated
+    per source shard in doc_id order and split into SEQ_BUDGET-token
+    training sequences (the GPT-style packing layout); each document
+    reports its token offset in the shard stream and the first/last
+    sequence it lands in. One running-sum window per source shard —
+    the shard is the packing unit precisely so the prefix sum never
+    needs a global order: shards pack independently and in parallel
+    at any corpus size."""
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    toks = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    runs = toks.withColumn(
+        "tok_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    return runs.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "tok_offset",
+        F.expr(f"tok_offset div {SEQ_BUDGET}").alias("first_seq"),
+        F.expr(f"(tok_offset + n_tokens - 1) div {SEQ_BUDGET}").alias("last_seq"),
+        (
+            F.expr(f"(tok_offset + n_tokens - 1) div {SEQ_BUDGET}")
+            - F.expr(f"tok_offset div {SEQ_BUDGET}")
+            + 1
+        ).alias("n_seqs"),
     )
