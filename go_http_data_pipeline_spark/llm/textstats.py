@@ -14,7 +14,7 @@ the token stream. The pandas UDF processes Arrow batches, not rows.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
@@ -330,4 +330,120 @@ def bm25_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats.crossJoin(F.broadcast(corpus))
         .filter(any_tf > 0)
         .select("doc_id", score.alias("score"))
+    )
+
+
+TOP_BIGRAMS = 10  # per language
+TOP_KEYWORDS = 3  # per document
+
+
+@query(
+    "bigram_lang_stats",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+    ),
+    bigrams AS (
+        SELECT lang,
+               unnest(list_transform(
+                   generate_series(1, len(t) - 1),
+                   i -> t[i] || ' ' || t[i + 1]
+               )) AS bigram
+        FROM toks
+    ),
+    counts AS (
+        SELECT lang, bigram, COUNT(*) AS n_occurrences
+        FROM bigrams GROUP BY lang, bigram
+    ),
+    r AS (
+        SELECT lang, bigram, n_occurrences,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY n_occurrences DESC, bigram) AS rk
+        FROM counts
+    )
+    SELECT lang, bigram, n_occurrences, rk FROM r WHERE rk <= {TOP_BIGRAMS}
+    """,
+)
+def bigram_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top bigrams per language — the first pass of n-gram language-
+    model statistics over a corpus. Count agg has map-side combine
+    (shuffle carries (lang, bigram, partial) rows, never the token
+    stream); the top-k window then runs over distinct bigrams only.
+    Ties rank lexicographically so the cut is deterministic."""
+    toks = table(spark, sf_dir, "documents").select(
+        "lang", F.split("text", " ").alias("t")
+    )
+    bigrams = toks.select(
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> concat_ws(' ', t[i-1], t[i]))"
+            )
+        ).alias("bigram"),
+    )
+    counts = bigrams.groupBy("lang", "bigram").agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n_occurrences"), "bigram")
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_BIGRAMS)
+        .select("lang", "bigram", "n_occurrences", "rk")
+    )
+
+
+@query(
+    "doc_keywords_tfidf",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               CAST(tf.tf AS DOUBLE)
+                   * ((CAST(n.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+                      / (CAST(df.df AS DOUBLE) + 0.5)) AS score
+        FROM tf JOIN df USING (term), n
+    ),
+    r AS (
+        SELECT doc_id, term, tf, df, score,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, term) AS rk
+        FROM scored
+    )
+    SELECT doc_id, term, tf, df, score, rk FROM r WHERE rk <= {TOP_KEYWORDS}
+    """,
+)
+def doc_keywords_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TOP_KEYWORDS} keywords per document by tf-idf with the
+    rational idf ratio (N - df + 0.5)/(df + 0.5) — same
+    transcendental-free exactness trick as ``bm25_relevance`` (ln()
+    is not bit-reproducible across engines; a rational ratio is, and
+    preserves the ranking). High-df stopwords get a near-zero ratio,
+    so they fall out of the top-k naturally. Two count aggs (tf, df)
+    with map-side combine, a broadcast-sized single-row N, and a
+    per-doc top-k window over distinct (doc, term) pairs."""
+    toks = table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = table(spark, sf_dir, "documents").count()
+    score = F.col("tf").cast("double") * (
+        (F.lit(float(n_docs)) - F.col("df").cast("double") + 0.5)
+        / (F.col("df").cast("double") + 0.5)
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        tf.join(df, "term")
+        .select("doc_id", "term", "tf", "df", score.alias("score"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_KEYWORDS)
+        .select("doc_id", "term", "tf", "df", "score", "rk")
     )
