@@ -51,6 +51,14 @@ HEADLINE = (
     "doc_chunks",               # token-window chunking (zero-shuffle map)
     "winnowing_fingerprints",   # per-doc winnowing in codegen (zero-shuffle)
     "kmeans_iteration",         # one exact-integer Lloyd round
+    "stats_moments_profile",    # exact-integer variance/corr/regression
+    "pii_redaction",            # regex scrub (zero-shuffle map)
+    "stopword_stripped_docs",   # array-lambda token filter
+    "stratified_sample_per_lang",  # two-phase exact-quota sampler
+    "sequence_packing",         # per-shard prefix-sum packing
+    "embedding_dim_stats",      # per-dim exact moments over vectors
+    "bigram_lang_stats",        # n-gram LM counts + top-k per lang
+    "doc_keywords_tfidf",       # rational-idf keyword extraction
 )
 
 
