@@ -31,7 +31,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -303,4 +303,64 @@ def login_response_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("response", "token").alias("token"),
         F.element_at("response", "server_id").alias("server_id"),
         F.array_sort(F.map_keys("response")).alias("response_keys"),
+    )
+
+
+@query(
+    "employee_salary_history_scd2",
+    oracle=f"""
+    WITH {_EMP_SQL},
+    versions AS (
+        SELECT id, 0 AS version, salary FROM employee
+        UNION ALL
+        SELECT id, 1 AS version, CAST(salary + 10000 AS BIGINT) AS salary
+        FROM employee WHERE id % 10 = 0
+        UNION ALL
+        SELECT id, 2 AS version, CAST(salary + 25000 AS BIGINT) AS salary
+        FROM employee WHERE id % 20 = 0
+    )
+    SELECT id, version AS valid_from, salary,
+           LEAD(version) OVER (PARTITION BY id ORDER BY version) AS valid_to,
+           CASE WHEN LEAD(version) OVER (PARTITION BY id ORDER BY version)
+                IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM versions
+    """,
+)
+def employee_salary_history_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history for the salary writeback: where the
+    reference's ``UPDATE employee SET salary=?`` (``Server/main.go:
+    279-282``, S5) destroys the old value, this keeps every version
+    as a validity interval. Two deterministic update batches (ids
+    divisible by 10, then by 20) stack onto the base version; one
+    ``lead()`` window per id closes each interval and flags the
+    current row — the standard warehouse pattern for history-keeping
+    upserts. The union is narrow and the single window partitions by
+    the merge key, so history assembly parallelizes per key at any
+    table size."""
+    emp = employees(spark, sf_dir)
+    versions = (
+        emp.select("id", F.lit(0).alias("version"), "salary")
+        .unionByName(
+            emp.filter(F.col("id") % 10 == 0).select(
+                "id",
+                F.lit(1).alias("version"),
+                (F.col("salary") + 10000).cast("bigint").alias("salary"),
+            )
+        )
+        .unionByName(
+            emp.filter(F.col("id") % 20 == 0).select(
+                "id",
+                F.lit(2).alias("version"),
+                (F.col("salary") + 25000).cast("bigint").alias("salary"),
+            )
+        )
+    )
+    w = Window.partitionBy("id").orderBy("version")
+    nxt = F.lead("version").over(w)
+    return versions.select(
+        "id",
+        F.col("version").alias("valid_from"),
+        "salary",
+        nxt.alias("valid_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
     )
