@@ -191,3 +191,58 @@ def test_correlated_min_rewrite_single_lineitem_pass(spark, sf_dir):
     assert strategies.count("BroadcastHashJoin") >= 3
     # The part predicate reaches below the aggregation as a semi-join.
     assert "LeftSemi" in plan
+
+
+def test_stats_moments_single_shuffle(spark, sf_dir):
+    from go_http_data_pipeline_spark.operators.aggregates import (
+        stats_moments_profile,
+    )
+
+    df = stats_moments_profile(spark, sf_dir)
+    # One partial+final hash agg; the moment derivation is projection.
+    assert exchange_count(df) <= 1
+    assert codegen_stage_count(df) >= 1
+
+
+def test_cleaning_ops_have_no_shuffle(spark, sf_dir):
+    from go_http_data_pipeline_spark.llm.cleaning import (
+        pii_redaction,
+        stopword_stripped_docs,
+    )
+
+    assert exchange_count(pii_redaction(spark, sf_dir)) == 0
+    assert exchange_count(stopword_stripped_docs(spark, sf_dir)) == 0
+
+
+def test_stratified_sample_broadcasts_counts(spark, sf_dir):
+    from go_http_data_pipeline_spark.llm.sampling import (
+        stratified_sample_per_lang,
+    )
+
+    df = stratified_sample_per_lang(spark, sf_dir)
+    strategies = join_strategies(df)
+    # stratum counts join the corpus as a broadcast, never a shuffle
+    # of the documents themselves
+    assert "BroadcastHashJoin" in strategies
+    assert "SortMergeJoin" not in strategies
+
+
+def test_kmeans_estep_is_pure_projection(spark, sf_dir):
+    from go_http_data_pipeline_spark.llm.clustering import (
+        _best_expr,
+        _cent_literal,
+        _quantized,
+    )
+    from pyspark.sql import functions as F
+
+    vecs = _quantized(spark, sf_dir)
+    cents = [
+        (r["vec_id"], r["q"]) for r in vecs.filter(F.col("vec_id") < 2).collect()
+    ]
+    assign = vecs.select(
+        "vec_id", F.expr(f"{_best_expr(_cent_literal(cents))}.cid").alias("cid")
+    )
+    # centroid literals fold into codegen: no join, no exchange beyond
+    # the cached table's own layout
+    plan = plan_str(assign)
+    assert "Join" not in plan
