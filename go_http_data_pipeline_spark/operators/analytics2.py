@@ -218,11 +218,11 @@ def important_parts_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ship_priority_classes",
     oracle="""
-    SELECT EXTRACT(year FROM l.l_shipdate) AS l_year,
-           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+    SELECT CAST(EXTRACT(year FROM l.l_shipdate) AS INTEGER) AS l_year,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM lineitem l
     JOIN orders o ON o.o_orderkey = l.l_orderkey
     GROUP BY 1

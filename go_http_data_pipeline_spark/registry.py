@@ -74,11 +74,50 @@ def _load() -> None:
                 raise
 
 
+# Queries with a green (rows+schema+hash) driver row in
+# CORRECTNESS_r01.json. The round-1 driver recorded only the first 50
+# registry entries, so ordering is leverage: queries WITHOUT a prior
+# green row go first so a capped/timed driver run verifies new ground
+# before re-verifying old. Already-green queries keep working (pytest +
+# tools/check.py still run everything); they just sort last.
+_DRIVER_GREEN_R1 = frozenset(
+    {
+        "asof_purchase_signup", "count_distinct_segments", "cube_order_totals",
+        "customer_order_distribution", "customers_with_urgent_orders",
+        "customers_without_orders", "deterministic_sample",
+        "disjunctive_brand_revenue", "distinct_values", "existence_check",
+        "filter_date_range", "filter_predicates", "full_scan",
+        "grouping_sets_revenue", "having_filter", "idle_rich_customers",
+        "important_parts_value", "large_volume_orders", "late_order_priority",
+        "late_shipment_priority", "local_supplier_revenue",
+        "market_share_evolution", "min_price_supplier_per_part",
+        "multi_key_sort_limit", "nation_account_stats",
+        "nation_pairs_same_region", "nation_presence_reconciliation",
+        "nation_profit_by_year", "pivot_returnflag_status", "point_lookup",
+        "projected_scan", "promo_revenue_ratio", "q1_pricing_summary",
+        "q3_shipping_priority", "range_join_ship_lag", "returned_items_report",
+        "revenue_by_nation", "revenue_percentiles", "rollup_order_totals",
+        "scalar_agg_forecast", "significant_promo_suppliers",
+        "small_quantity_orders", "stats_moments_profile", "top_orders_by_price",
+        "top_revenue_orders", "top_supplier", "volume_shipping",
+        # rows-only by design (approx sketches) — re-recording their
+        # rows-only row adds nothing, so they also sort last.
+        "approx_distinct_parts", "approx_revenue_percentiles",
+    }
+)
+
+
+def _ordered(d: dict) -> dict:
+    front = {k: v for k, v in d.items() if k not in _DRIVER_GREEN_R1}
+    back = {k: v for k, v in d.items() if k in _DRIVER_GREEN_R1}
+    return {**front, **back}
+
+
 def all_queries() -> dict[str, QueryFn]:
     _load()
-    return dict(_QUERIES)
+    return _ordered(_QUERIES)
 
 
 def all_oracles() -> dict[str, str]:
     _load()
-    return dict(_ORACLE)
+    return _ordered(_ORACLE)

@@ -54,6 +54,75 @@ def canon(rows, cols):
     return out
 
 
+def arrow_tag(t):
+    """Canonical tag for an arrow type — catches INT/BIGINT/HUGEINT &
+    decimal-precision drift between engines that value-compare equal
+    locally but hash-mismatch in the driver (VERDICT r1 item 2)."""
+    import pyarrow as pa
+
+    if pa.types.is_large_string(t) or pa.types.is_string(t):
+        return "str"
+    if pa.types.is_large_binary(t) or pa.types.is_binary(t):
+        return "bin"
+    if pa.types.is_decimal(t):
+        return f"dec({t.precision},{t.scale})"
+    if pa.types.is_timestamp(t):
+        return "ts"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_large_list(t) or pa.types.is_list(t):
+        return f"list<{arrow_tag(t.value_type)}>"
+    if pa.types.is_struct(t):
+        inner = ",".join(f"{f.name}:{arrow_tag(f.type)}" for f in t)
+        return f"struct<{inner}>"
+    if pa.types.is_map(t):
+        return f"map<{arrow_tag(t.key_type)},{arrow_tag(t.item_type)}>"
+    return str(t)  # int32, int64, double, bool, ...
+
+
+def spark_tag(dt):
+    """Same canonical tag, from a Spark DataType."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.StringType):
+        return "str"
+    if isinstance(dt, T.BinaryType):
+        return "bin"
+    if isinstance(dt, T.DecimalType):
+        return f"dec({dt.precision},{dt.scale})"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "ts"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, T.ArrayType):
+        return f"list<{spark_tag(dt.elementType)}>"
+    if isinstance(dt, T.StructType):
+        inner = ",".join(f"{f.name}:{spark_tag(f.dataType)}" for f in dt.fields)
+        return f"struct<{inner}>"
+    if isinstance(dt, T.MapType):
+        return f"map<{spark_tag(dt.keyType)},{spark_tag(dt.valueType)}>"
+    return {
+        "ByteType": "int8",
+        "ShortType": "int16",
+        "IntegerType": "int32",
+        "LongType": "int64",
+        "FloatType": "float",
+        "DoubleType": "double",
+        "BooleanType": "bool",
+    }.get(type(dt).__name__, str(dt))
+
+
+def type_drift(sdf, arrow_schema):
+    """Per-column type mismatches between Spark schema & DuckDB arrow."""
+    stags = {f.name: spark_tag(f.dataType) for f in sdf.schema.fields}
+    otags = {f.name: arrow_tag(f.type) for f in arrow_schema}
+    return [
+        f"{c}: spark={stags[c]} oracle={otags[c]}"
+        for c in stags
+        if c in otags and stags[c] != otags[c]
+    ]
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
@@ -86,9 +155,11 @@ def main() -> int:
             n_rows_only += 1
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            otbl = con.execute(oracles[name]).arrow()
+            ocols = otbl.schema.names
+            orows = list(zip(*[col.to_pylist() for col in otbl.columns])) if ocols else []
+            if not orows and otbl.num_rows:
+                orows = [()] * otbl.num_rows
         except Exception as ex:
             print(f"FAIL {name}: duckdb error: {ex}")
             n_fail += 1
@@ -98,6 +169,10 @@ def main() -> int:
             problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
         if sorted(scols) != sorted(ocols):
             problems.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
+        else:
+            drift = type_drift(sdf, otbl.schema)
+            if drift:
+                problems.append("type drift: " + "; ".join(drift))
         if not problems:
             sc, oc = canon(srows, scols), canon(orows, ocols)
             diffs = [
