@@ -92,8 +92,12 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.expr(f"s div {STRIDE}").alias("chunk_idx"),
-            F.col("s").alias("start_tok"),
-            F.least(F.lit(CHUNK), F.col("n") - F.col("s")).alias("chunk_tokens"),
+            # bigint: the oracle's generate_series yields BIGINT and
+            # the driver hash is type-sensitive.
+            F.col("s").cast("bigint").alias("start_tok"),
+            F.least(F.lit(CHUNK), F.col("n") - F.col("s"))
+            .cast("bigint")
+            .alias("chunk_tokens"),
             F.concat_ws(" ", F.expr(f"slice(t, s + 1, {CHUNK})")).alias("chunk_text"),
         )
     )
@@ -184,10 +188,11 @@ SEQ_BUDGET = 512  # tokens per packed training sequence
     ),
     runs AS (
         SELECT doc_id, source, n_tokens,
-               COALESCE(SUM(n_tokens) OVER (
+               -- CAST: DuckDB widens windowed SUM to DECIMAL(38,0)
+               CAST(COALESCE(SUM(n_tokens) OVER (
                    PARTITION BY source ORDER BY doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-               ), 0) AS tok_offset
+               ), 0) AS BIGINT) AS tok_offset
         FROM toks
     )
     SELECT doc_id, source, n_tokens, tok_offset,
@@ -213,7 +218,9 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     toks = table(spark, sf_dir, "documents").select(
-        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
     )
     runs = toks.withColumn(
         "tok_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))

@@ -76,12 +76,12 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return raw.select(
         "doc_id",
-        F.size(F.regexp_extract_all("raw_text", F.lit(EMAIL_RE), F.lit(0))).alias(
-            "n_emails"
-        ),
-        F.size(F.regexp_extract_all("raw_text", F.lit(URL_RE), F.lit(0))).alias(
-            "n_urls"
-        ),
+        F.size(F.regexp_extract_all("raw_text", F.lit(EMAIL_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("raw_text", F.lit(URL_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_urls"),
         clean.alias("clean_text"),
     )
 
@@ -111,7 +111,7 @@ def stopword_stripped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = F.filter("t", lambda x: ~F.array_contains(stop_arr, x))
     return toks.select(
         "doc_id",
-        F.size("t").alias("n_tokens"),
-        F.size(kept).alias("n_kept"),
+        F.size("t").cast("bigint").alias("n_tokens"),
+        F.size(kept).cast("bigint").alias("n_kept"),
         F.array_join(kept, " ").alias("clean_text"),
     )

@@ -69,7 +69,7 @@ _QLONG_SQL = """
 _ASSIGN1_SQL = f"""
     dist1 AS (
         SELECT v.vec_id, c.vec_id AS cid,
-               SUM((v.qd - c.qd) * (v.qd - c.qd)) AS dist_sq
+               CAST(SUM((v.qd - c.qd) * (v.qd - c.qd)) AS BIGINT) AS dist_sq
         FROM qlong v
         JOIN qlong c ON c.d = v.d AND c.vec_id < {K}
         GROUP BY v.vec_id, c.vec_id
@@ -96,8 +96,10 @@ _MSTEP_SQL = """
 
 _ASSIGN2_SQL = """
     dist2 AS (
+        -- CAST: DuckDB widens SUM(BIGINT) to DECIMAL(38,0); Spark
+        -- keeps BIGINT, and the driver hash is type-sensitive.
         SELECT v.vec_id, m.cid,
-               SUM((v.qd - m.md) * (v.qd - m.md)) AS dist_sq
+               CAST(SUM((v.qd - m.md) * (v.qd - m.md)) AS BIGINT) AS dist_sq
         FROM qlong v
         JOIN means m ON m.d = v.d
         GROUP BY v.vec_id, m.cid
@@ -273,7 +275,9 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     longf = (
         _quantized(spark, sf_dir)
         .select(F.posexplode("q").alias("d0", "qd"))
-        .select((F.col("d0") + 1).alias("d"), "qd")
+        # bigint d: the oracle's generate_series dimension index is
+        # BIGINT and the driver hash is type-sensitive.
+        .select((F.col("d0") + 1).cast("bigint").alias("d"), "qd")
     )
     sums = longf.groupBy("d").agg(
         F.count(F.lit(1)).alias("n"),

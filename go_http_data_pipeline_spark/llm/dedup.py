@@ -372,8 +372,10 @@ _SIMHASH_SQL = """
         GROUP BY doc_id, b.b, b.pw
     ),
     simhashes AS (
+        -- CAST: DuckDB widens SUM(BIGINT) to DECIMAL(38,0); Spark
+        -- keeps BIGINT, and the driver hash is type-sensitive.
         SELECT doc_id,
-               SUM(CASE WHEN vote > 0 THEN pw ELSE 0 END) AS simhash
+               CAST(SUM(CASE WHEN vote > 0 THEN pw ELSE 0 END) AS BIGINT) AS simhash
         FROM bit_votes
         GROUP BY doc_id
     )
@@ -432,7 +434,8 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN halves b ON a.half = b.half AND a.hv = b.hv
                      AND a.doc_id < b.doc_id
     )
-    SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b)) AS hamming
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
     FROM cand
     WHERE bit_count(xor(sh_a, sh_b)) <= 1
     """,
@@ -510,7 +513,8 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN bands b ON a.band = b.band AND a.bv = b.bv
                     AND a.doc_id < b.doc_id
     )
-    SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b)) AS hamming
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
     FROM cand
     WHERE bit_count(xor(sh_a, sh_b)) <= 3
     """,

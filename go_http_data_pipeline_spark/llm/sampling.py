@@ -76,7 +76,7 @@ def stratified_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("lang").orderBy("hkey", "doc_id")
     return (
-        pre.withColumn("rk", F.row_number().over(w))
+        pre.withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rk") <= QUOTA)
         .select("lang", "doc_id", "rk", "n_stratum")
     )

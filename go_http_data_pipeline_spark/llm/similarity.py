@@ -132,7 +132,7 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores = cosine_scores(spark, sf_dir)
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
-        scores.withColumn("rank", F.row_number().over(w))
+        scores.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= 5)
         .select("qid", F.col("vec_id").alias("neighbor_id"), "cosine", "rank")
     )
@@ -280,7 +280,7 @@ def cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("vec_id") != F.col("qid"))
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
-        scores.withColumn("rank", F.row_number().over(w))
+        scores.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= 5)
         .select("qid", F.col("vec_id").alias("neighbor_id"), "cosine", "rank")
     )
@@ -349,8 +349,10 @@ def _ann_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BUCKETS_SQL = f"""
     buckets AS (
+        -- CAST: DuckDB widens SUM(BIGINT) to DECIMAL(38,0); Spark
+        -- keeps BIGINT, and the driver hash is type-sensitive.
         SELECT vec_id,
-               SUM(CASE WHEN proj >= 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS bucket
+               CAST(SUM(CASE WHEN proj >= 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
         FROM (
             SELECT e.vec_id, pl.p,
                    SUM(CAST(FLOOR(CAST(e.embedding[d.d + 1] AS DOUBLE) * 1e7) AS BIGINT)

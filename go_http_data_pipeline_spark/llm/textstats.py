@@ -53,7 +53,7 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop_arr = ", ".join(f"'{w}'" for w in STOPWORDS)
     return docs.select(
         "doc_id",
-        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
         "n_chars",
         (
             F.length(F.regexp_replace("text", " ", "")).cast("double")
@@ -93,8 +93,8 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.expr(
             "size(filter(split(text, '[^a-zA-Z0-9]+'), x -> length(x) > 0))"
-        ).alias("n_word_tokens"),
-        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+        ).cast("bigint").alias("n_word_tokens"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_ws_tokens"),
         F.ceil(F.length("text") / 4.0).cast("bigint").alias("approx_bpe_tokens"),
     )
 
@@ -387,7 +387,7 @@ def bigram_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("lang").orderBy(F.desc("n_occurrences"), "bigram")
     return (
-        counts.withColumn("rk", F.row_number().over(w))
+        counts.withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rk") <= TOP_BIGRAMS)
         .select("lang", "bigram", "n_occurrences", "rk")
     )
@@ -443,7 +443,7 @@ def doc_keywords_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         tf.join(df, "term")
         .select("doc_id", "term", "tf", "df", score.alias("score"))
-        .withColumn("rk", F.row_number().over(w))
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rk") <= TOP_KEYWORDS)
         .select("doc_id", "term", "tf", "df", "score", "rk")
     )

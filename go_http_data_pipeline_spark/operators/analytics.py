@@ -120,7 +120,7 @@ def market_share_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
         .select(
-            F.year("o_orderdate").alias("o_year"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
             _rev_col().cast("decimal(18,4)").alias("volume"),
             "supp_nation",
         )
@@ -196,7 +196,7 @@ def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .select(
-            F.year("l_shipdate").alias("ship_year"),
+            F.year("l_shipdate").cast("bigint").alias("ship_year"),
             vol.alias("volume"),
             F.col("p_type"),
         )

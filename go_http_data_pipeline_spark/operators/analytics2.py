@@ -147,7 +147,7 @@ def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
         .filter(pair)
         .groupBy(
-            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+            "supp_nation", "cust_nation", F.year("l_shipdate").cast("bigint").alias("l_year")
         )
         .agg(dsum(_rev_col()).alias("revenue"))
     )
@@ -181,7 +181,7 @@ def nation_profit_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(
-            F.col("n_name").alias("nation"), F.year("l_shipdate").alias("l_year")
+            F.col("n_name").alias("nation"), F.year("l_shipdate").cast("bigint").alias("l_year")
         )
         .agg(dsum(profit).alias("profit"))
     )

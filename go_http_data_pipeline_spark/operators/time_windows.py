@@ -164,8 +164,10 @@ def daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     ids AS (
         SELECT user_id, ts, value,
-               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                      ROWS UNBOUNDED PRECEDING) AS session_id
+               -- DuckDB widens SUM(int) to DECIMAL(38,0); Spark keeps
+               -- BIGINT — cast so the hash compare sees one type.
+               CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         FROM gaps
     )
     SELECT user_id, session_id,

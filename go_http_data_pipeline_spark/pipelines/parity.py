@@ -272,7 +272,7 @@ def employees_json(spark: SparkSession, sf_dir: str) -> DataFrame:
            md5(c_name) AS token,
            'server_' || CAST(CAST(('0x' || substr(md5(c_name), 1, 8)) AS BIGINT) % 2 + 1 AS VARCHAR)
                AS server_id,
-           ['server_id', 'token'] AS response_keys
+           'server_id,token' AS response_keys
     FROM customer
     """,
 )
@@ -302,7 +302,11 @@ def login_response_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         "username",
         F.element_at("response", "token").alias("token"),
         F.element_at("response", "server_id").alias("server_id"),
-        F.array_sort(F.map_keys("response")).alias("response_keys"),
+        # Joined to one scalar: the driver's canonicalizer cannot hash
+        # list-valued cells, and the key-set contract is the same.
+        F.array_join(F.array_sort(F.map_keys("response")), ",").alias(
+            "response_keys"
+        ),
     )
 
 

@@ -107,10 +107,46 @@ _DRIVER_GREEN_R1 = frozenset(
 )
 
 
+# Queries with a green driver row in CORRECTNESS_r02.json. Same
+# leverage argument as _DRIVER_GREEN_R1: the driver caps at ~50 rows,
+# so the 34 never-checked queries (llm/*, media_*) plus the 6 r2 reds
+# fixed this round (≈40 names) must occupy the front of the window.
+# Ordering is front < r2-green < r1-green, so the ~10 spare slots
+# naturally re-verify the oldest-green r2 queries (ADVICE: rotate
+# stale green rows).
+_DRIVER_GREEN_R2 = frozenset(
+    {
+        "ship_priority_classes", "supplier_count_by_part",
+        "lone_late_supplier", "sql_api_revenue_by_year",
+        "sql_api_segment_nations", "skew_salted_user_revenue",
+        "rank_events_per_user", "running_total_per_user", "lag_lead_gaps",
+        "top3_customers_per_nation", "moving_avg_value",
+        "nation_share_of_region", "acctbal_quartiles", "price_band_density",
+        "union_all_parties", "union_distinct_nations", "intersect_nations",
+        "except_nations", "unpivot_part_measures",
+        "embedding_value_histogram", "except_all_priorities",
+        "intersect_all_priorities", "tumbling_window_counts",
+        "sliding_window_volume", "session_window_stats",
+        "daily_active_users", "access_log_lines", "client_ip_extraction",
+        "bearer_token_strip", "json_roundtrip", "generated_users",
+        "udaf_user_stats", "udtf_parse_access_logs", "salary_etl_merge",
+        "employee_upsert", "login_register_if_absent", "employees_json",
+        "employee_salary_history_scd2", "streaming_dedup_exact",
+        "streaming_enrich_nation_activity", "streaming_minhash_signatures",
+        "http_ingest_scan", "jdbc_roundtrip_scan", "dedup_exact",
+    }
+)
+
+
 def _ordered(d: dict) -> dict:
-    front = {k: v for k, v in d.items() if k not in _DRIVER_GREEN_R1}
+    front = {
+        k: v
+        for k, v in d.items()
+        if k not in _DRIVER_GREEN_R1 and k not in _DRIVER_GREEN_R2
+    }
+    mid = {k: v for k, v in d.items() if k in _DRIVER_GREEN_R2}
     back = {k: v for k, v in d.items() if k in _DRIVER_GREEN_R1}
-    return {**front, **back}
+    return {**front, **mid, **back}
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -61,21 +61,24 @@ def _as_stream_dir(parquet_file: str) -> str:
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``readStream`` over the events parquet. ``ts`` arrives as
-    TIMESTAMP(NANOS); read as long (legacy conf) and truncate to
-    micros with integer division — same convention as the batch
-    ``catalog._events``."""
+    """``readStream`` over the events parquet. The fixture's ``ts``
+    physical unit varies by generator version (TIMESTAMP(NANOS) vs
+    TIMESTAMP(MICROS)); the stream schema reads the raw int64, so the
+    unit must be probed the same way the batch ``catalog._events``
+    does — with ``nanosAsLong`` set, a NANOS column batch-reads as
+    bigint (divide to micros) while a MICROS column batch-reads as
+    timestamp (already micros, no division)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    raw = (
-        spark.readStream.schema(EVENTS_DDL)
-        .parquet(_as_stream_dir(f"{sf_dir}/events.parquet"))
-    )
+    path = f"{sf_dir}/events.parquet"
+    ts_is_nanos = dict(spark.read.parquet(path).dtypes)["ts"] == "bigint"
+    raw = spark.readStream.schema(EVENTS_DDL).parquet(_as_stream_dir(path))
     # Watermarks require tz-typed TIMESTAMP (NTZ rejected), so the
     # stream keeps instants; with session tz pinned UTC above, event-
     # time bucketing matches the batch/NTZ path, and outputs cast
     # window bounds back to NTZ for tz-independent results.
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    micros = F.expr("ts div 1000") if ts_is_nanos else F.col("ts")
+    return raw.withColumn("ts", F.timestamp_micros(micros))
 
 
 def rate_user_stream(spark: SparkSession, rows_per_second: int = 1) -> DataFrame:

@@ -53,7 +53,12 @@ def _update_profile(
         # makes this custom stateful operator ORACLE-checkable, not
         # just rows-only.
         total_scaled += sum(_quantize_1e4(v) for v in pdf["value"])
-        batch_max = int(pdf["ts"].astype("int64").max()) // 1000
+        # Normalize the pandas datetime unit explicitly: Arrow may hand
+        # the column over as datetime64[us] or [ns] depending on the
+        # transfer path, and a bare astype(int64) would silently yield
+        # whichever unit arrived. Forcing [us] first makes the state's
+        # last_ts_us truly microseconds in both cases.
+        batch_max = int(pdf["ts"].astype("datetime64[us]").astype("int64").max())
         last_us = max(last_us, batch_max)
     state.update((n, total_scaled, last_us))
     yield pd.DataFrame(
