@@ -304,15 +304,34 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Hot-shingle document-frequency cap for the exact-Jaccard inverted
+# index: a shingle present in more than DF_CAP documents (corpus-wide
+# boilerplate — headers, license blurbs) is dropped BEFORE the
+# self-join, and Jaccard is defined over the capped shingle universe
+# on both sides of the comparison (counts and intersections). Without
+# it one hot shingle makes the join quadratic in the corpus; with it
+# the per-shingle fan-out is bounded by DF_CAP² pairs. Fixture max df
+# is single-digit, so the cap is invisible at test scales — it exists
+# for the 100 TB shape of the data.
+DF_CAP = 64
+
+
 @query(
     "ngram_jaccard_pairs",
     oracle=f"""
     WITH {_SHINGLES_SQL},
-    cnt AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    keep AS (
+        SELECT shingle FROM shingles
+        GROUP BY shingle HAVING COUNT(*) <= {DF_CAP}
+    ),
+    capped AS (
+        SELECT s.doc_id, s.shingle FROM shingles s JOIN keep USING (shingle)
+    ),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY doc_id),
     common AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-        FROM shingles a
-        JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        FROM capped a
+        JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     )
     SELECT cm.doc_a, cm.doc_b, cm.n_common,
@@ -326,9 +345,22 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard similarity (no LSH): inverted-index join
     on shared shingles — the ground truth ``minhash_lsh_pairs``
-    approximates. Quadratic in the worst case; here the shingle join
-    only pairs documents that actually share a 3-gram."""
+    approximates. Jaccard is computed over the DF-capped shingle
+    universe (see ``DF_CAP``): dropping corpus-wide boilerplate
+    shingles bounds the self-join fan-out at DF_CAP² pairs per
+    shingle, which is what keeps the exact path alive at 100 TB.
+
+    The df filter is one extra groupBy on the shingle key the cache
+    is already partitioned by — exchange-free, as is the semi-join
+    back onto the shingle table."""
     sh = shingles_cached(spark, sf_dir)
+    keep = (
+        sh.groupBy("sh_h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= DF_CAP)
+        .select("sh_h")
+    )
+    sh = sh.join(keep, "sh_h", "left_semi")
     cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (

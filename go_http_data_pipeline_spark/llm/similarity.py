@@ -138,31 +138,11 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Per-(session, sf_dir) memo of the broadcast corpus matrix: bench
-# and notebook sessions call the vectorized operators repeatedly, and
-# the driver-side collect is the expensive part at local scale. The
-# matrix is float64 holding exactly-representable integers
-# (floor(x*1e7) <= 6.4e8 per element; every dot-product partial sum
-# < 2^53), so float64 matmul — BLAS-rate, ~4x faster than numpy's
-# non-BLAS int64 path — is still EXACT integer arithmetic.
-_CORPUS_CACHE: dict = {}
-
-
-def _corpus_broadcast(spark: SparkSession, sf_dir: str):
-    """Broadcast (vec_ids, quantized float64 matrix, norms), memoized."""
-    import numpy as np
-
-    key = (spark.sparkContext.applicationId, sf_dir)
-    bc = _CORPUS_CACHE.get(key)
-    if bc is not None:
-        return bc
-    rows = table(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
-    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
-    mat = np.floor(np.array([r.embedding for r in rows], dtype=np.float64) * 1e7)
-    norm = np.sqrt((mat * mat).sum(axis=1))
-    bc = spark.sparkContext.broadcast((ids, mat, norm))
-    _CORPUS_CACHE[key] = bc
-    return bc
+# Blocked all-pairs: number of corpus blocks. Each cogroup task holds
+# exactly two blocks in memory, so executor memory is bounded by
+# 2·(corpus/N_BLOCKS) regardless of corpus size; raise N_BLOCKS as the
+# corpus grows (tasks = B·(B+1)/2 block pairs).
+N_BLOCKS = 8
 
 
 @query(
@@ -184,50 +164,82 @@ def _corpus_broadcast(spark: SparkSession, sf_dir: str):
     """,
 )
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cosine >= 0.4).
+    """Embedding-cosine near-duplicate pairs (cosine >= 0.4), exact,
+    as a BLOCKED all-pairs cogroup — no driver-side corpus collect.
 
-    Physical strategy: the corpus matrix is broadcast once per executor
-    (memoized per session — see ``_corpus_broadcast``) and each Arrow
-    batch of rows does ONE exact float64 matmul against it (BLAS),
-    emitting only pairs with ``vec_a < vec_b`` above the threshold —
-    instead of a nested-loop theta-join evaluating a 64-element SQL
-    lambda fold per pair. Arithmetic is the shared ``floor(x*1e7)``
+    Physical strategy: vectors hash into ``N_BLOCKS`` blocks by
+    vec_id; every unordered block pair (i, j), i <= j, becomes one
+    cogroup key. The left stream carries block i's rows to the keys
+    (i, i..B-1), the right carries block j's rows to (0..j, j) — each
+    task then sees exactly two blocks and scores them with ONE exact
+    float64 matmul (BLAS). Arithmetic is the shared ``floor(x*1e7)``
     quantization held in float64: every product and partial sum is an
     integer < 2^53, so the matmul is exact and the all-pairs DuckDB
     oracle matches bit-for-bit.
 
-    Scale: rows stream partition-parallel with zero shuffle; the
-    broadcast side is the O(N) corpus, so this is the dense-block
-    half of a block all-pairs scheme — beyond broadcast size,
-    ``ann_lsh_top1``'s bucket equi-join is the 100 TB path."""
+    Scale: executor memory is bounded by two blocks (pick N_BLOCKS ~
+    corpus_bytes / target_block_bytes); shuffle volume is B·N rows —
+    linear in the corpus for a fixed block size budget, with no
+    single-node materialization anywhere. Dial N_BLOCKS up and this
+    is the standard distributed exact all-pairs scheme; beyond exact
+    needs, ``ann_lsh_top1``'s bucket equi-join is the sub-quadratic
+    100 TB path."""
+    import numpy as np
     import pandas as pd
-    from collections.abc import Iterator
 
-    bc = _corpus_broadcast(spark, sf_dir)
+    B = N_BLOCKS
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    left = emb.select(
+        "vec_id", "embedding", (F.col("vec_id") % B).alias("bi")
+    ).select(
+        "vec_id",
+        "embedding",
+        "bi",
+        F.explode(F.expr(f"sequence(bi, {B - 1})")).alias("bj"),
+    )
+    right = emb.select(
+        "vec_id", "embedding", (F.col("vec_id") % B).alias("bj")
+    ).select(
+        "vec_id",
+        "embedding",
+        F.explode(F.expr("sequence(0, bj)")).alias("bi"),
+        "bj",
+    )
 
-    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
+    def _quant(pdf: pd.DataFrame):
+        ids = pdf["vec_id"].values.astype(np.int64)
+        mat = np.floor(
+            np.stack(pdf["embedding"].map(np.asarray)).astype(np.float64) * 1e7
+        )
+        return ids, mat, np.sqrt((mat * mat).sum(axis=1))
 
-        ids, cm, cn = bc.value
-        for pdf in batches:
-            a_ids = pdf["vec_id"].values.astype(np.int64)
-            a_mat = np.floor(
-                np.stack(pdf["embedding"].map(np.asarray)).astype(np.float64) * 1e7
+    def score_blocks(key, l: pd.DataFrame, r: pd.DataFrame):
+        if not len(l) or not len(r):
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
             )
-            a_norm = np.sqrt((a_mat * a_mat).sum(axis=1))
-            cos = (a_mat @ cm.T) / (a_norm[:, None] * cn[None, :])
-            keep = (a_ids[:, None] < ids[None, :]) & (cos >= 0.4)
-            ai, bi = np.nonzero(keep)
-            yield pd.DataFrame(
-                {"vec_a": a_ids[ai], "vec_b": ids[bi], "cosine": cos[ai, bi]}
-            )
+        a_ids, a_mat, a_nrm = _quant(l)
+        b_ids, b_mat, b_nrm = _quant(r)
+        cos = (a_mat @ b_mat.T) / (a_nrm[:, None] * b_nrm[None, :])
+        # Same-block key: both orders present — keep a < b. Cross-block
+        # key: each unordered pair appears once — emit (min, max).
+        keep = (a_ids[:, None] != b_ids[None, :]) & (cos >= 0.4)
+        if key[0] == key[1]:
+            keep &= a_ids[:, None] < b_ids[None, :]
+        ai, bi = np.nonzero(keep)
+        va, vb = a_ids[ai], b_ids[bi]
+        return pd.DataFrame(
+            {
+                "vec_a": np.minimum(va, vb),
+                "vec_b": np.maximum(va, vb),
+                "cosine": cos[ai, bi],
+            }
+        )
 
-    n_parts = spark.sparkContext.defaultParallelism
     return (
-        table(spark, sf_dir, "embeddings")
-        .select("vec_id", "embedding")
-        .repartition(n_parts)  # small single-file scan → spread the matmuls
-        .mapInPandas(score, schema="vec_a long, vec_b long, cosine double")
+        left.groupby("bi", "bj")
+        .cogroup(right.groupby("bi", "bj"))
+        .applyInPandas(score_blocks, schema="vec_a long, vec_b long, cosine double")
     )
 
 
@@ -252,7 +264,8 @@ def cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     qrows = emb.filter(F.col("vec_id") < N_QUERIES).collect()  # 10 tiny rows
     q_ids = np.array([r.vec_id for r in qrows], dtype=np.int64)
-    # float64 holding exact integers — see _corpus_broadcast.
+    # float64 holding exact integers (floor(x*1e7) <= 6.4e8/element;
+    # every dot-product partial sum < 2^53, so BLAS matmul is exact).
     q_mat = np.floor(np.array([r.embedding for r in qrows], dtype=np.float64) * 1e7)
     q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
     bc = spark.sparkContext.broadcast((q_ids, q_mat, q_norm))

@@ -246,3 +246,34 @@ def test_kmeans_estep_is_pure_projection(spark, sf_dir):
     # the cached table's own layout
     plan = plan_str(assign)
     assert "Join" not in plan
+
+
+def test_embedding_neardup_is_blocked_cogroup_no_collect(spark, sf_dir):
+    from go_http_data_pipeline_spark.llm import similarity
+    from go_http_data_pipeline_spark.llm.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    df = embedding_neardup_pairs(spark, sf_dir)
+    plan = plan_str(df)
+    # The exact all-pairs verify runs as a blocked cogroup: every task
+    # holds two corpus blocks, nothing is collected to the driver.
+    assert "FlatMapCoGroupsInPandas" in plan
+    # No driver-side corpus materialization helper exists anymore.
+    assert not hasattr(similarity, "_corpus_broadcast")
+
+
+def test_ngram_jaccard_df_cap_before_self_join(spark, sf_dir):
+    from go_http_data_pipeline_spark.llm.dedup import (
+        DF_CAP,
+        ngram_jaccard_pairs,
+    )
+
+    df = ngram_jaccard_pairs(spark, sf_dir)
+    plan = plan_str(df)
+    strategies = join_strategies(df)
+    # The hot-shingle cap is a semi-join of the shingle table against
+    # the df<=cap keys — it must appear below the pair-building join.
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in strategies
+    assert DF_CAP >= 1
