@@ -62,6 +62,30 @@ HEADLINE = (
 )
 
 
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+
+
+def _prev_bench() -> dict:
+    """Latest BENCH_r*.json next to this file (the prior round's
+    driver record) — the reference point for per-query deltas."""
+    import glob
+
+    paths = sorted(glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")))
+    for p in reversed(paths):
+        try:
+            with open(p) as f:
+                data = json.load(f)
+            # The driver wraps our JSON line under "parsed".
+            if isinstance(data.get("parsed"), dict):
+                data = data["parsed"]
+            if isinstance(data.get("queries"), dict):
+                data["_path"] = os.path.basename(p)
+                return data
+        except (OSError, ValueError):
+            continue
+    return {}
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -81,7 +105,12 @@ def main() -> int:
     # measure the engine, not first-touch JIT.
     qs["q1_pricing_summary"](spark, sf_dir).count()
 
+    prev = _prev_bench()
+    prev_times: dict = prev.get("queries", {})
+
     times: dict[str, float] = {}
+    medians: dict[str, float] = {}
+    deltas: dict[str, float] = {}
     jvm_gc = spark._jvm.java.lang.System.gc
     for name in HEADLINE:
         fn = qs.get(name)
@@ -93,33 +122,48 @@ def main() -> int:
         # in a shared local JVM that debt showed up as intermittent
         # 10-40s stalls attributed to innocent queries.
         #
-        # min-of-2: this box shows host CPU steal (noisy-neighbor
-        # spikes of 3-10x on CPU-parallel stages); the min of two
-        # timed runs estimates the engine's actual cost, the mean
-        # would mostly measure the neighbors.
-        best, n = None, 0
-        for _ in range(2):
+        # min-of-REPEATS: this box shows host CPU steal (noisy-
+        # neighbor spikes of 3-10x on CPU-parallel stages); the min of
+        # the timed runs estimates the engine's actual cost, the mean
+        # would mostly measure the neighbors. The median is recorded
+        # alongside so min-vs-median spread quantifies that noise —
+        # a large spread says "environment", a tight spread with a
+        # regressed min says "plan".
+        samples, n = [], 0
+        for _ in range(max(1, REPEATS)):
             jvm_gc()
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count()
-            elapsed = time.perf_counter() - t0
-            best = elapsed if best is None else min(best, elapsed)
-        times[name] = round(best, 3)
-        print(f"# {name}: {n} rows in {times[name]}s", file=sys.stderr)
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        times[name] = round(samples[0], 3)
+        medians[name] = round(samples[len(samples) // 2], 3)
+        note = ""
+        if name in prev_times and prev_times[name]:
+            deltas[name] = round(times[name] / prev_times[name], 3)
+            note = f"  [{deltas[name]}x vs prev {prev_times[name]}s]"
+        print(
+            f"# {name}: {n} rows in {times[name]}s"
+            f" (median {medians[name]}s){note}",
+            file=sys.stderr,
+        )
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_suite_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "repeats": max(1, REPEATS),
+        "queries_median": medians,
+        "prev_deltas": deltas,
+    }
+    if prev:
+        out["prev_total"] = prev.get("value")
+        out["prev_file"] = prev.get("_path")
+    print(json.dumps(out))
     return 0
 
 

@@ -188,8 +188,15 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     B = N_BLOCKS
-    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    left = emb.select(
+    # Two fresh scans, not one shared plan: a self-cogroup whose sides
+    # alias the same subtree shares attribute IDs, and Catalyst's
+    # dedup/column-pruning interaction can strip the data columns from
+    # one side when the consumer needs no output columns (count()).
+    # Independent reads give each side its own attributes; the scan is
+    # the cheapest node in this plan either way.
+    emb_l = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb_r = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    left = emb_l.select(
         "vec_id", "embedding", (F.col("vec_id") % B).alias("bi")
     ).select(
         "vec_id",
@@ -197,7 +204,7 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bi",
         F.explode(F.expr(f"sequence(bi, {B - 1})")).alias("bj"),
     )
-    right = emb.select(
+    right = emb_r.select(
         "vec_id", "embedding", (F.col("vec_id") % B).alias("bj")
     ).select(
         "vec_id",
