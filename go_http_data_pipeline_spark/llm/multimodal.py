@@ -111,11 +111,35 @@ def decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield out
 
 
-@query("media_features")
+@query(
+    "media_features",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                    WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                    ELSE 'video/mp4' END AS media_type,
+               list_transform(generate_series(1, octet_length(encode(text))),
+                              i -> CAST(('0x' || substr(hex(encode(text)), i*2-1, 2)) AS BIGINT)) AS bs
+        FROM documents
+    )
+    SELECT doc_id, media_type,
+           CAST(len(bs) AS BIGINT) AS n_samples,
+           CAST(list_sum(bs) AS DOUBLE) / len(bs) AS mean_byte,
+           CAST(list_min(bs) AS BIGINT) AS min_byte,
+           CAST(list_max(bs) AS BIGINT) AS max_byte
+    FROM b
+    """,
+)
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over binary media via ``mapInPandas`` (the
-    decode step is a deterministic stub — see ``_fake_decode``). No
-    oracle (Python kernel); rows-only check + pytest pins values."""
+    decode step is a deterministic stub — see ``_fake_decode``).
+
+    Oracle-checked: the stub 'decode' is the identity over the
+    payload bytes, so the per-item features are exact byte statistics
+    (integer sums < 2^53; one IEEE division for the mean) that DuckDB
+    reproduces from hex-split bytes — the Python kernel path itself
+    is what's under test, not just its row count."""
     media = media_table(spark, sf_dir)
     return media.mapInPandas(
         decode_features,

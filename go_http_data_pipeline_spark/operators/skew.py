@@ -35,8 +35,16 @@ def salted_join(
     """Equi-join ``fact ⋈ dim ON key`` with the hot-key rows of
     ``fact`` spread across ``n_salts`` shuffle partitions. ``dim`` is
     replicated xN (fine for dimension-sized tables)."""
+    # Content-hash salt (all fact columns), not
+    # monotonically_increasing_id(): the id changes across task
+    # retries and re-partitionings, so a retried task could re-salt
+    # rows differently than the shuffle files already written — the
+    # content hash is a pure row function, stable under any replay.
+    # Exact-duplicate rows share a salt; their spread comes from the
+    # key hash itself, and dedup-before-join is the fix if a single
+    # duplicated row is genuinely hot.
     salted_fact = fact.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.col(key), F.monotonically_increasing_id()), F.lit(n_salts))
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(n_salts))
     )
     salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_salt")
     salted_dim = dim.select("*", salts).withColumn("_salt", F.col("_salt").cast("bigint"))

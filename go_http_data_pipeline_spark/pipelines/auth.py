@@ -93,10 +93,32 @@ def jwt_verify(token: Column, now: Column, secret: str) -> Column:
     return _verify(token, now)
 
 
+class BcryptUnavailable(RuntimeError):
+    """Raised at PLAN time when the ``bcrypt`` package is absent —
+    loudly, so a pipeline that thinks it is bcrypt-hashing passwords
+    can never silently run without it. Deployments install ``bcrypt``
+    (pure C, no service dependency); tests assert this exact error
+    when the lib is missing instead of skipping."""
+
+
+def _require_bcrypt():
+    try:
+        import bcrypt  # gated: not in the base container
+    except ImportError as e:
+        raise BcryptUnavailable(
+            "the 'bcrypt' package is not installed in this environment; "
+            "bcrypt_hash/bcrypt_verify (SURVEY F1/F2, Server/main.go:114,127) "
+            "require it — pip install bcrypt. The oracle-checked login "
+            "pipeline uses the deterministic sha2 stand-in instead "
+            "(pipelines/parity.py)."
+        ) from e
+    return bcrypt
+
+
 def bcrypt_hash(password: Column) -> Column:
-    """F1: salted bcrypt hash (non-deterministic by design). Raises at
-    plan time if the ``bcrypt`` package is absent."""
-    import bcrypt  # gated: not in the base container
+    """F1: salted bcrypt hash (non-deterministic by design). Raises
+    :class:`BcryptUnavailable` at plan time if the lib is absent."""
+    bcrypt = _require_bcrypt()
 
     @F.pandas_udf("string")
     def _hash(pws: pd.Series) -> pd.Series:
@@ -108,8 +130,9 @@ def bcrypt_hash(password: Column) -> Column:
 
 
 def bcrypt_verify(password: Column, hashed: Column) -> Column:
-    """F2: constant-time bcrypt check."""
-    import bcrypt  # gated: not in the base container
+    """F2: constant-time bcrypt check. Raises
+    :class:`BcryptUnavailable` at plan time if the lib is absent."""
+    bcrypt = _require_bcrypt()
 
     @F.pandas_udf("boolean")
     def _verify(pws: pd.Series, hs: pd.Series) -> pd.Series:

@@ -67,16 +67,32 @@ def test_jwt_columns_on_spark(spark):
     assert rows == {"alice": ("alice", True), "bob": ("bob", True)}
 
 
-def test_bcrypt_gated(spark):
-    pytest.importorskip("bcrypt")
+def test_bcrypt_gate_is_loud_or_real(spark):
+    """Never a silent skip: with the lib present this is a real
+    bcrypt round-trip through the pandas UDFs; without it, the gate
+    must raise the documented BcryptUnavailable at PLAN time (so a
+    pipeline can't run believing it hashed passwords)."""
     from pyspark.sql import functions as F
 
     from go_http_data_pipeline_spark.pipelines.auth import (
+        BcryptUnavailable,
         bcrypt_hash,
         bcrypt_verify,
     )
 
+    try:
+        import bcrypt  # noqa: F401
+        have_bcrypt = True
+    except ImportError:
+        have_bcrypt = False
+
     df = spark.createDataFrame([("s3cret",)], "pw string")
+    if not have_bcrypt:
+        with pytest.raises(BcryptUnavailable, match="pip install bcrypt"):
+            bcrypt_hash(F.col("pw"))
+        with pytest.raises(BcryptUnavailable, match="pip install bcrypt"):
+            bcrypt_verify(F.col("pw"), F.col("pw"))
+        return
     hashed = df.withColumn("h", bcrypt_hash(F.col("pw")))
     ok = hashed.withColumn("ok", bcrypt_verify(F.col("pw"), F.col("h")))
     assert ok.select("ok").first()[0] is True
