@@ -115,9 +115,13 @@ def run_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, user_profile_stream(ev), "user_profiles", output_mode="update"
     )
     # One update row per (user, micro-batch): keep the final one.
+    # last_ts leaves as NTZ: the state schema keeps the instant, but
+    # results are pure UTC wall times like every fixture timestamp
+    # (session tz pinned UTC), so output can't drift with host tz.
     w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
     return (
         out.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .drop("rn")
+        .withColumn("last_ts", F.col("last_ts").cast("timestamp_ntz"))
     )

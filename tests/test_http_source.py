@@ -127,3 +127,78 @@ def test_stream_incremental_files_exactly_once(spark, tmp_path):
     # Resuming from the checkpoint, the second run must emit exactly
     # the 10 new records — no replays, no gaps.
     assert sorted(run_once()) == sorted(f"u{i}" for i in range(20, 30))
+
+
+class _OneShotJsonServer:
+    """Localhost HTTP test double for the `url` transport: serves one
+    fixed body on every GET (the salary-service / employees-endpoint
+    stand-in, Server/main.go:229-259)."""
+
+    def __init__(self, body: str, content_type: str = "application/json"):
+        import http.server
+        import threading
+
+        payload = body.encode("utf-8")
+
+        class H(http.server.BaseHTTPRequestHandler):
+            def do_GET(self):  # noqa: N802 (stdlib API name)
+                self.send_response(200)
+                self.send_header("Content-Type", content_type)
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
+
+            def log_message(self, *a):  # keep pytest output clean
+                pass
+
+        self._srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+        self._thread = threading.Thread(target=self._srv.serve_forever, daemon=True)
+        self._thread.start()
+        self.url = f"http://127.0.0.1:{self._srv.server_address[1]}/"
+
+    def close(self):
+        self._srv.shutdown()
+        self._srv.server_close()
+
+
+def test_url_transport_json_array(spark):
+    body = json.dumps(
+        [
+            {"name": "a", "age": 1, "salary": 10, "unknown": "x"},
+            {"name": "b", "age": "oops", "salary": 20},
+        ]
+    )
+    srv = _OneShotJsonServer(body)
+    try:
+        register(spark)
+        df = (
+            spark.read.format("httpjson")
+            .schema("name string, age int, salary bigint")
+            .option("url", srv.url)
+            .load()
+        )
+        rows = {tuple(r) for r in df.collect()}
+    finally:
+        srv.close()
+    # Go-decode semantics hold over the network path too: unknown
+    # fields dropped, wrong-typed values null.
+    assert rows == {("a", 1, 10), ("b", None, 20)}
+
+
+def test_url_transport_json_lines(spark):
+    body = "\n".join(
+        [json.dumps({"name": "x", "age": 5, "salary": 50}), "not json", ""]
+    )
+    srv = _OneShotJsonServer(body, content_type="application/x-ndjson")
+    try:
+        register(spark)
+        df = (
+            spark.read.format("httpjson")
+            .schema("name string, age int, salary bigint")
+            .option("url", srv.url)
+            .load()
+        )
+        rows = {tuple(r) for r in df.collect()}
+    finally:
+        srv.close()
+    assert rows == {("x", 5, 50), (None, None, None)}

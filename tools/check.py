@@ -67,7 +67,9 @@ def arrow_tag(t):
     if pa.types.is_decimal(t):
         return f"dec({t.precision},{t.scale})"
     if pa.types.is_timestamp(t):
-        return "ts"
+        # tz presence is part of the tag: an instant-vs-wall drift can
+        # flip the driver's hash even when local values compare equal.
+        return "ts+tz" if t.tz else "ts"
     if pa.types.is_date(t):
         return "date"
     if pa.types.is_large_list(t) or pa.types.is_list(t):
@@ -90,7 +92,9 @@ def spark_tag(dt):
         return "bin"
     if isinstance(dt, T.DecimalType):
         return f"dec({dt.precision},{dt.scale})"
-    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+    if isinstance(dt, T.TimestampType):
+        return "ts+tz"  # Spark TIMESTAMP is an instant (session-tz)
+    if isinstance(dt, T.TimestampNTZType):
         return "ts"
     if isinstance(dt, T.DateType):
         return "date"
@@ -116,11 +120,18 @@ def type_drift(sdf, arrow_schema):
     """Per-column type mismatches between Spark schema & DuckDB arrow."""
     stags = {f.name: spark_tag(f.dataType) for f in sdf.schema.fields}
     otags = {f.name: arrow_tag(f.type) for f in arrow_schema}
-    return [
+    out = [
         f"{c}: spark={stags[c]} oracle={otags[c]}"
         for c in stags
         if c in otags and stags[c] != otags[c]
     ]
+    # Dict-by-name shadows duplicates — drift in a shadowed column
+    # would go unreported, so flag the duplication itself.
+    if len(stags) != len(sdf.schema.fields):
+        out.append("duplicate column names in spark schema")
+    if len(otags) != len(arrow_schema):
+        out.append("duplicate column names in oracle schema")
+    return out
 
 
 def main() -> int:
