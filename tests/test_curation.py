@@ -68,3 +68,67 @@ def test_sequence_packing_offsets_are_contiguous(spark, sf_dir):
         assert r["first_seq"] == r["tok_offset"] // SEQ_BUDGET
         assert r["last_seq"] >= r["first_seq"]
         assert r["n_seqs"] == r["last_seq"] - r["first_seq"] + 1
+
+
+def test_contamination_pairs_are_real_overlaps(spark, sf_dir):
+    from go_http_data_pipeline_spark.llm.decontam import (
+        BENCH_MOD,
+        MIN_SHARED,
+        benchmark_contamination,
+    )
+
+    out = benchmark_contamination(spark, sf_dir)
+    rows = out.collect()
+    assert rows, "fixture corpus should contain benchmark collisions"
+    for r in rows:
+        # corpus docs never appear on the bench side and vice versa
+        assert r["doc_id"] % BENCH_MOD != 0
+        assert r["bench_id"] % BENCH_MOD == 0
+        assert r["n_shared"] >= MIN_SHARED
+        assert 0.0 < r["contamination_ratio"] <= 1.0
+
+
+def test_repetition_scores_bounds_and_duplicate_detection(spark, sf_dir):
+    from go_http_data_pipeline_spark.llm.decontam import repetition_scores
+
+    out = repetition_scores(spark, sf_dir)
+    bad = out.filter(
+        (F.col("dup_token_ratio") < 0)
+        | (F.col("dup_token_ratio") >= 1)
+        | (F.col("top_token_share") <= 0)
+        | (F.col("top_token_share") > 1)
+        | (F.col("n_distinct_tokens") > F.col("n_tokens"))
+    )
+    assert bad.count() == 0
+    # hand-built degenerate doc scores as fully repetitive
+    deg = spark.createDataFrame(
+        [(1, "spam spam spam spam")], "doc_id long, text string"
+    )
+    import go_http_data_pipeline_spark.llm.decontam as dc
+    import go_http_data_pipeline_spark.catalog as cat
+
+    orig = cat.table
+    try:
+        cat.table = lambda s, d, n: deg if n == "documents" else orig(s, d, n)
+        dc_table = dc.table
+        dc.table = cat.table
+        r = repetition_scores(spark, sf_dir).collect()[0]
+    finally:
+        cat.table = orig
+        dc.table = orig
+    assert r["dup_token_ratio"] == 0.75
+    assert r["top_token_share"] == 1.0
+    assert r["dup_bigram_ratio"] == 2.0 / 3.0
+
+
+def test_cross_source_overlap_symmetric_bounds(spark, sf_dir):
+    from go_http_data_pipeline_spark.llm.decontam import cross_source_overlap
+
+    out = cross_source_overlap(spark, sf_dir).collect()
+    assert out
+    seen = set()
+    for r in out:
+        assert r["source_a"] < r["source_b"]  # one row per unordered pair
+        assert (r["source_a"], r["source_b"]) not in seen
+        seen.add((r["source_a"], r["source_b"]))
+        assert r["n_shared_shingles"] > 0
