@@ -277,3 +277,23 @@ def test_ngram_jaccard_df_cap_before_self_join(spark, sf_dir):
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in strategies
     assert DF_CAP >= 1
+
+
+def test_contamination_probe_broadcasts_benchmark(spark, sf_dir):
+    from go_http_data_pipeline_spark.llm.decontam import (
+        benchmark_contamination,
+    )
+
+    df = benchmark_contamination(spark, sf_dir)
+    strategies = join_strategies(df)
+    # The benchmark gram set broadcasts; the corpus side must never
+    # shuffle for the probe (only surviving candidates aggregate).
+    assert "BroadcastHashJoin" in strategies
+    assert "CartesianProduct" not in strategies
+    assert "SortMergeJoin" not in strategies
+
+
+def test_repetition_scores_zero_shuffle(spark, sf_dir):
+    from go_http_data_pipeline_spark.llm.decontam import repetition_scores
+
+    assert exchange_count(repetition_scores(spark, sf_dir)) == 0
