@@ -6,11 +6,12 @@ RFC 7519 machinery and needs no external package. Given an explicit
 ``iat`` the token is fully deterministic, so pytest pins exact
 strings; there is no DuckDB oracle (HMAC isn't SQL-expressible).
 
-bcrypt is inherently salted/non-deterministic, and the lib may be
-absent in this container — ``bcrypt_hash``/``bcrypt_verify`` gate the
-import and raise a clear error if unavailable. The deterministic
-stand-in used by the oracle-checked login pipeline is ``sha2`` (see
-``pipelines/parity.py``).
+bcrypt is inherently salted/non-deterministic. When the C ``bcrypt``
+package is absent, ``bcrypt_hash``/``bcrypt_verify`` fall back to the
+pure-Python implementation in ``bcrypt_pure.py`` (OpenBSD-vector
+verified) — F1/F2 execute for real in every environment. The
+deterministic stand-in used by the oracle-checked login pipeline is
+``sha2`` (see ``pipelines/parity.py``).
 
 All UDFs are Arrow-batched pandas UDFs: the auth chain runs on record
 *batches*, never the reference's per-row round-trips.
@@ -93,31 +94,25 @@ def jwt_verify(token: Column, now: Column, secret: str) -> Column:
     return _verify(token, now)
 
 
-class BcryptUnavailable(RuntimeError):
-    """Raised at PLAN time when the ``bcrypt`` package is absent —
-    loudly, so a pipeline that thinks it is bcrypt-hashing passwords
-    can never silently run without it. Deployments install ``bcrypt``
-    (pure C, no service dependency); tests assert this exact error
-    when the lib is missing instead of skipping."""
-
-
 def _require_bcrypt():
+    """The C ``bcrypt`` package when installed, else the pure-Python
+    implementation in :mod:`.bcrypt_pure` (same hashpw/gensalt/checkpw
+    surface, verified against the OpenBSD regression vectors). The
+    fallback makes F1/F2 real everywhere — at ~1000x the C package's
+    per-hash cost, which is why ``bcrypt_pure.gensalt`` defaults to
+    cost 6; bulk production hashing should install the C package."""
     try:
-        import bcrypt  # gated: not in the base container
-    except ImportError as e:
-        raise BcryptUnavailable(
-            "the 'bcrypt' package is not installed in this environment; "
-            "bcrypt_hash/bcrypt_verify (SURVEY F1/F2, Server/main.go:114,127) "
-            "require it — pip install bcrypt. The oracle-checked login "
-            "pipeline uses the deterministic sha2 stand-in instead "
-            "(pipelines/parity.py)."
-        ) from e
-    return bcrypt
+        import bcrypt  # the C implementation, when present
+
+        return bcrypt
+    except ImportError:
+        from . import bcrypt_pure
+
+        return bcrypt_pure
 
 
 def bcrypt_hash(password: Column) -> Column:
-    """F1: salted bcrypt hash (non-deterministic by design). Raises
-    :class:`BcryptUnavailable` at plan time if the lib is absent."""
+    """F1: salted bcrypt hash (non-deterministic by design)."""
     bcrypt = _require_bcrypt()
 
     @F.pandas_udf("string")
@@ -130,8 +125,7 @@ def bcrypt_hash(password: Column) -> Column:
 
 
 def bcrypt_verify(password: Column, hashed: Column) -> Column:
-    """F2: constant-time bcrypt check. Raises
-    :class:`BcryptUnavailable` at plan time if the lib is absent."""
+    """F2: constant-time bcrypt check."""
     bcrypt = _require_bcrypt()
 
     @F.pandas_udf("boolean")

@@ -368,3 +368,61 @@ def employee_salary_history_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.alias("valid_to"),
         F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
     )
+
+
+@query("bcrypt_login_roundtrip")
+def bcrypt_login_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2 executed for REAL inside the engine (``Server/main.go:
+    114,127``): hash 8 users' passwords with bcrypt at cost 4 using
+    deterministic salts (md5 of the username), then verify — correct
+    and a wrong password — through the same Arrow-batched UDF path
+    production uses. bcrypt output can't be oracle-SQL'd (DuckDB has
+    no EksBlowfish), so the driver records rows-only; the query is
+    self-checking (``verified_ok``/``rejected_bad`` must be true) and
+    the OpenBSD vectors pin the implementation in pytest.
+
+    Cost 4 (the bcrypt minimum) keeps the pure-Python fallback fast;
+    the C package, when installed, runs the identical dataflow."""
+    import hashlib
+
+    from collections.abc import Iterator as _Iter
+
+    from .auth import _require_bcrypt
+    from .bcrypt_pure import _b64_encode
+
+    bcrypt_mod = _require_bcrypt()
+
+    def chain(batches: _Iter[pd.DataFrame]) -> _Iter[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for name in pdf["username"]:
+                pw = f"pw-{name}".encode()
+                salt16 = hashlib.md5(name.encode()).digest()
+                salt = f"$2b$04${_b64_encode(salt16, 22)}".encode()
+                h = bcrypt_mod.hashpw(pw, salt)
+                rows.append(
+                    (
+                        name,
+                        h.decode()[:29],  # prefix+cost+salt (deterministic)
+                        bool(bcrypt_mod.checkpw(pw, h)),
+                        not bcrypt_mod.checkpw(pw + b"!", h),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["username", "salt_prefix", "verified_ok", "rejected_bad"],
+            )
+
+    users = (
+        table(spark, sf_dir, "customer")
+        .select(F.col("c_name").alias("username"))
+        .orderBy("username")
+        .limit(8)
+    )
+    return users.mapInPandas(
+        chain,
+        schema=(
+            "username string, salt_prefix string,"
+            " verified_ok boolean, rejected_bad boolean"
+        ),
+    )
