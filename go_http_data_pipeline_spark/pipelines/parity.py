@@ -426,3 +426,47 @@ def bcrypt_login_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             " verified_ok boolean, rejected_bad boolean"
         ),
     )
+
+
+@query("jwt_auth_chain")
+def jwt_auth_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3/F4/F14 executed for REAL inside the engine: mint each user's
+    HS256 JWT (claims ``{username, exp}``, 1-hour TTL — ``Server/
+    main.go:134-147``), then verify it four ways through the same
+    Arrow-batched UDFs production uses: valid at issue time, still
+    valid 1 s before expiry, rejected 1 s after expiry (F14 TTL
+    arithmetic), and rejected when tampered. HMAC isn't
+    SQL-expressible, so the driver records rows-only; the query is
+    self-checking (the four booleans must be t/t/f/f) and pytest pins
+    exact token strings."""
+    from .auth import jwt_sign, jwt_verify
+
+    secret = "engine-demo-secret"
+    iat = 1_700_000_000  # fixed clock -> deterministic tokens
+    users = (
+        table(spark, sf_dir, "customer")
+        .select(F.col("c_name").alias("username"))
+        .orderBy("username")
+        .limit(50)
+        .withColumn("iat", F.lit(iat).cast("long"))
+    )
+    signed = users.withColumn(
+        "token", jwt_sign(F.col("username"), F.col("iat"), 3600, secret)
+    )
+    tampered = F.concat(F.substring("token", 1, 40), F.lit("x"))
+    return signed.select(
+        "username",
+        F.substring("token", 1, 36).alias("token_prefix"),
+        jwt_verify(F.col("token"), F.col("iat"), secret)["valid"].alias(
+            "valid_now"
+        ),
+        jwt_verify(F.col("token"), F.col("iat") + 3599, secret)["valid"].alias(
+            "valid_before_expiry"
+        ),
+        jwt_verify(F.col("token"), F.col("iat") + 3601, secret)["valid"].alias(
+            "valid_after_expiry"
+        ),
+        jwt_verify(tampered, F.col("iat"), secret)["valid"].alias(
+            "valid_tampered"
+        ),
+    )

@@ -123,3 +123,16 @@ def test_bcrypt_login_roundtrip_self_checks(spark, sf_dir):
         assert r["verified_ok"] is True
         assert r["rejected_bad"] is True
         assert r["salt_prefix"].startswith("$2b$04$")
+
+
+def test_jwt_auth_chain_self_checks(spark, sf_dir):
+    from go_http_data_pipeline_spark.pipelines.parity import jwt_auth_chain
+
+    rows = jwt_auth_chain(spark, sf_dir).collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert r["token_prefix"].startswith("eyJhbGciOiJIUzI1NiI")
+        assert r["valid_now"] is True
+        assert r["valid_before_expiry"] is True
+        assert r["valid_after_expiry"] is False
+        assert r["valid_tampered"] is False
