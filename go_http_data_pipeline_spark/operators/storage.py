@@ -1,0 +1,162 @@
+"""Storage-layout operators: bucketed co-located joins and
+partition-pruned scans.
+
+At 100 TB the two highest-leverage storage decisions are:
+
+* **Bucketing** the fact tables on their join key — ``lineitem`` and
+  ``orders`` hash-bucketed by orderkey join with NO exchange on
+  either side (the scan itself provides the hash distribution), and
+  with ``sortBy`` the sort-merge join skips its sorts too. This is
+  the difference between re-shuffling 100 TB per join and never
+  shuffling it at all.
+* **Partitioning** event data by date — a date-range query prunes to
+  the matching partition directories at PLANNING time (the scan's
+  ``PartitionFilters``), so a day's query over a year of data reads
+  ~1/365th of the files.
+
+The fixtures are single unbucketed files, so each operator first
+materializes the laid-out table once per session (a temp-path /
+warehouse write, memoized) — modeling the real pipeline where layout
+happens at ingest and every downstream query inherits it. The
+oracle checks the query RESULTS against the raw tables: layout must
+never change answers, only plans; ``tests/test_plans.py`` pins the
+plan half (no exchange under the bucketed join, partition filters
+present).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..determinism import dsum, dsum_sql
+from ..registry import query
+
+N_BUCKETS = 8
+
+_LAYOUT_CACHE: dict = {}
+
+
+def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write lineitem + orders hash-bucketed (and sorted) by orderkey
+    into the session warehouse, once per (session, sf). Returns the
+    two table names. At production scale this is the ingest job;
+    every orderkey-equi-join thereafter is exchange-free."""
+    key = ("bucketed", spark.sparkContext.applicationId, sf_dir)
+    names = _LAYOUT_CACHE.get(key)
+    if names is not None:
+        return names
+    tag = abs(hash(sf_dir)) % 10**8
+    li_name, ord_name = f"li_bkt_{tag}", f"ord_bkt_{tag}"
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount", "l_quantity"
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    (
+        li.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(N_BUCKETS, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable(li_name)
+    )
+    (
+        orders.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(N_BUCKETS, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable(ord_name)
+    )
+    _LAYOUT_CACHE[key] = (li_name, ord_name)
+    return li_name, ord_name
+
+
+def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw bucketed l⋈o join (pre-aggregation) — exposed for the
+    plan test, which asserts ZERO exchanges feed the join."""
+    li_name, ord_name = _bucketed_tables(spark, sf_dir)
+    li = spark.table(li_name).hint("merge")
+    orders = spark.table(ord_name).hint("merge")
+    return li.join(orders, li.l_orderkey == orders.o_orderkey)
+
+
+@query(
+    "bucketed_priority_revenue",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_items,
+           {dsum_sql('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def bucketed_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by order priority over the BUCKETED join: both sides
+    arrive hash-distributed and sorted by orderkey straight from the
+    scan, so the merge join runs with no exchange and no sort — the
+    only shuffle in the whole query is the final 5-group aggregation.
+    The oracle computes the same answer from the raw tables: layout
+    changes the plan, never the result."""
+    joined = bucketed_join(spark, sf_dir)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum(rev, 4).alias("revenue"),
+    )
+
+
+def _partitioned_events(spark: SparkSession, sf_dir: str) -> str:
+    """Write events partitioned by event_date once per session;
+    returns the path. The ingest-time layout every time-series store
+    uses: queries with a date predicate read only matching
+    directories."""
+    import tempfile
+
+    key = ("part_events", spark.sparkContext.applicationId, sf_dir)
+    path = _LAYOUT_CACHE.get(key)
+    if path is not None:
+        return path
+    path = tempfile.mkdtemp(prefix="events_by_date_")
+    ev = table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    ev.write.mode("overwrite").partitionBy("event_date").parquet(path)
+    _LAYOUT_CACHE[key] = path
+    return path
+
+
+def partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pruned scan itself (pre-aggregation) — exposed for the plan
+    test, which asserts the date predicate lands in PartitionFilters."""
+    path = _partitioned_events(spark, sf_dir)
+    return spark.read.parquet(path).filter(
+        F.col("event_date").between("2024-01-08", "2024-01-14")
+    )
+
+
+@query(
+    "partition_pruned_week_activity",
+    oracle=f"""
+    SELECT CAST(ts AS DATE) AS event_date,
+           event_type,
+           COUNT(*) AS n_events,
+           {dsum_sql('value', 4)} AS total_value
+    FROM events
+    WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+    GROUP BY 1, 2
+    """,
+)
+def partition_pruned_week_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One week's activity from the date-partitioned layout: the
+    BETWEEN predicate prunes to 7 of ~30 partition directories at
+    planning time — on a year of 100 TB telemetry the scan reads
+    ~2% of the files before a single row is decoded. Oracle runs the
+    same query over the raw (unpartitioned) events: identical rows,
+    different I/O."""
+    pruned = partition_pruned_scan(spark, sf_dir)
+    return pruned.groupBy("event_date", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value", 4).alias("total_value"),
+    )

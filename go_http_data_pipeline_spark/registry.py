@@ -29,6 +29,7 @@ _MODULES = (
     "go_http_data_pipeline_spark.operators.analytics3",
     "go_http_data_pipeline_spark.operators.sqlapi",
     "go_http_data_pipeline_spark.operators.skew",
+    "go_http_data_pipeline_spark.operators.storage",
     "go_http_data_pipeline_spark.streaming.stateful",
     "go_http_data_pipeline_spark.operators.windows",
     "go_http_data_pipeline_spark.operators.setops",

@@ -297,3 +297,34 @@ def test_repetition_scores_zero_shuffle(spark, sf_dir):
     from go_http_data_pipeline_spark.llm.decontam import repetition_scores
 
     assert exchange_count(repetition_scores(spark, sf_dir)) == 0
+
+
+def test_bucketed_join_is_exchange_free(spark, sf_dir):
+    from go_http_data_pipeline_spark.operators.storage import (
+        bucketed_join,
+        bucketed_priority_revenue,
+    )
+
+    join_df = bucketed_join(spark, sf_dir)
+    # Both sides arrive hash-distributed by orderkey from the bucketed
+    # scan: a sort-merge join with ZERO shuffle exchanges under it.
+    assert "SortMergeJoin" in join_strategies(join_df)
+    assert exchange_count(join_df) == 0
+    # The full query's only shuffle is the final 5-group aggregation.
+    assert exchange_count(bucketed_priority_revenue(spark, sf_dir)) <= 1
+
+
+def test_partitioned_scan_prunes_by_date(spark, sf_dir):
+    from go_http_data_pipeline_spark.operators.storage import (
+        partition_pruned_scan,
+    )
+
+    df = partition_pruned_scan(spark, sf_dir)
+    plan = plan_str(df)
+    # The date range lands in PartitionFilters (directory pruning at
+    # planning time), not as a post-scan filter over every file.
+    assert "PartitionFilters" in plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_date" in m.group(1)
