@@ -99,9 +99,7 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "repetition_scores",
-    oracle="""
+_REPETITION_ORACLE = """
     WITH toks AS (
         SELECT doc_id, string_split(text, ' ') AS t FROM documents
     ),
@@ -122,8 +120,10 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(b) - len(list_distinct(b)) AS DOUBLE) / len(b)
                AS dup_bigram_ratio
     FROM bi
-    """,
-)
+    """
+
+
+@query("repetition_scores", oracle=_REPETITION_ORACLE)
 def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document repetition signals (Gopher quality-filter family):
     duplicate-token ratio, most-frequent-token share, duplicate-bigram
@@ -199,3 +199,176 @@ def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
     )
+
+
+# --- composite curation verdict -----------------------------------------
+
+# Thresholds calibrated to the fixture distributions (p90s): flag the
+# worst ~10% on each signal so the verdict genuinely splits a corpus.
+MAX_DUP_TOKEN_RATIO = 0.68
+MAX_TOP_TOKEN_SHARE = 0.14
+MIN_TOKENS = 15
+
+_DUP_NEAR_SQL = """
+    halves AS (
+        SELECT doc_id, simhash, 0 AS half, simhash % 65536 AS hv FROM simhashes
+        UNION ALL
+        SELECT doc_id, simhash, 1 AS half, simhash // 65536 AS hv FROM simhashes
+    ),
+    near_drop AS (
+        SELECT DISTINCT b.doc_id
+        FROM halves a
+        JOIN halves b ON a.half = b.half AND a.hv = b.hv
+                     AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+    )
+"""
+
+
+def _curation_oracle() -> str:
+    from .dedup import _SIMHASH_SQL
+
+    return f"""
+    WITH {_SIMHASH_SQL},
+    {_DUP_NEAR_SQL},
+    m AS (
+        SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
+    ),
+    sig AS (
+        SELECT doc_id,
+               CAST(len(t) AS BIGINT) AS n_tokens,
+               CAST(len(t) - len(list_distinct(t)) AS DOUBLE) / len(t)
+                   AS dup_token_ratio,
+               CAST(list_max(list_transform(list_distinct(t),
+                        d -> len(list_filter(t, x -> x = d)))) AS DOUBLE)
+                   / len(t) AS top_token_share,
+               MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+        FROM m
+    )
+    SELECT s.doc_id,
+           -- COALESCE: DuckDB's array_to_string of an all-filtered
+           -- list yields NULL; Spark's array_join yields ''.
+           COALESCE(array_to_string(list_filter([
+               CASE WHEN s.top_token_share > {MAX_TOP_TOKEN_SHARE}
+                    THEN 'dominated' END,
+               CASE WHEN s.canonical_id != s.doc_id THEN 'dup-exact' END,
+               CASE WHEN nd.doc_id IS NOT NULL THEN 'dup-near' END,
+               CASE WHEN s.dup_token_ratio > {MAX_DUP_TOKEN_RATIO}
+                    THEN 'repetitive' END,
+               CASE WHEN s.n_tokens < {MIN_TOKENS} THEN 'short' END
+           ], x -> x IS NOT NULL), ','), '') AS drop_reasons,
+           CASE WHEN s.top_token_share <= {MAX_TOP_TOKEN_SHARE}
+                 AND s.canonical_id = s.doc_id
+                 AND nd.doc_id IS NULL
+                 AND s.dup_token_ratio <= {MAX_DUP_TOKEN_RATIO}
+                 AND s.n_tokens >= {MIN_TOKENS}
+                THEN TRUE ELSE FALSE END AS keep
+    FROM sig s LEFT JOIN near_drop nd ON nd.doc_id = s.doc_id
+    """
+
+
+@query("curation_verdicts", oracle=_curation_oracle())
+def curation_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus-curation verdict — the query a pipeline
+    actually ships: per document, keep/drop plus the reasons, composed
+    from exact dedup (non-canonical copies drop), SimHash near-dup
+    (the larger doc_id of each d<=1 pair drops), repetition, token
+    dominance, and length. Reasons are a fixed-order comma-joined
+    scalar so the whole verdict is hash-checkable.
+
+    Physical shape: the signal computations are the same zero-shuffle
+    array lambdas as ``repetition_scores``; exact-dup canonicalization
+    is one window over the content hash; the near-dup flag reuses the
+    pigeonhole-banded SimHash join (bounded candidates). Everything
+    composes in one pass over the corpus plus the bounded pair join —
+    no all-pairs stage anywhere."""
+    from pyspark.sql import Window
+
+    from .dedup import simhash_neardup_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    base = docs.select("doc_id", F.md5("text").alias("chash"), t.alias("t"))
+    n = F.size("t").cast("bigint")
+    nd = F.size(F.array_distinct("t")).cast("bigint")
+    top = F.expr(
+        "array_max(transform(array_distinct(t),"
+        " d -> size(filter(t, x -> x = d))))"
+    ).cast("double")
+    sig = base.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        ((n - nd).cast("double") / n).alias("dup_token_ratio"),
+        (top / n).alias("top_token_share"),
+        F.min("doc_id").over(Window.partitionBy("chash")).alias("canonical_id"),
+    )
+    near = (
+        simhash_neardup_pairs(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("is_near", F.lit(True))
+    )
+    v = sig.join(near, "doc_id", "left")
+    reasons = F.array_join(
+        F.filter(
+            F.array(
+                F.when(
+                    F.col("top_token_share") > MAX_TOP_TOKEN_SHARE, "dominated"
+                ),
+                F.when(F.col("canonical_id") != F.col("doc_id"), "dup-exact"),
+                F.when(F.col("is_near"), "dup-near"),
+                F.when(
+                    F.col("dup_token_ratio") > MAX_DUP_TOKEN_RATIO, "repetitive"
+                ),
+                F.when(F.col("n_tokens") < MIN_TOKENS, "short"),
+            ),
+            lambda x: x.isNotNull(),
+        ),
+        ",",
+    )
+    return v.select(
+        "doc_id",
+        reasons.alias("drop_reasons"),
+        (reasons == "").alias("keep"),
+    )
+
+
+@query("streaming_repetition_filter", oracle=_REPETITION_ORACLE)
+def streaming_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``repetition_scores`` through the STREAMING engine: the
+    stateless quality filter applied as documents arrive (append
+    mode), the shape of an ingest-time curation gate. Stateless map =
+    identical results to the batch twin on a bounded replay, so it
+    shares the batch oracle verbatim — streaming/batch parity is
+    hash-checked, not assumed."""
+    from ..streaming.core import _as_stream_dir, run_to_memory
+
+    docs = spark.readStream.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).parquet(_as_stream_dir(f"{sf_dir}/documents.parquet"))
+    t = F.split("text", " ")
+    base = docs.select("doc_id", t.alias("t")).select(
+        "doc_id",
+        "t",
+        F.expr(
+            "transform(sequence(1, size(t) - 1),"
+            " i -> concat_ws(' ', t[i-1], t[i]))"
+        ).alias("b"),
+    )
+    n = F.size("t").cast("bigint")
+    nd = F.size(F.array_distinct("t")).cast("bigint")
+    nb = F.size("b").cast("bigint")
+    nbd = F.size(F.array_distinct("b")).cast("bigint")
+    top = F.expr(
+        "array_max(transform(array_distinct(t),"
+        " d -> size(filter(t, x -> x = d))))"
+    ).cast("double")
+    out = base.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        nd.alias("n_distinct_tokens"),
+        ((n - nd).cast("double") / n).alias("dup_token_ratio"),
+        (top / n).alias("top_token_share"),
+        ((nb - nbd).cast("double") / nb).alias("dup_bigram_ratio"),
+    )
+    return run_to_memory(spark, out, "stream_repetition", "append")

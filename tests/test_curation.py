@@ -132,3 +132,18 @@ def test_cross_source_overlap_symmetric_bounds(spark, sf_dir):
         assert (r["source_a"], r["source_b"]) not in seen
         seen.add((r["source_a"], r["source_b"]))
         assert r["n_shared_shingles"] > 0
+
+
+def test_curation_verdicts_consistency(spark, sf_dir):
+    from go_http_data_pipeline_spark.llm.decontam import curation_verdicts
+
+    rows = curation_verdicts(spark, sf_dir).collect()
+    assert len(rows) > 0
+    kept = sum(r["keep"] for r in rows)
+    assert 0 < kept < len(rows)  # thresholds genuinely split the corpus
+    valid = {"dominated", "dup-exact", "dup-near", "repetitive", "short"}
+    for r in rows:
+        reasons = r["drop_reasons"].split(",") if r["drop_reasons"] else []
+        assert r["keep"] == (not reasons)
+        assert set(reasons) <= valid
+        assert reasons == sorted(reasons)  # fixed, deterministic order
