@@ -136,3 +136,25 @@ def test_jwt_auth_chain_self_checks(spark, sf_dir):
         assert r["valid_before_expiry"] is True
         assert r["valid_after_expiry"] is False
         assert r["valid_tampered"] is False
+
+
+def test_bcrypt_pure_edge_cases():
+    from go_http_data_pipeline_spark.pipelines import bcrypt_pure as bp
+
+    # 72-byte truncation: bcrypt ignores everything past byte 72.
+    base = b"x" * 72
+    s = bp.gensalt(4, _salt16=bytes(range(16)))
+    h = bp.hashpw(base, s)
+    assert bp.checkpw(base + b"ignored-tail", h)
+    assert not bp.checkpw(base[:-1], h)
+    # cost bounds enforced like the C package
+    with pytest.raises(ValueError):
+        bp.gensalt(3)
+    with pytest.raises(ValueError):
+        bp.gensalt(32)
+    # bytes-only API, mirroring the C package
+    with pytest.raises(TypeError):
+        bp.hashpw("str", s)
+    # deterministic salt -> deterministic hash; fresh salt -> different
+    assert bp.hashpw(b"pw", s) == bp.hashpw(b"pw", s)
+    assert bp.hashpw(b"pw", bp.gensalt(4)) != bp.hashpw(b"pw", bp.gensalt(4))

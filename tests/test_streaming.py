@@ -211,3 +211,29 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # arrival was discarded, never resurrecting the closed window.
     assert ("2024-01-01 10:00:00", 1) in final
     assert ("2024-01-01 10:00:00", 2) not in final
+
+
+def test_streaming_repetition_equals_batch(spark, sf_dir):
+    from go_http_data_pipeline_spark.llm.decontam import (
+        repetition_scores,
+        streaming_repetition_filter,
+    )
+
+    batch = {r["doc_id"]: r for r in repetition_scores(spark, sf_dir).collect()}
+    stream = streaming_repetition_filter(spark, sf_dir).collect()
+    assert len(stream) == len(batch)
+    for r in stream:
+        b = batch[r["doc_id"]]
+        assert (
+            r["n_tokens"],
+            r["n_distinct_tokens"],
+            r["dup_token_ratio"],
+            r["top_token_share"],
+            r["dup_bigram_ratio"],
+        ) == (
+            b["n_tokens"],
+            b["n_distinct_tokens"],
+            b["dup_token_ratio"],
+            b["top_token_share"],
+            b["dup_bigram_ratio"],
+        )
