@@ -727,9 +727,14 @@ def ivf_ann_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id,
            mn AS zero_point,
            (mx - mn) / 255.0 AS scale,
-           list_transform(embedding,
+           array_to_string(
+               list_transform(embedding,
+                   x -> CAST(round((CAST(x AS DOUBLE) - mn)
+                             / ((mx - mn) / 255.0)) AS BIGINT)),
+               ',') AS q_csv,
+           CAST(list_sum(list_transform(embedding,
                x -> CAST(round((CAST(x AS DOUBLE) - mn) / ((mx - mn) / 255.0))
-                    AS BIGINT)) AS q
+                    AS BIGINT))) AS BIGINT) AS q_sum
     FROM (
         SELECT vec_id, embedding,
                list_min(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS mn,
@@ -745,19 +750,37 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     25 TB one, with scale/zero-point kept per vector for exact
     dequantize bounds. Pure per-row array arithmetic in codegen:
     no shuffle, no UDF. round() is HALF_EVEN on exact double inputs
-    in both engines (values here are float32-exact)."""
+    in both engines (values here are float32-exact).
+
+    Output contract: the quantized vector is emitted as a scalar CSV
+    string (``q_csv``) plus a checksum (``q_sum``), never as an array
+    column — list-valued outputs crash the driver's hash
+    canonicalizer (r3 red row; same reshape as
+    ``login_response_map``)."""
     emb = table(spark, sf_dir, "embeddings")
     mn = F.array_min(F.expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
     mx = F.array_max(F.expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-    return emb.select(
-        "vec_id",
-        mn.alias("zero_point"),
-        ((mx - mn) / 255.0).alias("scale"),
-        F.expr(
-            "transform(embedding, x -> CAST(round((CAST(x AS DOUBLE) - "
-            "array_min(transform(embedding, y -> CAST(y AS DOUBLE)))) / "
-            "((array_max(transform(embedding, y -> CAST(y AS DOUBLE))) - "
-            "array_min(transform(embedding, y -> CAST(y AS DOUBLE)))) / 255.0)) "
-            "AS BIGINT))"
-        ).alias("q"),
+    q = F.expr(
+        "transform(embedding, x -> CAST(round((CAST(x AS DOUBLE) - zero_point)"
+        " / scale) AS BIGINT))"
+    )
+    return (
+        emb.select(
+            "vec_id",
+            "embedding",
+            mn.alias("zero_point"),
+            ((mx - mn) / 255.0).alias("scale"),
+        )
+        .select("vec_id", "zero_point", "scale", q.alias("q"))
+        .select(
+            "vec_id",
+            "zero_point",
+            "scale",
+            F.concat_ws(
+                ",", F.expr("transform(q, x -> CAST(x AS STRING))")
+            ).alias("q_csv"),
+            F.aggregate(
+                "q", F.lit(0).cast("bigint"), lambda acc, x: acc + x
+            ).alias("q_sum"),
+        )
     )

@@ -370,16 +370,44 @@ def employee_salary_history_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("bcrypt_login_roundtrip")
+_BCRYPT_GOLDEN = (
+    ("Customer#000000000", "$2b$04$e1ibSCBwQiHZUch352.SAOe3Ro/TrTvr145jGWLSyjohrqeM029pm"),
+    ("Customer#000000001", "$2b$04$EmFF5gQbbXgbsOSlBfhRtOG42krNo32DlqKecZp7v9NKXU6v0tS9i"),
+    ("Customer#000000002", "$2b$04$XIClqko4mkC1IqaTxNeOROMR5OprcjMO589JnImGWbJTqPxqmIMim"),
+    ("Customer#000000003", "$2b$04$QzOM4NUhur/WZsGLPsBilOw1qPUmyJMHJKBKj2TGaOaZbwvEIyZZ."),
+    ("Customer#000000004", "$2b$04$l/gQ2yD0uYdSlxcVsFsPG.HoMCP7KZZaYbgPom5BQyn56c6brdjv."),
+    ("Customer#000000005", "$2b$04$a52eqqiUazL37Y/uJHkCR.zv91VPWbQdnOPslVSVqfkSChHk5oJJ6"),
+    ("Customer#000000006", "$2b$04$djjws9.PJX9ymtnoI0VKmui3i/ImaRVvwqy.7xFzMp39cy2J0XVWS"),
+    ("Customer#000000007", "$2b$04$ze9nFd2FJJ6hBuPktbFsL.6Ea7PHRR.9MEWbr1X0kad4WpJRpzaba"),
+)
+
+
+@query(
+    "bcrypt_login_roundtrip",
+    oracle="""
+    WITH golden(username, hashed) AS (VALUES
+        {values}
+    )
+    SELECT u.username, g.hashed,
+           TRUE AS verified_ok, TRUE AS rejected_bad
+    FROM (SELECT c_name AS username FROM customer ORDER BY 1 LIMIT 8) u
+    JOIN golden g USING (username)
+    """.format(
+        values=",\n        ".join(
+            f"('{u}', '{h}')" for u, h in _BCRYPT_GOLDEN
+        )
+    ),
+)
 def bcrypt_login_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1/F2 executed for REAL inside the engine (``Server/main.go:
     114,127``): hash 8 users' passwords with bcrypt at cost 4 using
     deterministic salts (md5 of the username), then verify — correct
     and a wrong password — through the same Arrow-batched UDF path
-    production uses. bcrypt output can't be oracle-SQL'd (DuckDB has
-    no EksBlowfish), so the driver records rows-only; the query is
-    self-checking (``verified_ok``/``rejected_bad`` must be true) and
-    the OpenBSD vectors pin the implementation in pytest.
+    production uses. DuckDB has no EksBlowfish, so the oracle is a
+    literal golden table: the full 60-char hashes, precomputed once
+    from the OpenBSD-vector-pinned implementation, joined to the same
+    8 customer usernames. The driver hash-checks every byte of every
+    hash — if the EksBlowfish core drifts, this row goes red.
 
     Cost 4 (the bcrypt minimum) keeps the pure-Python fallback fast;
     the C package, when installed, runs the identical dataflow."""
@@ -403,14 +431,14 @@ def bcrypt_login_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append(
                     (
                         name,
-                        h.decode()[:29],  # prefix+cost+salt (deterministic)
+                        h.decode(),
                         bool(bcrypt_mod.checkpw(pw, h)),
                         not bcrypt_mod.checkpw(pw + b"!", h),
                     )
                 )
             yield pd.DataFrame(
                 rows,
-                columns=["username", "salt_prefix", "verified_ok", "rejected_bad"],
+                columns=["username", "hashed", "verified_ok", "rejected_bad"],
             )
 
     users = (
@@ -422,23 +450,38 @@ def bcrypt_login_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return users.mapInPandas(
         chain,
         schema=(
-            "username string, salt_prefix string,"
+            "username string, hashed string,"
             " verified_ok boolean, rejected_bad boolean"
         ),
     )
 
 
-@query("jwt_auth_chain")
+@query(
+    "jwt_auth_chain",
+    oracle="""
+    SELECT username,
+           'eyJhbGciOiJIUzI1NiIsInR5cCI6IkpXVCJ9.' ||
+           rtrim(replace(replace(base64(CAST(
+               '{"username":"' || username || '","exp":1700003600}'
+               AS BLOB)), '+', '-'), '/', '_'), '=') AS signing_input,
+           TRUE AS valid_now, TRUE AS valid_before_expiry,
+           FALSE AS valid_after_expiry, FALSE AS valid_tampered
+    FROM (SELECT c_name AS username FROM customer ORDER BY 1 LIMIT 50)
+    """,
+)
 def jwt_auth_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F3/F4/F14 executed for REAL inside the engine: mint each user's
     HS256 JWT (claims ``{username, exp}``, 1-hour TTL — ``Server/
     main.go:134-147``), then verify it four ways through the same
     Arrow-batched UDFs production uses: valid at issue time, still
     valid 1 s before expiry, rejected 1 s after expiry (F14 TTL
-    arithmetic), and rejected when tampered. HMAC isn't
-    SQL-expressible, so the driver records rows-only; the query is
-    self-checking (the four booleans must be t/t/f/f) and pytest pins
-    exact token strings."""
+    arithmetic), and rejected when tampered. The HMAC signature isn't
+    SQL-expressible, but everything else is: the oracle rebuilds the
+    exact RFC 7515 signing input (b64url header '.' b64url payload)
+    in DuckDB and pins the four verify booleans — the signature
+    itself is certified transitively by ``valid_now``/``valid_
+    tampered`` (verification only passes with a correct HMAC) and by
+    the exact-token pins in pytest."""
     from .auth import jwt_sign, jwt_verify
 
     secret = "engine-demo-secret"
@@ -454,9 +497,12 @@ def jwt_auth_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         "token", jwt_sign(F.col("username"), F.col("iat"), 3600, secret)
     )
     tampered = F.concat(F.substring("token", 1, 40), F.lit("x"))
+    parts = F.split("token", "[.]")
     return signed.select(
         "username",
-        F.substring("token", 1, 36).alias("token_prefix"),
+        F.concat(
+            F.element_at(parts, 1), F.lit("."), F.element_at(parts, 2)
+        ).alias("signing_input"),
         jwt_verify(F.col("token"), F.col("iat"), secret)["valid"].alias(
             "valid_now"
         ),

@@ -122,7 +122,8 @@ def test_bcrypt_login_roundtrip_self_checks(spark, sf_dir):
     for r in rows:
         assert r["verified_ok"] is True
         assert r["rejected_bad"] is True
-        assert r["salt_prefix"].startswith("$2b$04$")
+        assert r["hashed"].startswith("$2b$04$")
+        assert len(r["hashed"]) == 60
 
 
 def test_jwt_auth_chain_self_checks(spark, sf_dir):
@@ -131,7 +132,7 @@ def test_jwt_auth_chain_self_checks(spark, sf_dir):
     rows = jwt_auth_chain(spark, sf_dir).collect()
     assert len(rows) == 50
     for r in rows:
-        assert r["token_prefix"].startswith("eyJhbGciOiJIUzI1NiI")
+        assert r["signing_input"].startswith("eyJhbGciOiJIUzI1NiIsInR5cCI6IkpXVCJ9.")
         assert r["valid_now"] is True
         assert r["valid_before_expiry"] is True
         assert r["valid_after_expiry"] is False
