@@ -62,3 +62,20 @@ def md5_int(col: Column | str, hex_chars: int = 8) -> Column:
 
 def md5_int_sql(expr: str, hex_chars: int = 8) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, {hex_chars})) AS BIGINT)"
+
+
+def ngram_starts_sql(arr: str, k: int) -> str:
+    """Spark SQL snippet: 1-based start positions of ``k``-grams over
+    array column ``arr`` — EMPTY when the doc has fewer than k tokens.
+
+    A bare ``sequence(1, size - (k-1))`` is wrong for short docs:
+    when ``size - (k-1) < 1`` Spark infers a NEGATIVE step and yields
+    a DESCENDING array (``[1, 0]``, ``[1, 0, -1]`` ...), fabricating
+    n-grams with null/empty members, while DuckDB's
+    ``generate_series(1, stop)`` is empty for ``stop < 1``. The guard
+    makes both engines agree on degenerate documents (and keeps the
+    downstream ``x / size(grams)`` ratios NULL instead of an ANSI
+    divide-by-zero).
+    """
+    stop = f"size({arr}) - {k - 1}"
+    return f"if({stop} >= 1, sequence(1, {stop}), cast(array() as array<int>))"

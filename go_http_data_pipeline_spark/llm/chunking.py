@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..determinism import MERSENNE31 as P
+from ..determinism import ngram_starts_sql
 from ..registry import query
 
 CHUNK = 32  # tokens per chunk
@@ -156,12 +157,14 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     gram = "concat_ws(' ', " + ", ".join(f"t[i + {j} - 1]" for j in range(_K)) + ")"
     keys = (
-        f"transform(sequence(1, size(t) - {_K - 1}), i -> "
+        f"transform({ngram_starts_sql('t', _K)}, i -> "
         f"(CAST(conv(substring(md5({gram}), 1, 8), 16, 10) AS BIGINT) % {P})"
         f" * {_POS_RADIX} + ({_POS_RADIX - 1} - i))"
     )
     sels = (
-        f"array_distinct(transform(sequence({_W}, size(keys)), w -> "
+        f"array_distinct(transform("
+        f"if(size(keys) >= {_W}, sequence({_W}, size(keys)),"
+        f" cast(array() as array<int>)), w -> "
         f"array_min(slice(keys, w - {_W - 1}, {_W}))))"
     )
     return (

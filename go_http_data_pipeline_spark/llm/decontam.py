@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..registry import query
+from ..determinism import ngram_starts_sql
 from .dedup import _SHINGLES_SQL, shingles_cached
 
 # Deterministic evaluation-set stand-in: every 10th document. A real
@@ -75,7 +76,12 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     Physical plan: benchmark grams (small by nature) broadcast; the
     corpus gram stream probes them without shuffling, then only the
     surviving candidates shuffle for the per-pair count — at 100 TB
-    the cost is the corpus scan plus a candidate-sized aggregation."""
+    the cost is the corpus scan plus a candidate-sized aggregation.
+    The per-document gram-count enrichment joins by SHUFFLE, not
+    broadcast: ``n_grams`` is O(corpus documents), and the pairs side
+    is already post-filter small, so the shuffle is candidate-sized
+    while a broadcast would have to ship the whole corpus's counts to
+    every executor."""
     sh = shingles_cached(spark, sf_dir)
     bench = (
         sh.filter(F.col("doc_id") % BENCH_MOD == 0)
@@ -89,7 +95,7 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= MIN_SHARED)
     )
-    return pairs.join(F.broadcast(n_grams), "doc_id").select(
+    return pairs.join(n_grams, "doc_id").select(
         "doc_id",
         "bench_id",
         "n_shared",
@@ -137,7 +143,7 @@ def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "t",
         F.expr(
-            "transform(sequence(1, size(t) - 1),"
+            f"transform({ngram_starts_sql('t', 2)},"
             " i -> concat_ws(' ', t[i-1], t[i]))"
         ).alias("b"),
     )
@@ -155,7 +161,11 @@ def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         nd.alias("n_distinct_tokens"),
         ((n - nd).cast("double") / n).alias("dup_token_ratio"),
         (top / n).alias("top_token_share"),
-        ((nb - nbd).cast("double") / nb).alias("dup_bigram_ratio"),
+        # NULL for <2-token docs (nb = 0): matches the oracle's
+        # DuckDB x/0 -> NULL and avoids an ANSI divide-by-zero.
+        F.when(nb > 0, (nb - nbd).cast("double") / nb).alias(
+            "dup_bigram_ratio"
+        ),
     )
 
 
@@ -351,7 +361,7 @@ def streaming_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "t",
         F.expr(
-            "transform(sequence(1, size(t) - 1),"
+            f"transform({ngram_starts_sql('t', 2)},"
             " i -> concat_ws(' ', t[i-1], t[i]))"
         ).alias("b"),
     )
@@ -369,6 +379,10 @@ def streaming_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         nd.alias("n_distinct_tokens"),
         ((n - nd).cast("double") / n).alias("dup_token_ratio"),
         (top / n).alias("top_token_share"),
-        ((nb - nbd).cast("double") / nb).alias("dup_bigram_ratio"),
+        # NULL for <2-token docs (nb = 0): matches the oracle's
+        # DuckDB x/0 -> NULL and avoids an ANSI divide-by-zero.
+        F.when(nb > 0, (nb - nbd).cast("double") / nb).alias(
+            "dup_bigram_ratio"
+        ),
     )
     return run_to_memory(spark, out, "stream_repetition", "append")

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..determinism import MERSENNE31 as P
-from ..determinism import md5_int
+from ..determinism import md5_int, ngram_starts_sql
 from ..registry import query
 
 N_HASHES = 16
@@ -71,7 +71,7 @@ def shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(
                 F.array_distinct(
                     F.expr(
-                        "transform(sequence(1, size(toks) - 2),"
+                        f"transform({ngram_starts_sql('toks', 3)},"
                         " i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"
                     )
                 )
@@ -624,8 +624,12 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the node key); converged when no label changes. Rounds needed
     = graph diameter — near-dup clusters are shallow, so a handful.
     The driver loop only checks the convergence count, GraphX-pregel
-    style; all data work is distributed. The oracle replays the same
-    closure as a recursive CTE (iterative algorithms ARE
+    style; all data work is distributed. Each round's labels are
+    ``localCheckpoint``-ed to truncate lineage — without it an
+    N-round propagation builds an N-deep plan whose analysis cost and
+    stack depth grow with the graph diameter (GraphX checkpoints its
+    Pregel iterations for the same reason). The oracle replays the
+    same closure as a recursive CTE (iterative algorithms ARE
     SQL-expressible when the engine has WITH RECURSIVE)."""
     edges = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
     sym = edges.union(
@@ -643,6 +647,9 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("doc_a").alias("node"))
             .agg(F.min("component_id").alias("nbr_min"))
         )
+        # localCheckpoint (eager) truncates the lineage so the plan
+        # stays one-round deep no matter how many rounds run; it also
+        # materializes new_labels, subsuming the old persist().
         new_labels = (
             labels.join(nbr_min, labels.doc_id == F.col("node"), "left")
             .select(
@@ -651,7 +658,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "component_id", F.coalesce("nbr_min", "component_id")
                 ).alias("component_id"),
             )
-            .persist()
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")

@@ -20,6 +20,7 @@ from pyspark.sql.functions import pandas_udf
 
 from ..catalog import table
 from ..determinism import MERSENNE31 as P
+from ..determinism import ngram_starts_sql
 from ..registry import query
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
@@ -377,7 +378,7 @@ def bigram_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.explode(
             F.expr(
-                "transform(sequence(1, size(t) - 1),"
+                f"transform({ngram_starts_sql('t', 2)},"
                 " i -> concat_ws(' ', t[i-1], t[i]))"
             )
         ).alias("bigram"),

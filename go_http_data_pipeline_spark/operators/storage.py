@@ -47,7 +47,12 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     names = _LAYOUT_CACHE.get(key)
     if names is not None:
         return names
-    tag = abs(hash(sf_dir)) % 10**8
+    # Stable digest, NOT Python hash(): str hash is PYTHONHASHSEED-
+    # salted per process, which minted fresh table names every run and
+    # left orphaned bucketed copies piling up in the warehouse.
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     li_name, ord_name = f"li_bkt_{tag}", f"ord_bkt_{tag}"
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount", "l_quantity"

@@ -111,14 +111,23 @@ def _require_bcrypt():
         return bcrypt_pure
 
 
-def bcrypt_hash(password: Column) -> Column:
-    """F1: salted bcrypt hash (non-deterministic by design)."""
+def bcrypt_hash(password: Column, cost: int = 12) -> Column:
+    """F1: salted bcrypt hash (non-deterministic by design).
+
+    ``cost`` is explicit at the API surface — the C package defaults
+    to 12 but the pure-Python fallback's ``gensalt`` defaults to 6
+    (it is ~1000x slower per hash), so leaving it to the resolved
+    implementation would make the work factor an import side effect.
+    12 matches Go's ``bcrypt.DefaultCost`` (``Server/main.go:114``)."""
     bcrypt = _require_bcrypt()
 
     @F.pandas_udf("string")
     def _hash(pws: pd.Series) -> pd.Series:
         return pd.Series(
-            [bcrypt.hashpw(p.encode(), bcrypt.gensalt()).decode() for p in pws]
+            [
+                bcrypt.hashpw(p.encode(), bcrypt.gensalt(cost)).decode()
+                for p in pws
+            ]
         )
 
     return _hash(password)

@@ -386,6 +386,7 @@ def streaming_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, j, mh) rows for the oracle."""
     from ..determinism import MERSENNE31 as P
     from ..determinism import md5_int
+    from ..determinism import ngram_starts_sql
     from ..llm.dedup import _A_ADD, _A_MUL, _B_ADD, _B_MUL, N_HASHES
 
     docs = spark.readStream.schema(
@@ -396,7 +397,7 @@ def streaming_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.array_distinct(
                 F.expr(
-                    "transform(sequence(1, size(toks) - 2),"
+                    f"transform({ngram_starts_sql('toks', 3)},"
                     " i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"
                 )
             )

@@ -80,7 +80,7 @@ def test_bcrypt_roundtrip_real_everywhere(spark):
     )
 
     df = spark.createDataFrame([("s3cret",)], "pw string")
-    hashed = df.withColumn("h", bcrypt_hash(F.col("pw")))
+    hashed = df.withColumn("h", bcrypt_hash(F.col("pw"), cost=4))
     ok = hashed.withColumn("ok", bcrypt_verify(F.col("pw"), F.col("h")))
     row = ok.select("h", "ok").first()
     assert row["h"].startswith("$2") and len(row["h"]) == 60

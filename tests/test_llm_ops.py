@@ -297,3 +297,55 @@ def test_kmeans_iteration_invariants(spark, sf_dir):
         (F.col("moved") == 1) != (F.col("prev_cid") != F.col("cid"))
     ).count() == 0
     out.unpersist()
+
+
+def test_degenerate_docs_match_oracle(spark, tmp_path):
+    """1- and 2-token documents: Spark's bare sequence(1, size-k+1)
+    would fabricate descending-index n-grams ([1,0]...) where DuckDB's
+    generate_series is empty — the guarded ngram_starts_sql must make
+    both engines agree, including NULL dup_bigram_ratio (x/0) for a
+    1-token doc instead of an ANSI divide-by-zero crash."""
+    import duckdb
+
+    from go_http_data_pipeline_spark.llm.decontam import (
+        _REPETITION_ORACLE,
+        repetition_scores,
+    )
+    from go_http_data_pipeline_spark.llm.dedup import shingles
+    from go_http_data_pipeline_spark.llm.chunking import winnowing_fingerprints
+
+    d = _tmp_docs(
+        spark, tmp_path,
+        ["solo", "two tokens", "three tokens here", "a b c d e f g h"],
+    )
+    got = {
+        r.doc_id: r for r in repetition_scores(spark, d).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS FROM '{d}/documents.parquet/*.parquet'"
+    )
+    want = {
+        r[0]: r
+        for r in con.execute(_REPETITION_ORACLE).fetchall()
+    }
+    assert set(got) == set(want) == {0, 1, 2, 3}
+    for doc_id, w in want.items():
+        g = got[doc_id]
+        assert (
+            g.n_tokens,
+            g.n_distinct_tokens,
+            g.dup_token_ratio,
+            g.top_token_share,
+            g.dup_bigram_ratio,
+        ) == (w[1], w[2], w[3], w[4], w[5])
+    assert got[0].dup_bigram_ratio is None  # 1 token -> no bigrams
+
+    # 3-gram shingles: none for <3-token docs, never bogus ones.
+    sh = shingles(spark, d).select("doc_id").distinct().collect()
+    assert {r.doc_id for r in sh} == {2, 3}
+    # winnowing (4-grams, window 5): only the 8-token doc has a full
+    # window (5 grams); shorter docs produce NO fingerprints in both
+    # engines instead of descending-index garbage.
+    fp = winnowing_fingerprints(spark, d)
+    assert {r.doc_id for r in fp.select("doc_id").distinct().collect()} == {3}

@@ -112,3 +112,17 @@ def test_aqe_coalesces_shuffle_partitions(spark, sf_dir):
     final = df._jdf.queryExecution().executedPlan().toString()
     assert "AQEShuffleRead" in final
     assert "coalesced" in final
+
+
+def test_dedup_components_plan_depth_constant(spark, sf_dir):
+    """The label-propagation loop localCheckpoints each round, so the
+    RESULT plan must not chain N rounds of joins — lineage is
+    truncated to the final checkpointed labels (a scan + project),
+    keeping analysis cost and stack depth constant regardless of how
+    many rounds the graph diameter forces."""
+    from go_http_data_pipeline_spark.llm.dedup import dedup_components
+
+    df = dedup_components(spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "Join" not in analyzed  # all rounds collapsed into a scan
+    assert df.count() > 0
