@@ -105,6 +105,22 @@ def main() -> int:
     # measure the engine, not first-touch JIT.
     qs["q1_pricing_summary"](spark, sf_dir).count()
 
+    # Build the shared dedup caches (persisted shingle table + banded
+    # LSH index) as their own timed phase. These are one-time ingest
+    # artifacts — on a cluster, materialized tables — and previously
+    # their build cost landed on whichever dedup query ran first,
+    # making that query's delta unattributable (VERDICT r3 item 6).
+    from go_http_data_pipeline_spark.llm.dedup import (
+        lsh_bands_cached,
+        shingles_cached,
+    )
+
+    t0 = time.perf_counter()
+    shingles_cached(spark, sf_dir).count()
+    lsh_bands_cached(spark, sf_dir).count()
+    cache_build = round(time.perf_counter() - t0, 3)
+    print(f"# dedup_cache_build: {cache_build}s", file=sys.stderr)
+
     prev = _prev_bench()
     prev_times: dict = prev.get("queries", {})
 
@@ -149,7 +165,10 @@ def main() -> int:
             file=sys.stderr,
         )
 
-    total = round(sum(times.values()), 3)
+    # Total includes the cache build: it is real work the suite needs
+    # (it was previously inside the first dedup query's time), just
+    # attributed to its own line now.
+    total = round(sum(times.values()) + cache_build, 3)
     out = {
         "metric": "headline_suite_wall_clock",
         "value": total,
@@ -159,6 +178,7 @@ def main() -> int:
         "repeats": max(1, REPEATS),
         "queries_median": medians,
         "prev_deltas": deltas,
+        "dedup_cache_build_sec": cache_build,
     }
     if prev:
         out["prev_total"] = prev.get("value")
