@@ -80,3 +80,81 @@ def stratified_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= QUOTA)
         .select("lang", "doc_id", "rk", "n_stratum")
     )
+
+
+@query(
+    "source_mixture_weights",
+    oracle="""
+    WITH s AS (
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM s),
+    w AS (
+        SELECT source, n_docs, n_tokens,
+               CAST(n_tokens AS DOUBLE) / total AS token_share,
+               CAST(CAST(sqrt(CAST(n_tokens AS DOUBLE) / total)
+                    AS DECIMAL(18,12)) AS DOUBLE) AS wq
+        FROM s, t
+    ),
+    n AS (
+        SELECT CAST(SUM(CAST(wq AS DECIMAL(18,12))) AS DOUBLE) AS z FROM w
+    )
+    SELECT source, n_docs, n_tokens, token_share,
+           wq / z AS mixture_weight,
+           (wq / z) / token_share AS sampling_boost
+    FROM w, n
+    """,
+)
+def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alpha-smoothed multinomial mixture weights per source — the
+    corpus-balancing computation behind multilingual/multi-source
+    training recipes (sample source i with probability proportional
+    to p_i^alpha so low-resource sources are up-weighted).
+
+    alpha = 0.5 deliberately: p^0.5 = sqrt(p), and IEEE-754 requires
+    sqrt to be correctly rounded in every engine, where a general
+    pow() may differ by an ulp between libm implementations and break
+    the cross-engine value hash. The normalizer follows the
+    ``determinism.dsum`` pattern (exact DECIMAL sum of the smoothed
+    weights) so reassociation can't leak in either.
+
+    Scale shape: one map-side-combined agg over the corpus (the only
+    corpus-sized work), then all arithmetic happens on a
+    sources-sized table with two broadcast scalars — at 100 TB this
+    is a scan plus O(#sources) postprocessing. ``sampling_boost`` is
+    the per-source acceptance-rate multiplier a sampler applies
+    downstream (see ``stratified_sample_per_lang`` for the exact-
+    quota mechanism)."""
+    docs = table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"),
+    )
+    t = s.agg(F.sum("n_tokens").cast("bigint").alias("total"))
+    w = s.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / F.col("total")).alias(
+            "token_share"
+        ),
+        F.sqrt(F.col("n_tokens").cast("double") / F.col("total"))
+        .cast("decimal(18,12)")
+        .cast("double")
+        .alias("wq"),
+    )
+    z = w.agg(
+        F.sum(F.col("wq").cast("decimal(18,12)")).cast("double").alias("z")
+    )
+    return w.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "token_share",
+        (F.col("wq") / F.col("z")).alias("mixture_weight"),
+        ((F.col("wq") / F.col("z")) / F.col("token_share")).alias(
+            "sampling_boost"
+        ),
+    )

@@ -489,6 +489,127 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MULTIPROBE_TOP1_ORACLE = f"""
+    WITH {_NORMS_SQL}, {_BUCKETS_SQL},
+    probes AS (
+        SELECT b.vec_id,
+               CASE WHEN p.p < 0 THEN b.bucket
+                    ELSE xor(b.bucket, CAST(pow(2, p.p) AS BIGINT))
+               END AS probe_bucket
+        FROM buckets b,
+             (SELECT unnest(generate_series(-1, {N_PLANES - 1})) AS p) p
+        WHERE b.vec_id < {N_QUERIES}
+    ),
+    scores AS (
+        SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+               {_DOT_SQL.format(a='q.embedding', b='e.embedding')}
+                   / (qn.nrm * en.nrm) AS cosine
+        FROM embeddings q
+        JOIN probes pr ON pr.vec_id = q.vec_id
+        JOIN buckets be ON be.bucket = pr.probe_bucket
+        JOIN embeddings e ON e.vec_id = be.vec_id AND e.vec_id <> q.vec_id
+        JOIN norms qn ON qn.vec_id = q.vec_id
+        JOIN norms en ON en.vec_id = e.vec_id,
+             (SELECT unnest(generate_series(1, 64)) AS i) i
+        GROUP BY q.vec_id, e.vec_id, qn.nrm, en.nrm
+    )
+    SELECT qid, vec_id AS neighbor_id, cosine
+    FROM (
+        SELECT qid, vec_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+        FROM scores
+    ) WHERE rn = 1
+    """
+
+
+@query("ann_lsh_multiprobe_top1", oracle=_MULTIPROBE_TOP1_ORACLE)
+def ann_lsh_multiprobe_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN (the recall knob on ``ann_lsh_top1``):
+    each query probes its own bucket PLUS the 8 Hamming-1-adjacent
+    buckets (one hyperplane sign flipped — the buckets a borderline
+    vector most likely fell into), following the multi-probe LSH
+    idea of perturbing the hash instead of building more tables.
+
+    Probe cost is explicit and tunable: 9/256 of the corpus per query
+    instead of 1/256 for ~1 bit of extra recall — still bucketed,
+    never a scan. The query side explodes to (qid, probe_bucket)
+    pairs and the same broadcast equi-join pattern applies; corpus
+    vectors keep exactly one bucket, so no candidate dedup is needed.
+    Compare ``ann_multiprobe_recall_eval`` vs ``ann_recall_eval`` to
+    read the knob's effect."""
+    feats = _ann_features(spark, sf_dir)
+    masks = F.array(F.lit(0), *[F.lit(1 << p) for p in range(N_PLANES)])
+    q = (
+        feats.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+            F.explode(masks).alias("mask"),
+            F.col("bucket").alias("q_bucket"),
+        )
+        .select(
+            "qid",
+            "q_emb",
+            "q_nrm",
+            F.col("q_bucket").bitwiseXOR(F.col("mask")).alias("bucket"),
+        )
+    )
+    dot = F.expr(_DOT.format(a="q_emb", b="embedding"))
+    scores = (
+        feats.join(F.broadcast(q), "bucket")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            (dot / (F.col("q_nrm") * F.col("nrm"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("qid", F.col("vec_id").alias("neighbor_id"), "cosine")
+    )
+
+
+@query(
+    "ann_multiprobe_recall_eval",
+    oracle=f"""
+    WITH brute AS ({_COSINE_TOPK_ORACLE}),
+    ann AS ({_MULTIPROBE_TOP1_ORACLE})
+    SELECT a.qid, a.neighbor_id AS ann_neighbor, a.cosine AS ann_cosine,
+           b.rank AS brute_rank,
+           CASE WHEN b.rank IS NOT NULL THEN 1 ELSE 0 END AS in_top5
+    FROM ann a
+    LEFT JOIN brute b ON b.qid = a.qid AND b.neighbor_id = a.neighbor_id
+    """,
+)
+def ann_multiprobe_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall harness for the multi-probe path — same left-join-onto-
+    brute-force shape as ``ann_recall_eval``, so the two eval tables
+    diff directly: avg(in_top5) here minus there is the recall bought
+    by the 8 extra probes."""
+    ann = ann_lsh_multiprobe_top1(spark, sf_dir).select(
+        "qid",
+        F.col("neighbor_id").alias("ann_neighbor"),
+        F.col("cosine").alias("ann_cosine"),
+    )
+    brute = cosine_topk(spark, sf_dir).select(
+        "qid", F.col("neighbor_id").alias("ann_neighbor"), "rank"
+    )
+    return (
+        ann.join(F.broadcast(brute), ["qid", "ann_neighbor"], "left")
+        .select(
+            "qid",
+            "ann_neighbor",
+            "ann_cosine",
+            F.col("rank").alias("brute_rank"),
+            F.when(F.col("rank").isNotNull(), 1).otherwise(0).alias("in_top5"),
+        )
+    )
+
+
 # --- IVF (inverted-file) ANN --------------------------------------------
 # Coarse quantizer: 16 deterministic centroids (every 31st vector) —
 # a seeded stand-in for k-means that keeps the cell assignment pure

@@ -26,6 +26,8 @@ present).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -51,9 +53,19 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     # salted per process, which minted fresh table names every run and
     # left orphaned bucketed copies piling up in the warehouse.
     import hashlib
+    import shutil
+    from urllib.parse import urlparse
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     li_name, ord_name = f"li_bkt_{tag}", f"ord_bkt_{tag}"
+    # The warehouse directory outlives the per-process metastore: a
+    # fresh session doesn't know the table, but its location from a
+    # previous run still exists and saveAsTable refuses the name.
+    # Drop both the catalog entry and any orphaned location.
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for name in (li_name, ord_name):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(os.path.join(warehouse, name), ignore_errors=True)
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount", "l_quantity"
     )

@@ -215,3 +215,80 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.min(F.unix_seconds(F.col("ts").cast("timestamp")))
         ).alias("duration_secs"),
     )
+
+
+WATERMARK_DELAY_MIN = 10  # matches streaming_tumbling_counts' watermark
+N_INGEST_SHARDS = 8
+
+
+@query(
+    "watermark_late_audit",
+    oracle=f"""
+    WITH arrivals AS (
+        SELECT event_type, ts,
+               MAX(ts) OVER (
+                   PARTITION BY event_id % {N_INGEST_SHARDS}
+                   ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS frontier
+        FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(COUNT(*) FILTER (
+               WHERE ts < frontier - INTERVAL {WATERMARK_DELAY_MIN} MINUTE
+           ) AS BIGINT) AS n_rejected,
+           CAST(COUNT(*) FILTER (
+               WHERE ts < frontier - INTERVAL {WATERMARK_DELAY_MIN} MINUTE
+           ) AS DOUBLE) / COUNT(*) AS rejected_ratio,
+           CAST(MAX(CASE WHEN ts < frontier - INTERVAL {WATERMARK_DELAY_MIN} MINUTE
+                    THEN date_diff('second', ts, frontier) END) AS BIGINT)
+               AS max_late_secs
+    FROM arrivals
+    GROUP BY event_type
+    """,
+)
+def watermark_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of ``withWatermark``'s late-data REJECTION policy:
+    which rows would a 10-minute watermark drop, per event type?
+
+    Watermark semantics, made explicit: each ingest shard advances an
+    event-time frontier (running max of event time in arrival order);
+    a row arriving with ``ts < frontier - delay`` is too late — its
+    window's state has been evicted — and is dropped. Arrival order
+    is modeled as ``event_id`` order within ``event_id % 8`` shards:
+    per-PARTITION frontiers are exactly how Spark tracks watermarks
+    before taking the global min, and sharding keeps the window
+    function parallel (no global sort) at 100 TB.
+
+    The streaming engine enforcing this drop for real — multi-batch
+    replay, late rows vanishing from the aggregation — is pinned in
+    ``tests/test_streaming.py``; this query is the oracle-checkable
+    audit a pipeline runs to SIZE its watermark (rejected_ratio vs
+    delay tradeoff)."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy(F.col("event_id") % N_INGEST_SHARDS)
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    delay = F.expr(f"INTERVAL {WATERMARK_DELAY_MIN} MINUTES")
+    arr = ev.select(
+        "event_type",
+        "ts",
+        F.max("ts").over(w).alias("frontier"),
+    ).withColumn("is_late", F.col("ts") < F.col("frontier") - delay)
+    return arr.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("is_late").cast("bigint")).alias("n_rejected"),
+        (
+            F.sum(F.col("is_late").cast("bigint")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("rejected_ratio"),
+        F.max(
+            F.when(
+                F.col("is_late"),
+                F.expr("timestampdiff(SECOND, ts, frontier)"),
+            )
+        ).cast("bigint").alias("max_late_secs"),
+    )

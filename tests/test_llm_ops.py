@@ -349,3 +349,23 @@ def test_degenerate_docs_match_oracle(spark, tmp_path):
     # engines instead of descending-index garbage.
     fp = winnowing_fingerprints(spark, d)
     assert {r.doc_id for r in fp.select("doc_id").distinct().collect()} == {3}
+
+
+def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
+    """Multi-probe LSH must (a) answer for at least every query the
+    single-probe path answers, (b) never return a WORSE neighbor for
+    a query both answer, and (c) here, resolve the singleton-bucket
+    query single-probe misses."""
+    from go_http_data_pipeline_spark.llm.similarity import (
+        ann_lsh_multiprobe_top1,
+        ann_lsh_top1,
+    )
+
+    single = {r.qid: r.cosine for r in ann_lsh_top1(spark, sf_dir).collect()}
+    multi = {
+        r.qid: r.cosine
+        for r in ann_lsh_multiprobe_top1(spark, sf_dir).collect()
+    }
+    assert set(single) <= set(multi)
+    for qid, cos in single.items():
+        assert multi[qid] >= cos - 1e-12
