@@ -132,29 +132,35 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"),
     )
-    t = s.agg(F.sum("n_tokens").cast("bigint").alias("total"))
-    w = s.crossJoin(F.broadcast(t)).select(
+    # The corpus is aggregated exactly ONCE; total and normalizer are
+    # unpartitioned windows over the sources-sized result (~dozens of
+    # rows — the SinglePartition exchange moves nothing), instead of
+    # scalar-subquery cross joins whose branches would each recompute
+    # the corpus agg from lineage.
+    everything = Window.partitionBy()
+    w = s.select(
         "source",
         "n_docs",
         "n_tokens",
-        (F.col("n_tokens").cast("double") / F.col("total")).alias(
-            "token_share"
-        ),
-        F.sqrt(F.col("n_tokens").cast("double") / F.col("total"))
-        .cast("decimal(18,12)")
-        .cast("double")
-        .alias("wq"),
-    )
-    z = w.agg(
-        F.sum(F.col("wq").cast("decimal(18,12)")).cast("double").alias("z")
-    )
-    return w.crossJoin(F.broadcast(z)).select(
+        (
+            F.col("n_tokens").cast("double")
+            / F.sum("n_tokens").over(everything)
+        ).alias("token_share"),
+    ).select(
         "source",
         "n_docs",
         "n_tokens",
         "token_share",
-        (F.col("wq") / F.col("z")).alias("mixture_weight"),
-        ((F.col("wq") / F.col("z")) / F.col("token_share")).alias(
-            "sampling_boost"
-        ),
+        F.sqrt("token_share").cast("decimal(18,12)").cast("double").alias("wq"),
+    )
+    norm = (
+        F.sum(F.col("wq").cast("decimal(18,12)")).over(everything).cast("double")
+    )
+    return w.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "token_share",
+        (F.col("wq") / norm).alias("mixture_weight"),
+        ((F.col("wq") / norm) / F.col("token_share")).alias("sampling_boost"),
     )

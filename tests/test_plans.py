@@ -328,3 +328,51 @@ def test_partitioned_scan_prunes_by_date(spark, sf_dir):
 
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "event_date" in m.group(1)
+
+
+def test_watermark_late_audit_two_exchanges_no_global_sort(spark, sf_dir):
+    """The late-data audit must stay parallel: one hash exchange for
+    the per-shard frontier window, one for the final groupBy — and no
+    single-partition global sort (the reason arrival order is modeled
+    per ingest shard)."""
+    from go_http_data_pipeline_spark.operators.time_windows import (
+        watermark_late_audit,
+    )
+
+    df = watermark_late_audit(spark, sf_dir)
+    assert exchange_count(df) == 2
+    plan = plan_str(df)
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" not in plan  # no global ORDER BY
+
+
+def test_multiprobe_ann_broadcast_probe_no_cartesian(spark, sf_dir):
+    """Multi-probe ANN keeps the single-probe plan shape: exploded
+    (qid, probe_bucket) side broadcast, corpus probed by bucket
+    equi-join, top-1 via partial+final WindowGroupLimit — never a
+    cartesian / nested-loop pairing."""
+    from go_http_data_pipeline_spark.llm.similarity import (
+        ann_lsh_multiprobe_top1,
+    )
+
+    df = ann_lsh_multiprobe_top1(spark, sf_dir)
+    strategies = join_strategies(df)
+    assert "BroadcastHashJoin" in strategies
+    assert "CartesianProduct" not in strategies
+    assert "BroadcastNestedLoopJoin" not in strategies
+    assert "WindowGroupLimit" in plan_str(df)  # top-1 pruned map-side
+
+
+def test_source_mixture_weights_single_corpus_pass(spark, sf_dir):
+    """The corpus is aggregated exactly once; total + normalizer are
+    windows over the sources-sized table, not scalar-subquery cross
+    joins that would rescan the corpus per branch."""
+    from go_http_data_pipeline_spark.llm.sampling import (
+        source_mixture_weights,
+    )
+
+    df = source_mixture_weights(spark, sf_dir)
+    # simple mode prints each physical node once (formatted repeats
+    # scans in the details section).
+    assert plan_str(df, "simple").count("Scan parquet") == 1
+    assert exchange_count(df) <= 3
