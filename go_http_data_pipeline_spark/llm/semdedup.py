@@ -1,0 +1,277 @@
+"""Semantic deduplication (SemDeDup-style): cluster-bucketed
+embedding near-dup detection with per-vector keep/drop verdicts.
+
+``embedding_neardup_pairs`` (similarity.py) is the EXACT all-pairs
+path — O(N²) work split into blocked cogroup tasks. This module is
+the sub-quadratic curation path from Abbas et al., "SemDeDup: Data-
+efficient learning at web-scale through semantic deduplication"
+(arXiv:2303.09540): assign every embedding to its nearest coarse
+centroid, then search for near-duplicates ONLY within each cluster.
+Work drops from O(N²) to O(Σ |cluster|²) — with K ∝ √N centroids and
+balanced clusters that is O(N^1.5) pair evaluations, each a cheap
+64-element integer fold, and the only corpus-sized shuffle is the
+hash partition by cluster id.
+
+The approximation is quantified, not assumed: ``semdedup_recall_eval``
+joins the cluster-bucketed pairs against the exact all-pairs result
+and reports recall (bucketed pairs are a strict subset, so precision
+is 1.0 by construction).
+
+Exactness: the shared ``floor(x*1e7)`` BIGINT quantization
+(similarity.py convention) makes dot products and squared norms exact
+integer sums; the final cosine is one IEEE division over two
+correctly-rounded sqrts — bit-identical in Spark and DuckDB.
+
+Scale design: centroid assignment is a pure projection (K×64 centroid
+literals folded into codegen — clustering.py's E-step); the
+intra-cluster self-join shuffles the corpus ONCE on cid (at
+production K ∝ √N there are enough clusters to spread; a skewed
+mega-cluster is handled the same way as any skewed join key —
+salting or AQE skew-join); the verdict aggregation shuffles pair
+endpoints, which is O(duplicate pairs), not O(N²).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from .clustering import (
+    K,
+    _ASSIGN1_SQL,
+    _QLONG_SQL,
+    _QVECS_SQL,
+    _best_expr,
+    _cent_literal,
+    _quantized,
+)
+
+# Cosine threshold for "semantic duplicate" — shared with the exact
+# all-pairs path so the recall eval compares like with like.
+TAU = 0.4
+
+# Exact integer Σ q_d² over an already-quantized BIGINT array.
+_NORM2 = (
+    "aggregate(transform(q, x -> x * x), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+)
+
+# Shared oracle prefix: quantized vectors, long form, nearest-seed
+# assignment (clustering.py CTEs), exact squared norms, intra-cluster
+# candidate pairs, exact integer dots, cosine-filtered pairs.
+_PAIRS_SQL = f"""
+    {_QVECS_SQL}, {_QLONG_SQL}, {_ASSIGN1_SQL},
+    norms AS (
+        SELECT vec_id, CAST(SUM(qd * qd) AS BIGINT) AS nrm2
+        FROM qlong GROUP BY vec_id
+    ),
+    cand AS (
+        SELECT a1.vec_id AS vec_a, a2.vec_id AS vec_b
+        FROM assign1 a1
+        JOIN assign1 a2 ON a1.cid = a2.cid AND a1.vec_id < a2.vec_id
+    ),
+    dots AS (
+        SELECT c.vec_a, c.vec_b, CAST(SUM(va.qd * vb.qd) AS BIGINT) AS dot
+        FROM cand c
+        JOIN qlong va ON va.vec_id = c.vec_a
+        JOIN qlong vb ON vb.vec_id = c.vec_b AND vb.d = va.d
+        GROUP BY c.vec_a, c.vec_b
+    ),
+    pairs AS (
+        SELECT d.vec_a, d.vec_b
+        FROM dots d
+        JOIN norms na ON na.vec_id = d.vec_a
+        JOIN norms nb ON nb.vec_id = d.vec_b
+        WHERE CAST(d.dot AS DOUBLE)
+              / (sqrt(CAST(na.nrm2 AS DOUBLE)) * sqrt(CAST(nb.nrm2 AS DOUBLE)))
+              >= {TAU}
+    )
+"""
+
+
+def _cluster_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_a, vec_b, cid): intra-cluster pairs with cosine >= TAU.
+
+    Assignment to the K seed centroids (vec_id < K — the shared
+    clustering.py / IVF convention) is a zero-shuffle projection;
+    the self-join shuffles once on cid; the cosine filter runs
+    inside codegen on exact integer dot/norm folds."""
+    vecs = _quantized(spark, sf_dir)
+    cents0 = [
+        (r["vec_id"], r["q"])
+        for r in sorted(
+            vecs.filter(F.col("vec_id") < K).collect(), key=lambda r: r["vec_id"]
+        )
+    ]
+    best = _best_expr(_cent_literal(cents0))
+    assigned = vecs.select(
+        "vec_id",
+        "q",
+        F.expr(f"{best}.cid").alias("cid"),
+        F.expr(_NORM2).alias("nrm2"),
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("q").alias("qa"),
+        F.col("cid"),
+        F.col("nrm2").alias("na2"),
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("q").alias("qb"),
+        F.col("cid"),
+        F.col("nrm2").alias("nb2"),
+    )
+    dot = (
+        "aggregate(zip_with(qa, qb, (x, y) -> x * y),"
+        " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    return (
+        a.join(b, ["cid"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("dot", F.expr(dot))
+        .withColumn(
+            "cosine",
+            F.col("dot").cast("double")
+            / (
+                F.sqrt(F.col("na2").cast("double"))
+                * F.sqrt(F.col("nb2").cast("double"))
+            ),
+        )
+        .filter(F.col("cosine") >= TAU)
+        .select("vec_a", "vec_b", "cid")
+    )
+
+
+@query(
+    "semantic_dedup_verdicts",
+    oracle=f"""
+    WITH {_PAIRS_SQL},
+    sides AS (
+        SELECT vec_a AS vec_id, vec_b AS partner FROM pairs
+        UNION ALL
+        SELECT vec_b AS vec_id, vec_a AS partner FROM pairs
+    ),
+    per_vec AS (
+        SELECT vec_id,
+               CAST(COUNT(*) AS BIGINT) AS n_neardups,
+               MAX(CASE WHEN partner < vec_id THEN 1 ELSE 0 END) AS dropped
+        FROM sides GROUP BY vec_id
+    )
+    SELECT a.vec_id, a.cid,
+           COALESCE(p.n_neardups, 0) AS n_neardups,
+           CASE WHEN COALESCE(p.dropped, 0) = 1 THEN FALSE ELSE TRUE END AS keep
+    FROM assign1 a LEFT JOIN per_vec p ON p.vec_id = a.vec_id
+    """,
+)
+def semantic_dedup_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup verdict per vector: nearest-centroid cluster, number
+    of intra-cluster semantic duplicates (cosine >= TAU), and the
+    keep/drop decision — a vector is dropped iff some LOWER-id vector
+    in its cluster is a near-duplicate, so exactly one representative
+    (the lowest id) survives each duplicate chain. Deterministic: no
+    sampling, no float ambiguity (exact integer dots, one IEEE
+    division).
+
+    Physical plan: projection (assign) → one cid-shuffled self-join
+    bounded by cluster sizes → pair-endpoint aggregation that is
+    O(duplicate pairs). Contrast ``embedding_neardup_pairs``: same
+    threshold, exhaustive O(N²); this is the curation-scale path."""
+    pairs = _cluster_pairs(spark, sf_dir)
+    vecs = _quantized(spark, sf_dir)
+    cents0 = [
+        (r["vec_id"], r["q"])
+        for r in sorted(
+            vecs.filter(F.col("vec_id") < K).collect(), key=lambda r: r["vec_id"]
+        )
+    ]
+    best = _best_expr(_cent_literal(cents0))
+    assigned = vecs.select("vec_id", F.expr(f"{best}.cid").alias("cid"))
+    sides = pairs.select(
+        F.col("vec_a").alias("vec_id"), F.col("vec_b").alias("partner")
+    ).unionAll(
+        pairs.select(F.col("vec_b").alias("vec_id"), F.col("vec_a").alias("partner"))
+    )
+    per_vec = sides.groupBy("vec_id").agg(
+        F.count(F.lit(1)).alias("n_neardups"),
+        F.max(
+            F.when(F.col("partner") < F.col("vec_id"), 1).otherwise(0)
+        ).alias("dropped"),
+    )
+    return (
+        assigned.join(per_vec, ["vec_id"], "left")
+        .select(
+            "vec_id",
+            "cid",
+            F.coalesce(F.col("n_neardups"), F.lit(0).cast("bigint")).alias(
+                "n_neardups"
+            ),
+            F.when(F.coalesce(F.col("dropped"), F.lit(0)) == 1, F.lit(False))
+            .otherwise(F.lit(True))
+            .alias("keep"),
+        )
+    )
+
+
+@query(
+    "semdedup_recall_eval",
+    oracle=f"""
+    WITH {_PAIRS_SQL},
+    brute AS (
+        SELECT va.vec_id AS vec_a, vb.vec_id AS vec_b,
+               CAST(SUM(va.qd * vb.qd) AS BIGINT) AS dot
+        FROM qlong va
+        JOIN qlong vb ON vb.d = va.d AND va.vec_id < vb.vec_id
+        GROUP BY va.vec_id, vb.vec_id
+    ),
+    true_pairs AS (
+        SELECT b.vec_a, b.vec_b
+        FROM brute b
+        JOIN norms na ON na.vec_id = b.vec_a
+        JOIN norms nb ON nb.vec_id = b.vec_b
+        WHERE CAST(b.dot AS DOUBLE)
+              / (sqrt(CAST(na.nrm2 AS DOUBLE)) * sqrt(CAST(nb.nrm2 AS DOUBLE)))
+              >= {TAU}
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM true_pairs) AS n_true_pairs,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_bucketed_pairs,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM true_pairs)
+               - (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_missed,
+           CAST((SELECT COUNT(*) FROM pairs) AS DOUBLE)
+               / NULLIF((SELECT COUNT(*) FROM true_pairs), 0) AS recall
+    """,
+)
+def semdedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantify the SemDeDup approximation: exact all-pairs
+    near-duplicates (the blocked-cogroup ``embedding_neardup_pairs``
+    path, same TAU) vs the cluster-bucketed pairs. Bucketed pairs are
+    a strict subset of the true pairs (identical arithmetic on a
+    restricted candidate set), so the one number that matters is
+    recall = bucketed / true; the pairs a single-centroid assignment
+    misses are exactly the near-dup pairs straddling a cluster
+    boundary — the knob is K (fewer, larger clusters → higher recall,
+    more pair work).
+
+    Both counts are DataFrame aggregates joined as 1-row scalars —
+    no driver-side collect of either pair set."""
+    from .similarity import embedding_neardup_pairs
+
+    true_cnt = (
+        embedding_neardup_pairs(spark, sf_dir)
+        .agg(F.count(F.lit(1)).alias("n_true_pairs"))
+    )
+    buck_cnt = _cluster_pairs(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("n_bucketed_pairs")
+    )
+    return (
+        true_cnt.crossJoin(F.broadcast(buck_cnt))
+        .select(
+            "n_true_pairs",
+            "n_bucketed_pairs",
+            (F.col("n_true_pairs") - F.col("n_bucketed_pairs")).alias("n_missed"),
+            (
+                F.col("n_bucketed_pairs").cast("double")
+                / F.nullif(F.col("n_true_pairs"), F.lit(0))
+            ).alias("recall"),
+        )
+    )

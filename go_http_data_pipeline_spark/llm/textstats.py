@@ -448,3 +448,87 @@ def doc_keywords_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TOP_KEYWORDS)
         .select("doc_id", "term", "tf", "df", "score", "rk")
     )
+
+
+# Rarity scale: integer score floor(1e12 / corpus_count) per token —
+# monotone in 1/frequency, exact BIGINT division in both engines
+# (no logs: ln() is not bit-reproducible cross-engine).
+_RARITY_SCALE = 1_000_000_000_000
+
+
+@query(
+    "token_rarity_scores",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    vocab AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY term),
+    tot AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS n_terms
+        FROM vocab
+    ),
+    v2 AS (
+        SELECT term, cnt,
+               CASE WHEN 2 * cnt * (SELECT n_terms FROM tot)
+                         < (SELECT total FROM tot)
+                    THEN 1 ELSE 0 END AS rare,
+               {_RARITY_SCALE} // cnt AS rarity
+        FROM vocab
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(v.rare) AS BIGINT) AS n_rare,
+           CAST(SUM(v.rare) AS DOUBLE) / COUNT(*) AS rare_ratio,
+           CAST(SUM(v.rarity) AS BIGINT) AS rarity_score,
+           CAST(SUM(v.rarity) AS DOUBLE) / COUNT(*) AS mean_rarity
+    FROM toks t JOIN v2 v ON v.term = t.term
+    GROUP BY t.doc_id
+    """,
+)
+def token_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency-based quality signals per document: how many
+    of a doc's tokens are RARE in the whole corpus (count below half
+    the mean term frequency — a data-adaptive threshold, exact via
+    the integer cross-multiply ``2·cnt·n_terms < total``) plus an
+    integer rarity score (Σ floor(1e12 / corpus_count) — monotone in
+    inverse document frequency without a single transcendental).
+    Complements ``repetition_scores``: that one is per-doc-local,
+    this one needs the corpus-wide vocabulary, i.e. a genuinely
+    different dataflow (train-then-score, like a unigram LM).
+
+    Scale design: the vocabulary agg shuffles one row per distinct
+    term per task (map-side combine); the token→vocab enrichment is a
+    plain shuffle join on term — the vocabulary of a web-scale corpus
+    is NOT broadcast-sized (heavy-tail token sets run to billions of
+    terms), exactly the benchmark_contamination lesson. The corpus
+    totals row IS one row — that join is a broadcast."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = vocab.agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("n_terms")
+    )
+    v2 = (
+        vocab.crossJoin(F.broadcast(tot))
+        .select(
+            "term",
+            F.when(
+                2 * F.col("cnt") * F.col("n_terms") < F.col("total"), 1
+            ).otherwise(0).alias("rare"),
+            F.expr(f"{_RARITY_SCALE}L div cnt").alias("rarity"),
+        )
+    )
+    return (
+        toks.join(v2, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("rare").alias("n_rare"),
+            (F.sum("rare").cast("double") / F.count(F.lit(1))).alias("rare_ratio"),
+            F.sum("rarity").alias("rarity_score"),
+            (F.sum("rarity").cast("double") / F.count(F.lit(1))).alias(
+                "mean_rarity"
+            ),
+        )
+    )

@@ -292,3 +292,61 @@ def watermark_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).cast("bigint").alias("max_late_secs"),
     )
+
+
+TRENDING_TOP_N = 3
+
+
+@query(
+    "trending_event_types",
+    oracle=f"""
+    WITH wc AS (
+        SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS w_start,
+               event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT w_start, event_type, n_events,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY w_start
+                   ORDER BY n_events DESC, event_type) AS BIGINT) AS rk,
+               n_events - LAG(n_events) OVER (
+                   PARTITION BY event_type ORDER BY w_start) AS delta
+        FROM wc
+    )
+    SELECT w_start, event_type, n_events, rk, delta
+    FROM r WHERE rk <= {TRENDING_TOP_N}
+    """,
+)
+def trending_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending dashboard: per 10-minute tumbling window, the top-3
+    event types by count, each with its count delta vs that type's
+    previous window — the classic "what's rising right now" feed.
+    The delta is computed over ALL windows (lag by event_type across
+    the full series) BEFORE the top-k filter, so a type that just
+    broke into the top-3 still shows its true rise.
+
+    Physical plan: one windowed count agg (map-side combine → one
+    shuffle on (window, type)), then two window functions over the
+    SMALL aggregate (windows × types rows, corpus-size-independent)
+    — rank partitioned by window, lag partitioned by type. Top-N
+    filtering after rank is Spark's WindowGroupLimit pushdown shape."""
+    ev = table(spark, sf_dir, "events")
+    wc = (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n_events")
+    )
+    w_rank = Window.partitionBy("w_start").orderBy(
+        F.desc("n_events"), "event_type"
+    )
+    w_lag = Window.partitionBy("event_type").orderBy("w_start")
+    # delta BEFORE rank: the top-N filter then sits directly above the
+    # rank window, so Catalyst prunes per-window rows beyond N map-side
+    # (WindowGroupLimit) without disturbing the full-series lag.
+    return (
+        wc.withColumn("delta", F.col("n_events") - F.lag("n_events").over(w_lag))
+        .withColumn("rk", F.row_number().over(w_rank).cast("bigint"))
+        .filter(F.col("rk") <= TRENDING_TOP_N)
+        .select("w_start", "event_type", "n_events", "rk", "delta")
+    )

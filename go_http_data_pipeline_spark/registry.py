@@ -34,6 +34,7 @@ _MODULES = (
     "go_http_data_pipeline_spark.operators.windows",
     "go_http_data_pipeline_spark.operators.setops",
     "go_http_data_pipeline_spark.operators.time_windows",
+    "go_http_data_pipeline_spark.operators.eventflow",
     "go_http_data_pipeline_spark.functions.record_functions",
     "go_http_data_pipeline_spark.functions.extensions",
     "go_http_data_pipeline_spark.pipelines.parity",
@@ -42,6 +43,7 @@ _MODULES = (
     "go_http_data_pipeline_spark.sources.jdbc",
     "go_http_data_pipeline_spark.llm.dedup",
     "go_http_data_pipeline_spark.llm.similarity",
+    "go_http_data_pipeline_spark.llm.semdedup",
     "go_http_data_pipeline_spark.llm.chunking",
     "go_http_data_pipeline_spark.llm.clustering",
     "go_http_data_pipeline_spark.llm.textstats",

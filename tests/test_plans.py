@@ -376,3 +376,84 @@ def test_source_mixture_weights_single_corpus_pass(spark, sf_dir):
     # scans in the details section).
     assert plan_str(df, "simple").count("Scan parquet") == 1
     assert exchange_count(df) <= 3
+
+
+def test_semantic_dedup_no_cartesian_assignment_inline(spark, sf_dir):
+    """SemDeDup's candidate generation is an intra-cluster equi-join
+    on cid — never a cartesian/nested-loop all-pairs — and the
+    centroid assignment is folded into codegen (no join producing
+    cid). The verdict aggregation joins pairs back by vec_id only."""
+    from go_http_data_pipeline_spark.llm.semdedup import (
+        semantic_dedup_verdicts,
+    )
+
+    df = semantic_dedup_verdicts(spark, sf_dir)
+    strategies = join_strategies(df)
+    assert "CartesianProduct" not in strategies
+    assert "BroadcastNestedLoopJoin" not in strategies
+
+
+def test_token_rarity_vocab_join_has_no_broadcast_hint(spark, sf_dir):
+    """The token->vocabulary enrichment must not carry a broadcast
+    HINT: a web-scale vocabulary is NOT broadcast-sized (the
+    benchmark_contamination lesson). Catalyst may still auto-
+    broadcast a small vocab from stats — that is the desired
+    adaptive behavior — so the contract is pinned by disabling
+    auto-broadcast: the term join must degrade to a shuffle join,
+    while the explicitly-hinted 1-row totals join stays broadcast."""
+    from go_http_data_pipeline_spark.llm.textstats import token_rarity_scores
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # simple mode prints each physical node once (formatted
+        # repeats nodes in the details section).
+        plan = plan_str(token_rarity_scores(spark, sf_dir), "simple")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert plan.count("BroadcastExchange") == 1  # the hinted totals row
+
+
+def test_trending_windows_rank_over_small_aggregate(spark, sf_dir):
+    """Both window functions (rank per window, lag per type) run over
+    the windowed-count AGGREGATE — corpus-size-independent — and the
+    top-N filter after row_number is pushed as WindowGroupLimit."""
+    from go_http_data_pipeline_spark.operators.time_windows import (
+        trending_event_types,
+    )
+
+    df = trending_event_types(spark, sf_dir)
+    plan = plan_str(df)
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in join_strategies(df)
+
+
+def test_funnel_single_scan_one_user_partitioning(spark, sf_dir):
+    """The funnel reads events ONCE and chains its three stage-mins
+    over the same user_id hash partitioning — no per-stage rescans,
+    no correlated-subquery joins."""
+    from go_http_data_pipeline_spark.operators.eventflow import (
+        funnel_view_click_purchase,
+    )
+
+    df = funnel_view_click_purchase(spark, sf_dir)
+    plan = plan_str(df, "simple")
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert exchange_count(df) == 1  # one hash partition by user_id
+
+
+def test_retention_collapses_stream_before_joins(spark, sf_dir):
+    """Retention's only event-stream-sized op is the first DISTINCT
+    (user, week) aggregate; the cohort join and every later step run
+    on the collapsed table."""
+    from go_http_data_pipeline_spark.operators.eventflow import (
+        retention_cohorts,
+    )
+
+    df = retention_cohorts(spark, sf_dir)
+    plan = plan_str(df, "simple")
+    assert "CartesianProduct" not in join_strategies(df)
+    # the raw scan feeds exactly one aggregate before any join
+    assert plan.count("Scan parquet") <= 2  # Catalyst may share or split the scan
