@@ -59,6 +59,11 @@ HEADLINE = (
     "embedding_dim_stats",      # per-dim exact moments over vectors
     "bigram_lang_stats",        # n-gram LM counts + top-k per lang
     "doc_keywords_tfidf",       # rational-idf keyword extraction
+    "semantic_dedup_verdicts",  # cluster-bucketed near-dup keep/drop
+    "token_rarity_scores",      # corpus-frequency rarity signals
+    "trending_event_types",     # windowed top-k + delta-vs-previous
+    "funnel_view_click_purchase",  # strict-sequence conversion funnel
+    "retention_cohorts",        # weekly cohort retention matrix
 )
 
 

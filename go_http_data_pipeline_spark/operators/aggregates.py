@@ -402,3 +402,71 @@ def stats_moments_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_items"),
         *[F.expr(sql).alias(name) for name, sql in _STATS_FINAL.items()],
     )
+
+
+@query(
+    "sketch_accuracy_eval",
+    oracle="""
+    WITH checks AS (
+        SELECT 'orders.o_custkey' AS col_name,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_count,
+               CAST(approx_count_distinct(o_custkey) AS BIGINT) AS approx_raw
+        FROM orders
+        UNION ALL
+        SELECT 'lineitem.l_partkey',
+               CAST(COUNT(DISTINCT l_partkey) AS BIGINT),
+               CAST(approx_count_distinct(l_partkey) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'events.user_id',
+               CAST(COUNT(DISTINCT user_id) AS BIGINT),
+               CAST(approx_count_distinct(user_id) AS BIGINT)
+        FROM events
+        UNION ALL
+        SELECT 'documents.text',
+               CAST(COUNT(DISTINCT md5(text)) AS BIGINT),
+               CAST(approx_count_distinct(md5(text)) AS BIGINT)
+        FROM documents
+    )
+    SELECT col_name, exact_count,
+           abs(approx_raw - exact_count)
+               <= CAST(ceil(0.10 * exact_count) AS BIGINT) AS within_10pct
+    FROM checks
+    """,
+)
+def sketch_accuracy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential accuracy gate for the approximate-distinct
+    sketches: each engine runs its OWN HLL next to the exact count
+    and asserts the sketch lands within 10% — so the hash-checked
+    output is (column, exact_count, within_10pct), a cross-engine
+    PROPERTY check that doesn't require the sketch values themselves
+    to agree (they are engine-specific by design, which is why
+    ``approx_distinct_parts`` is rows-only). Four cardinality
+    regimes: dense keys (custkey), mid (partkey), tiny (user_id),
+    and hashed text.
+
+    Scale: each branch is one partial+final sketch agg — HLL
+    registers merge associatively, the same one-pass shape
+    ``approx_distinct_parts`` documents; the union is 4 rows."""
+    def branch(tbl: str, col, name: str):
+        t = table(spark, sf_dir, tbl)
+        return t.agg(
+            F.lit(name).alias("col_name"),
+            F.count_distinct(col).alias("exact_count"),
+            F.approx_count_distinct(col).alias("approx_raw"),
+        )
+
+    checks = (
+        branch("orders", F.col("o_custkey"), "orders.o_custkey")
+        .unionAll(branch("lineitem", F.col("l_partkey"), "lineitem.l_partkey"))
+        .unionAll(branch("events", F.col("user_id"), "events.user_id"))
+        .unionAll(branch("documents", F.md5("text"), "documents.text"))
+    )
+    return checks.select(
+        "col_name",
+        "exact_count",
+        (
+            F.abs(F.col("approx_raw") - F.col("exact_count"))
+            <= F.ceil(0.10 * F.col("exact_count")).cast("bigint")
+        ).alias("within_10pct"),
+    )

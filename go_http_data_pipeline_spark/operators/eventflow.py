@@ -1,7 +1,8 @@
-"""Event-flow analytics: conversion funnels and retention cohorts.
+"""Event-flow analytics: conversion funnels, retention cohorts, and
+consecutive-failure (gaps-and-islands) burst detection.
 
 Absent in the reference (its events are synthetic CRUD traffic); these
-are the two canonical product-analytics shapes a warehouse of event
+are the canonical product-analytics shapes a warehouse of event
 streams must answer, built on the same `events` table the window and
 sessionization operators use.
 
@@ -193,4 +194,66 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_active",
         size.alias("cohort_size"),
         (F.col("n_active").cast("double") / size).alias("retention"),
+    )
+
+
+MIN_BURST = 3
+
+
+@query(
+    "error_burst_runs",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, event_id, ts, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn_all
+        FROM events
+    ),
+    errs AS (
+        SELECT user_id, event_id, ts,
+               rn_all - ROW_NUMBER() OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS grp
+        FROM ordered WHERE event_type = 'error'
+    )
+    SELECT user_id,
+           MIN(ts) AS start_ts,
+           MAX(ts) AS end_ts,
+           CAST(COUNT(*) AS BIGINT) AS n_errors,
+           MIN(event_id) AS first_event_id
+    FROM errs
+    GROUP BY user_id, grp
+    HAVING COUNT(*) >= {MIN_BURST}
+    """,
+)
+def error_burst_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal runs of CONSECUTIVE error events per user (>= 3 in a
+    row with no other event type between them) — the gaps-and-islands
+    shape behind alerting ("this user is stuck in a failure loop"),
+    solved with the row_number-difference idiom: rn over all events
+    minus rn over errors only is constant exactly within a
+    consecutive-error run. Ordering is (ts, event_id) — event_id
+    breaks timestamp ties, so runs are deterministic.
+
+    Physical plan: one scan, ONE hash partition by user_id shared by
+    both row_number windows (same partitioning — Catalyst reuses the
+    exchange), then a per-(user, run) aggregate whose map-side
+    combine collapses each run before the (small) final shuffle."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.withColumn("rn_all", F.row_number().over(w))
+    errs = ordered.filter(F.col("event_type") == "error").withColumn(
+        "grp", F.col("rn_all") - F.row_number().over(w)
+    )
+    return (
+        errs.groupBy("user_id", "grp")
+        .agg(
+            F.min("ts").alias("start_ts"),
+            F.max("ts").alias("end_ts"),
+            F.count(F.lit(1)).alias("n_errors"),
+            F.min("event_id").alias("first_event_id"),
+        )
+        .filter(F.col("n_errors") >= MIN_BURST)
+        .select("user_id", "start_ts", "end_ts", "n_errors", "first_event_id")
     )

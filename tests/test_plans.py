@@ -457,3 +457,30 @@ def test_retention_collapses_stream_before_joins(spark, sf_dir):
     assert "CartesianProduct" not in join_strategies(df)
     # the raw scan feeds exactly one aggregate before any join
     assert plan.count("Scan parquet") <= 2  # Catalyst may share or split the scan
+
+
+def test_error_burst_single_exchange_shared_windows(spark, sf_dir):
+    """Both row_number windows (all events, errors only) share ONE
+    user_id hash partitioning, and the run aggregate adds at most one
+    more exchange — the islands idiom must not re-shuffle per window."""
+    from go_http_data_pipeline_spark.operators.eventflow import (
+        error_burst_runs,
+    )
+
+    df = error_burst_runs(spark, sf_dir)
+    assert exchange_count(df) <= 2
+    assert "Join" not in plan_str(df, "simple")
+
+
+def test_sketch_eval_is_one_pass_per_table(spark, sf_dir):
+    """Each accuracy branch computes exact + approx distinct in ONE
+    aggregation pass over its table (partial+final, mergeable HLL
+    registers) — no per-metric rescans."""
+    from go_http_data_pipeline_spark.operators.aggregates import (
+        sketch_accuracy_eval,
+    )
+
+    df = sketch_accuracy_eval(spark, sf_dir)
+    plan = plan_str(df, "simple")
+    assert plan.count("Scan parquet") == 4  # one per table branch
+    assert "CartesianProduct" not in join_strategies(df)
