@@ -64,6 +64,7 @@ HEADLINE = (
     "trending_event_types",     # windowed top-k + delta-vs-previous
     "funnel_view_click_purchase",  # strict-sequence conversion funnel
     "retention_cohorts",        # weekly cohort retention matrix
+    "token_budget_selection",   # two-phase budget cutoff (no global sort)
 )
 
 

@@ -50,6 +50,7 @@ _MODULES = (
     "go_http_data_pipeline_spark.llm.cleaning",
     "go_http_data_pipeline_spark.llm.decontam",
     "go_http_data_pipeline_spark.llm.sampling",
+    "go_http_data_pipeline_spark.llm.sharding",
     "go_http_data_pipeline_spark.llm.multimodal",
 )
 

@@ -484,3 +484,47 @@ def test_sketch_eval_is_one_pass_per_table(spark, sf_dir):
     plan = plan_str(df, "simple")
     assert plan.count("Scan parquet") == 4  # one per table branch
     assert "CartesianProduct" not in join_strategies(df)
+
+
+def test_split_assignment_zero_shuffle(spark, sf_dir):
+    """Split assignment is pure per-row codegen: no exchange, no join
+    — the property that makes it reproducible as the corpus grows."""
+    from go_http_data_pipeline_spark.llm.sharding import (
+        dataset_split_assignment,
+    )
+
+    df = dataset_split_assignment(spark, sf_dir)
+    assert exchange_count(df) == 0
+    assert "Join" not in plan_str(df, "simple")
+
+
+def test_shard_manifest_single_bounded_aggregate(spark, sf_dir):
+    """The manifest is one partial+final aggregate over N_SHARDS
+    groups — the shuffle carries at most N_SHARDS rows per task."""
+    from go_http_data_pipeline_spark.llm.sharding import (
+        training_shard_manifest,
+    )
+
+    df = training_shard_manifest(spark, sf_dir)
+    assert exchange_count(df) == 1
+    assert plan_str(df).count("HashAggregate") >= 2  # partial + final
+
+
+def test_budget_selection_no_corpus_global_sort(spark, sf_dir):
+    """The budget cutoff must never sort the whole corpus in one
+    partition: the only unpartitioned window runs on the 256-row
+    bucket aggregate; the corpus-side running sum is partitioned by
+    bucket. Both small-table joins broadcast."""
+    from go_http_data_pipeline_spark.llm.sharding import (
+        token_budget_selection,
+    )
+
+    df = token_budget_selection(spark, sf_dir)
+    plan = plan_str(df, "simple")
+    strategies = join_strategies(df)
+    assert "CartesianProduct" not in strategies
+    # corpus side: the within-bucket window is hash-partitioned; the
+    # single-partition exchange exists only below the bucket-prefix
+    # window, which consumes a HashAggregate (256 rows), not a scan.
+    assert "hashpartitioning(bucket" in plan
+    assert plan.count("Scan parquet") == 2  # bucket sums + join side
