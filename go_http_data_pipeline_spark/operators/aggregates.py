@@ -470,3 +470,96 @@ def sketch_accuracy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.ceil(0.10 * F.col("exact_count")).cast("bigint")
         ).alias("within_10pct"),
     )
+
+
+@query(
+    "heavy_hitters_eval",
+    oracle="""
+    WITH t AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY event_type
+    ),
+    tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS total FROM t)
+    SELECT event_type, n_events, TRUE AS found_by_sketch
+    FROM t WHERE n_events * 10 > (SELECT total FROM tot)
+    """,
+)
+def heavy_hitters_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Property gate for the approximate frequent-items sketch
+    (``df.stat.freqItems``, the streaming-summary cousin of
+    Misra-Gries): the sketch's CONTRACT is that every item with
+    frequency > support·N appears in its result. The query computes
+    the exact heavy hitters (support 10%, integer cross-multiply
+    ``n·10 > total``) and reports whether each was found by the
+    sketch; the oracle pins TRUE — the guarantee itself — so the
+    check is deterministic even though the sketch may also surface
+    extra sub-threshold items (allowed by the contract, not
+    reported here).
+
+    Scale: freqItems is one single-pass mergeable summary per
+    partition plus a driver-side merge of <= 1/support candidate
+    items — control-plane sized; the exact side is a partial+final
+    count agg. Same differential-verification shape as
+    ``sketch_accuracy_eval``."""
+    ev = table(spark, sf_dir, "events")
+    sketch_items = ev.stat.freqItems(["event_type"], 0.1).collect()[0][0]
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    tot = counts.agg(F.sum("n_events").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .filter(F.col("n_events") * 10 > F.col("total"))
+        .select(
+            "event_type",
+            "n_events",
+            F.col("event_type").isin(list(sketch_items)).alias("found_by_sketch"),
+        )
+    )
+
+
+@query(
+    "quantile_sketch_accuracy_eval",
+    oracle="""
+    SELECT l_returnflag AS returnflag,
+           quantile_cont(l_extendedprice, 0.50) AS exact_median,
+           abs(approx_quantile(l_extendedprice, 0.50)
+               - quantile_cont(l_extendedprice, 0.50))
+               <= 0.10 * quantile_cont(l_extendedprice, 0.50)
+               AS median_within_10pct,
+           abs(approx_quantile(l_extendedprice, 0.95)
+               - quantile_cont(l_extendedprice, 0.95))
+               <= 0.10 * quantile_cont(l_extendedprice, 0.95)
+               AS p95_within_10pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def quantile_sketch_accuracy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completes the sketch-contract family (HLL →
+    ``sketch_accuracy_eval``, freqItems → ``heavy_hitters_eval``):
+    each engine runs its own approximate-quantile sketch (Spark
+    ``approx_percentile`` / KLL-style; DuckDB ``approx_quantile`` /
+    t-digest) next to the exact quantile and asserts a 10% relative
+    error bound. The hash-checked output carries the exact values and
+    the per-engine accuracy booleans — sketch internals stay
+    engine-specific, the CONTRACT is cross-checked.
+
+    Scale: the approximate side is the one that exists at 100 TB —
+    mergeable one-pass summaries; the exact side (per-group sort) is
+    the small-scale referee."""
+    li = table(spark, sf_dir, "lineitem")
+    exact_m = F.expr("percentile(l_extendedprice, 0.50)")
+    exact_p95 = F.expr("percentile(l_extendedprice, 0.95)")
+    apx_m = F.expr("approx_percentile(l_extendedprice, 0.50)")
+    apx_p95 = F.expr("approx_percentile(l_extendedprice, 0.95)")
+    return (
+        li.groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(
+            exact_m.alias("exact_median"),
+            (F.abs(apx_m - exact_m) <= 0.10 * exact_m).alias(
+                "median_within_10pct"
+            ),
+            (F.abs(apx_p95 - exact_p95) <= 0.10 * exact_p95).alias(
+                "p95_within_10pct"
+            ),
+        )
+    )

@@ -256,3 +256,64 @@ def price_band_density(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w_range).alias("n_in_band"),
         F.first("o_orderkey").over(w_rows).alias("cheapest_so_far"),
     )
+
+
+@query(
+    "trailing_30min_user_load",
+    oracle=f"""
+    WITH secs AS (
+        SELECT event_id, user_id, ts, value,
+               epoch_us(ts) // 1000000 AS sec
+        FROM events
+    )
+    SELECT event_id, user_id, ts,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_last_30min,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+               AS load_last_30min
+    FROM secs
+    WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                 RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW)
+    """,
+)
+def trailing_30min_user_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame: for every event, how many events (and
+    how much total value) its user produced in the trailing 30
+    minutes INCLUDING simultaneous events — the rolling-load shape
+    behind rate limiting and burst pricing. Unlike the ROWS frames
+    elsewhere, the frame is defined by event-TIME distance, so
+    same-second peers are always in frame together (both engines
+    share RANGE peer semantics on the integer seconds key).
+
+    The frame key is NTZ-safe integer epoch seconds (timestampdiff
+    from the epoch literal — floor(us/1e6), matching the oracle's
+    epoch_us // 1e6); the sum is the exact-decimal window pattern so
+    float order inside the frame can't drift the hash.
+
+    Physical plan: one hash partition by user_id + one sort — the
+    running-frame aggregation is a single pass per partition; no
+    self-join-per-row (the naive O(n²) formulation)."""
+    ev = table(spark, sf_dir, "events")
+    secs = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.expr(
+            "timestampdiff(SECOND, timestamp_ntz'1970-01-01 00:00:00', ts)"
+        ).alias("sec"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-1800, Window.currentRow)
+    )
+    return secs.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_last_30min"),
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .over(w)
+        .cast("double")
+        .alias("load_last_30min"),
+    )
