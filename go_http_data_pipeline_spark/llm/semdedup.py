@@ -89,6 +89,29 @@ _PAIRS_SQL = f"""
 """
 
 
+# Seed-centroid best-expr memo: the K centroid rows are control-plane
+# data collected ONCE per (session, sf) — verdicts and the recall
+# eval would otherwise each re-run the identical collect job.
+_BEST_CACHE: dict = {}
+
+
+def _seed_best_expr(spark: SparkSession, sf_dir: str) -> str:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    best = _BEST_CACHE.get(key)
+    if best is None:
+        vecs = _quantized(spark, sf_dir)
+        cents0 = [
+            (r["vec_id"], r["q"])
+            for r in sorted(
+                vecs.filter(F.col("vec_id") < K).collect(),
+                key=lambda r: r["vec_id"],
+            )
+        ]
+        best = _best_expr(_cent_literal(cents0))
+        _BEST_CACHE[key] = best
+    return best
+
+
 def _cluster_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_a, vec_b, cid): intra-cluster pairs with cosine >= TAU.
 
@@ -97,13 +120,7 @@ def _cluster_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the self-join shuffles once on cid; the cosine filter runs
     inside codegen on exact integer dot/norm folds."""
     vecs = _quantized(spark, sf_dir)
-    cents0 = [
-        (r["vec_id"], r["q"])
-        for r in sorted(
-            vecs.filter(F.col("vec_id") < K).collect(), key=lambda r: r["vec_id"]
-        )
-    ]
-    best = _best_expr(_cent_literal(cents0))
+    best = _seed_best_expr(spark, sf_dir)
     assigned = vecs.select(
         "vec_id",
         "q",
@@ -168,25 +185,24 @@ def semantic_dedup_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup verdict per vector: nearest-centroid cluster, number
     of intra-cluster semantic duplicates (cosine >= TAU), and the
     keep/drop decision — a vector is dropped iff some LOWER-id vector
-    in its cluster is a near-duplicate, so exactly one representative
-    (the lowest id) survives each duplicate chain. Deterministic: no
-    sampling, no float ambiguity (exact integer dots, one IEEE
-    division).
+    in its cluster is a near-duplicate. The lowest id of any pair
+    always survives, and every pair loses at least one endpoint;
+    when the pair relation is non-transitive a chain can keep more
+    than one survivor (pairs (a,c),(b,c) with a<b<c keep both a and
+    b) — the SemDeDup paper's per-pair drop rule, not a
+    connected-component dedup (that is ``dedup_components``' job).
+    Deterministic: no sampling, no float ambiguity (exact integer
+    dots, one IEEE division).
 
     Physical plan: projection (assign) → one cid-shuffled self-join
     bounded by cluster sizes → pair-endpoint aggregation that is
     O(duplicate pairs). Contrast ``embedding_neardup_pairs``: same
     threshold, exhaustive O(N²); this is the curation-scale path."""
     pairs = _cluster_pairs(spark, sf_dir)
-    vecs = _quantized(spark, sf_dir)
-    cents0 = [
-        (r["vec_id"], r["q"])
-        for r in sorted(
-            vecs.filter(F.col("vec_id") < K).collect(), key=lambda r: r["vec_id"]
-        )
-    ]
-    best = _best_expr(_cent_literal(cents0))
-    assigned = vecs.select("vec_id", F.expr(f"{best}.cid").alias("cid"))
+    best = _seed_best_expr(spark, sf_dir)
+    assigned = _quantized(spark, sf_dir).select(
+        "vec_id", F.expr(f"{best}.cid").alias("cid")
+    )
     sides = pairs.select(
         F.col("vec_a").alias("vec_id"), F.col("vec_b").alias("partner")
     ).unionAll(

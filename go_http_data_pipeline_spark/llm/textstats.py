@@ -469,9 +469,13 @@ _RARITY_SCALE = 1_000_000_000_000
         FROM vocab
     ),
     v2 AS (
+        -- rare threshold: cnt < total/(2*n_terms) exactly, via
+        -- cnt <= (total-1) // (2*n_terms) — integer-only and
+        -- overflow-free (no cnt*n_terms product, which exceeds
+        -- BIGINT for web-scale vocabularies).
         SELECT term, cnt,
-               CASE WHEN 2 * cnt * (SELECT n_terms FROM tot)
-                         < (SELECT total FROM tot)
+               CASE WHEN cnt <= ((SELECT total FROM tot) - 1)
+                               // (2 * (SELECT n_terms FROM tot))
                     THEN 1 ELSE 0 END AS rare,
                {_RARITY_SCALE} // cnt AS rarity
         FROM vocab
@@ -490,7 +494,8 @@ def token_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-frequency-based quality signals per document: how many
     of a doc's tokens are RARE in the whole corpus (count below half
     the mean term frequency — a data-adaptive threshold, exact via
-    the integer cross-multiply ``2·cnt·n_terms < total``) plus an
+    the overflow-free integer form ``cnt <= (total-1) div
+    (2·n_terms)``) plus an
     integer rarity score (Σ floor(1e12 / corpus_count) — monotone in
     inverse document frequency without a single transcendental).
     Complements ``repetition_scores``: that one is per-doc-local,
@@ -509,12 +514,17 @@ def token_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = vocab.agg(
         F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("n_terms")
     )
+    # rare: cnt < total/(2*n_terms) exactly, as cnt <= (total-1) div
+    # (2*n_terms) — no cnt*n_terms product, so the comparison cannot
+    # overflow BIGINT however large the vocabulary gets (the product
+    # form would: n_terms ~1e9 x a hot token's cnt ~5e9 > 2^63).
     v2 = (
         vocab.crossJoin(F.broadcast(tot))
         .select(
             "term",
             F.when(
-                2 * F.col("cnt") * F.col("n_terms") < F.col("total"), 1
+                F.col("cnt")
+                <= F.expr("(total - 1) div (2 * n_terms)"), 1
             ).otherwise(0).alias("rare"),
             F.expr(f"{_RARITY_SCALE}L div cnt").alias("rarity"),
         )

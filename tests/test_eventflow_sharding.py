@@ -152,10 +152,12 @@ def test_budget_selection_boundary(spark, sf_dir):
         assert r["cum_tokens"] == run
 
 
-def test_semdedup_keeps_exactly_one_per_pairwise_chain(spark, sf_dir):
-    """Every near-dup pair must have at least one dropped endpoint,
-    the lowest id of any pair is never dropped because of a HIGHER
-    partner, and vectors with no near-dups are all kept."""
+def test_semdedup_drop_rule_invariants(spark, sf_dir):
+    """The per-pair drop rule's true invariants: drops only happen to
+    vectors with near-dups, loners are all kept, and the lowest
+    duplicated id always survives. (NOT one-survivor-per-chain: the
+    pair relation is not transitive — component dedup is
+    dedup_components' job.)"""
     from go_http_data_pipeline_spark.llm.semdedup import (
         semantic_dedup_verdicts,
     )
