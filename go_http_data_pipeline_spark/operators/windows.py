@@ -317,3 +317,41 @@ def trailing_30min_user_load(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("load_last_30min"),
     )
+
+
+@query(
+    "supplier_balance_standing",
+    oracle="""
+    SELECT s.s_suppkey, n.n_name AS nation, s.s_acctbal,
+           percent_rank() OVER w AS balance_pct_rank,
+           cume_dist() OVER w AS balance_cume_dist
+    FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WINDOW w AS (PARTITION BY n.n_name ORDER BY s.s_acctbal)
+    """,
+)
+def supplier_balance_standing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank window functions: each supplier's
+    ``percent_rank`` ((rank-1)/(n-1)) and ``cume_dist`` (fraction of
+    peers at or below) of account balance WITHIN its nation — the
+    relative-standing shape behind percentile-based alerting. Both
+    functions are tie-aware by the SQL standard, so ordering by the
+    bare balance is deterministic without a tiebreaker column, and
+    the single-row-partition edge (percent_rank = 0, cume_dist = 1)
+    is pinned by the cross-engine hash.
+
+    One broadcast dim join, one hash partition by nation for both
+    window functions (same spec, one sort)."""
+    sup = table(spark, sf_dir, "supplier")
+    nat = table(spark, sf_dir, "nation")
+    w = Window.partitionBy("nation").orderBy("s_acctbal")
+    return (
+        sup.join(
+            F.broadcast(nat),
+            sup["s_nationkey"] == nat["n_nationkey"],
+        )
+        .select(
+            "s_suppkey", F.col("n_name").alias("nation"), "s_acctbal"
+        )
+        .withColumn("balance_pct_rank", F.percent_rank().over(w))
+        .withColumn("balance_cume_dist", F.cume_dist().over(w))
+    )
