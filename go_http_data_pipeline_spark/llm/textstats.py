@@ -542,3 +542,70 @@ def token_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+TOP_BPE_PAIRS = 10
+
+
+@query(
+    "bpe_pair_counts",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    vocab AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY term),
+    pairs AS (
+        SELECT p.pair, CAST(SUM(v.cnt) AS BIGINT) AS weight
+        FROM vocab v, LATERAL (
+            SELECT unnest(list_transform(
+                       generate_series(1, len(v.term) - 1),
+                       i -> substr(v.term, CAST(i AS INT), 2))) AS pair
+        ) p
+        GROUP BY p.pair
+    )
+    SELECT pair, weight,
+           CAST(ROW_NUMBER() OVER (ORDER BY weight DESC, pair) AS BIGINT) AS rk
+    FROM pairs
+    QUALIFY rk <= {TOP_BPE_PAIRS}
+    """,
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE-trainer iteration: corpus-weighted frequencies of
+    adjacent character pairs, computed over the VOCABULARY (term,
+    count) rather than the token stream — the standard sharding trick
+    in tokenizer training (pair work is O(distinct terms x term
+    length), corpus frequency enters as a weight, so a trillion-token
+    corpus costs the same pair pass as its vocabulary). Top pair = the
+    merge a BPE trainer would apply next; rank ties break
+    lexicographically so the winner is deterministic.
+
+    Physical plan: token->vocab count agg (one shuffle, map-side
+    combine), per-term pair explosion in codegen (guarded sequence —
+    1-char terms produce no pairs in either engine), a second
+    pair-sum agg, and a WindowGroupLimit top-k. The global top-k
+    window runs over distinct pairs (bounded by charset², tiny);
+    at a real charset the same two-agg shape holds."""
+    toks = table(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("term")
+    )
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    starts = (
+        "if(length(term) - 1 >= 1, sequence(1, length(term) - 1),"
+        " cast(array() as array<int>))"
+    )
+    pairs = (
+        vocab.select(
+            "cnt",
+            F.explode(
+                F.expr(f"transform({starts}, i -> substring(term, i, 2))")
+            ).alias("pair"),
+        )
+        .groupBy("pair")
+        .agg(F.sum("cnt").alias("weight"))
+    )
+    w = Window.orderBy(F.desc("weight"), "pair")
+    return (
+        pairs.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= TOP_BPE_PAIRS)
+        .select("pair", "weight", "rk")
+    )

@@ -528,3 +528,19 @@ def test_budget_selection_no_corpus_global_sort(spark, sf_dir):
     # window, which consumes a HashAggregate (256 rows), not a scan.
     assert "hashpartitioning(bucket" in plan
     assert plan.count("Scan parquet") == 2  # bucket sums + join side
+
+
+def test_bpe_pairs_two_bounded_aggregates(spark, sf_dir):
+    """BPE pair counting runs over the VOCABULARY, not the token
+    stream: two partial+final aggregates (term counts, pair sums) and
+    a WindowGroupLimit top-k over the charset²-bounded pair table."""
+    from go_http_data_pipeline_spark.llm.textstats import bpe_pair_counts
+
+    df = bpe_pair_counts(spark, sf_dir)
+    plan = plan_str(df)
+    assert plan.count("HashAggregate") >= 4  # 2x (partial+final)
+    # Catalyst compiles the global row_number<=k filter down to
+    # TakeOrderedAndProject — per-partition top-k then a k-row merge
+    # (strictly better than a WindowGroupLimit over a full sort).
+    assert "TakeOrderedAndProject" in plan or "WindowGroupLimit" in plan
+    assert "Join" not in plan_str(df, "simple")
