@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from .clustering import (
+    _DIST,
     K,
     _ASSIGN1_SQL,
     _QLONG_SQL,
@@ -95,10 +96,10 @@ _PAIRS_SQL = f"""
 _BEST_CACHE: dict = {}
 
 
-def _seed_best_expr(spark: SparkSession, sf_dir: str) -> str:
+def _seed_cents_literal(spark: SparkSession, sf_dir: str) -> str:
     key = (spark.sparkContext.applicationId, sf_dir)
-    best = _BEST_CACHE.get(key)
-    if best is None:
+    lit = _BEST_CACHE.get(key)
+    if lit is None:
         vecs = _quantized(spark, sf_dir)
         cents0 = [
             (r["vec_id"], r["q"])
@@ -107,9 +108,26 @@ def _seed_best_expr(spark: SparkSession, sf_dir: str) -> str:
                 key=lambda r: r["vec_id"],
             )
         ]
-        best = _best_expr(_cent_literal(cents0))
-        _BEST_CACHE[key] = best
-    return best
+        lit = _cent_literal(cents0)
+        _BEST_CACHE[key] = lit
+    return lit
+
+
+def _seed_best_expr(spark: SparkSession, sf_dir: str) -> str:
+    return _best_expr(_seed_cents_literal(spark, sf_dir))
+
+
+def _seed_top2_expr(spark: SparkSession, sf_dir: str) -> str:
+    """array<struct<dist_sq,cid>> of the TWO nearest seed centroids —
+    array_sort over structs is lexicographic (dist_sq, cid), the same
+    ordering the oracle's ROW_NUMBER uses; still a pure codegen
+    projection, no join."""
+    lit = _seed_cents_literal(spark, sf_dir)
+    d = _DIST.format(a="q", b="c.cq")
+    return (
+        f"slice(array_sort(transform({lit},"
+        f" c -> named_struct('dist_sq', {d}, 'cid', c.cid))), 1, 2)"
+    )
 
 
 def _cluster_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -289,5 +307,157 @@ def semdedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_bucketed_pairs").cast("double")
                 / F.nullif(F.col("n_true_pairs"), F.lit(0))
             ).alias("recall"),
+        )
+    )
+
+
+def _multiassign_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_a, vec_b): cosine >= TAU pairs found when every vector
+    belongs to its TWO nearest seed clusters — the SemDeDup recall
+    knob (a boundary vector sits in both clusters it straddles, so
+    pairs across that boundary become candidates). Candidates from
+    either shared cluster are DISTINCT'd before the exact dot, so a
+    pair colliding in both clusters is verified once."""
+    vecs = _quantized(spark, sf_dir)
+    top2 = _seed_top2_expr(spark, sf_dir)
+    assigned = vecs.select(
+        "vec_id", F.explode(F.expr(f"transform({top2}, s -> s.cid)")).alias("cid")
+    )
+    a = assigned.select(F.col("vec_id").alias("vec_a"), "cid")
+    b = assigned.select(F.col("vec_id").alias("vec_b"), "cid")
+    cand = (
+        a.join(b, ["cid"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    qa = vecs.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("q").alias("qa"),
+        F.expr(_NORM2).alias("na2"),
+    )
+    qb = vecs.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("q").alias("qb"),
+        F.expr(_NORM2).alias("nb2"),
+    )
+    dot = (
+        "aggregate(zip_with(qa, qb, (x, y) -> x * y),"
+        " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    return (
+        cand.join(qa, ["vec_a"])
+        .join(qb, ["vec_b"])
+        .withColumn("dot", F.expr(dot))
+        .withColumn(
+            "cosine",
+            F.col("dot").cast("double")
+            / (
+                F.sqrt(F.col("na2").cast("double"))
+                * F.sqrt(F.col("nb2").cast("double"))
+            ),
+        )
+        .filter(F.col("cosine") >= TAU)
+        .select("vec_a", "vec_b")
+    )
+
+
+@query(
+    "semdedup_multiassign_recall",
+    oracle=f"""
+    WITH {_PAIRS_SQL},
+    assignk AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY dist_sq, cid) AS rn
+            FROM dist1
+        ) WHERE rn <= 2
+    ),
+    cand2 AS (
+        SELECT DISTINCT a1.vec_id AS vec_a, a2.vec_id AS vec_b
+        FROM assignk a1
+        JOIN assignk a2 ON a1.cid = a2.cid AND a1.vec_id < a2.vec_id
+    ),
+    dots2 AS (
+        SELECT c.vec_a, c.vec_b, CAST(SUM(va.qd * vb.qd) AS BIGINT) AS dot
+        FROM cand2 c
+        JOIN qlong va ON va.vec_id = c.vec_a
+        JOIN qlong vb ON vb.vec_id = c.vec_b AND vb.d = va.d
+        GROUP BY c.vec_a, c.vec_b
+    ),
+    pairs2 AS (
+        SELECT d.vec_a, d.vec_b
+        FROM dots2 d
+        JOIN norms na ON na.vec_id = d.vec_a
+        JOIN norms nb ON nb.vec_id = d.vec_b
+        WHERE CAST(d.dot AS DOUBLE)
+              / (sqrt(CAST(na.nrm2 AS DOUBLE)) * sqrt(CAST(nb.nrm2 AS DOUBLE)))
+              >= {TAU}
+    ),
+    brute AS (
+        SELECT va.vec_id AS vec_a, vb.vec_id AS vec_b,
+               CAST(SUM(va.qd * vb.qd) AS BIGINT) AS dot
+        FROM qlong va
+        JOIN qlong vb ON vb.d = va.d AND va.vec_id < vb.vec_id
+        GROUP BY va.vec_id, vb.vec_id
+    ),
+    true_pairs AS (
+        SELECT b.vec_a, b.vec_b
+        FROM brute b
+        JOIN norms na ON na.vec_id = b.vec_a
+        JOIN norms nb ON nb.vec_id = b.vec_b
+        WHERE CAST(b.dot AS DOUBLE)
+              / (sqrt(CAST(na.nrm2 AS DOUBLE)) * sqrt(CAST(nb.nrm2 AS DOUBLE)))
+              >= {TAU}
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM true_pairs) AS n_true_pairs,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_single_pairs,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs2) AS n_multi_pairs,
+           CAST((SELECT COUNT(*) FROM pairs) AS DOUBLE)
+               / NULLIF((SELECT COUNT(*) FROM true_pairs), 0) AS recall_single,
+           CAST((SELECT COUNT(*) FROM pairs2) AS DOUBLE)
+               / NULLIF((SELECT COUNT(*) FROM true_pairs), 0) AS recall_multi
+    """,
+)
+def semdedup_multiassign_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SemDeDup recall knob, measured: assigning every vector to
+    its TWO nearest seed centroids (multi-assignment — the same trick
+    as ANN multiprobe) recovers cluster-boundary pairs that
+    single-assignment misses, at ~2× candidate cost. One row compares
+    single-assign vs multi-assign pair recall against the exact
+    all-pairs ground truth; multi-assign candidates are a superset of
+    single-assign by construction, so recall_multi >= recall_single
+    always.
+
+    All three pair sets are DataFrame aggregates joined as 1-row
+    scalars — no driver-side pair materialization."""
+    from .similarity import embedding_neardup_pairs
+
+    true_cnt = (
+        embedding_neardup_pairs(spark, sf_dir)
+        .agg(F.count(F.lit(1)).alias("n_true_pairs"))
+    )
+    single_cnt = _cluster_pairs(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("n_single_pairs")
+    )
+    multi_cnt = _multiassign_pairs(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("n_multi_pairs")
+    )
+    return (
+        true_cnt.crossJoin(F.broadcast(single_cnt))
+        .crossJoin(F.broadcast(multi_cnt))
+        .select(
+            "n_true_pairs",
+            "n_single_pairs",
+            "n_multi_pairs",
+            (
+                F.col("n_single_pairs").cast("double")
+                / F.nullif(F.col("n_true_pairs"), F.lit(0))
+            ).alias("recall_single"),
+            (
+                F.col("n_multi_pairs").cast("double")
+                / F.nullif(F.col("n_true_pairs"), F.lit(0))
+            ).alias("recall_multi"),
         )
     )
