@@ -131,6 +131,28 @@ def lsh_bands_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bands
 
 
+def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_a < doc_b) band-collision candidate pairs from
+    the persisted LSH index — the shared front half of every
+    verification strategy (exact Jaccard, edit distance). The join
+    runs on (band, sig) over the signature table, so candidates —
+    not the corpus square — bound the cost."""
+    bands = lsh_bands_cached(spark, sf_dir)
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
 @query(
     "dedup_exact",
     oracle="""
@@ -266,20 +288,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     intermediate (at cluster scale: a checkpointed table) instead of
     4x-recomputed lineage."""
     sh = shingles_cached(spark, sf_dir)
-    bands = lsh_bands_cached(spark, sf_dir)
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
+    cand = lsh_candidate_pairs(spark, sf_dir)
     cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sa, sb = sh.alias("sa"), sh.alias("sb")
     common = (
@@ -676,4 +685,114 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("component_id") == F.col("doc_id"), 1)
         .otherwise(0)
         .alias("is_keeper"),
+    )
+
+
+@query(
+    "dup_span_coverage",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    df AS (
+        SELECT shingle, COUNT(*) AS df FROM shingles GROUP BY shingle
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_shingles,
+           (CAST(SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*)) AS dup_coverage
+    FROM shingles s JOIN df d USING (shingle)
+    GROUP BY s.doc_id
+    """,
+)
+def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-span coverage per document: the fraction of a doc's
+    distinct word-3-gram shingles that also occur in at least one
+    OTHER place in the corpus — the span-level dup metric behind
+    substring-dedup decisions (a doc that is 90% duplicated spans is
+    boilerplate even if no single whole-doc near-dup exists).
+
+    Physical plan: the persisted shingle cache (already hash-
+    partitioned by ``sh_h``) feeds both the document-frequency agg
+    and the probe side, so the df groupBy and the df join are both
+    exchange-free on the shingle key; the only new shuffle is the
+    final per-doc rollup, carrying one row per (doc, shingle) —
+    never the text. At 100 TB this is two passes over a bucketed
+    shingle table, the same shape substring-dedup pipelines
+    (suffix-array approximations) reduce to."""
+    sh = shingles_cached(spark, sf_dir)
+    dfc = sh.groupBy("sh_h").agg(F.count(F.lit(1)).alias("df"))
+    n_dup = F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+    return (
+        sh.join(dfc, "sh_h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            n_dup.alias("n_dup_shingles"),
+            (n_dup.cast("double") / F.count(F.lit(1))).alias("dup_coverage"),
+        )
+    )
+
+
+# Prefix bound for candidate-pair edit-distance verification:
+# levenshtein is O(|a|·|b|) PER PAIR, so unbounded document bodies
+# would make verification cost depend on the corpus's longest outlier.
+# Truncating both sides to a fixed prefix caps per-pair work at
+# EDIT_PREFIX² cells regardless of document length — the standard
+# budget trick for edit-based near-dup verification at corpus scale.
+EDIT_PREFIX = 500
+
+
+@query(
+    "neardup_edit_distance",
+    oracle=f"""
+    WITH {_SHINGLES_SQL}, {_MINHASH_SQL},
+    cand_txt AS (
+        SELECT c.doc_a, c.doc_b,
+               substr(da.text, 1, {EDIT_PREFIX}) AS ta,
+               substr(db.text, 1, {EDIT_PREFIX}) AS tb
+        FROM candidates c
+        JOIN documents da ON da.doc_id = c.doc_a
+        JOIN documents db ON db.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b,
+           CAST(levenshtein(ta, tb) AS BIGINT) AS edit_distance,
+           (1.0 - CAST(levenshtein(ta, tb) AS DOUBLE)
+                / GREATEST(len(ta), len(tb), 1)) AS edit_similarity
+    FROM cand_txt
+    """,
+)
+def neardup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification of the MinHash-LSH candidate pairs:
+    character-level Levenshtein over a fixed document prefix, plus a
+    normalized similarity in [0, 1] — the second, orthogonal verifier
+    next to exact Jaccard (``minhash_lsh_pairs``): Jaccard sees
+    bag-of-shingles overlap, edit distance sees ORDER, so the two
+    disagree exactly on reshuffled-content pairs.
+
+    Scale: cost is O(candidates × EDIT_PREFIX²) — the LSH band join
+    bounds candidates ~O(near-dups), and the prefix bound caps the
+    per-pair quadratic. ``levenshtein`` is a JVM codegen scalar in
+    Spark and a native scalar in DuckDB with identical semantics
+    (pinned by tests/test_llm edge cases). The candidate pairs carry
+    only ids; document prefixes join in afterwards so the band join
+    never shuffles text."""
+    cand = lsh_candidate_pairs(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, EDIT_PREFIX).alias("t")
+    )
+    da, db = docs.alias("da"), docs.alias("db")
+    d = F.levenshtein(F.col("da.t"), F.col("db.t"))
+    denom = F.greatest(
+        F.length(F.col("da.t")), F.length(F.col("db.t")), F.lit(1)
+    )
+    return (
+        cand.join(da, F.col("da.doc_id") == F.col("doc_a"))
+        .join(db, F.col("db.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            d.cast("bigint").alias("edit_distance"),
+            (F.lit(1.0) - d.cast("double") / denom).alias("edit_similarity"),
+        )
     )
