@@ -20,7 +20,7 @@ from pyspark.sql.functions import pandas_udf
 
 from ..catalog import table
 from ..determinism import MERSENNE31 as P
-from ..determinism import ngram_starts_sql
+from ..determinism import md5_int, md5_int_sql, ngram_starts_sql
 from ..registry import query
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
@@ -608,4 +608,258 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rk") <= TOP_BPE_PAIRS)
         .select("pair", "weight", "rk")
+    )
+
+
+# Hashed-feature linear quality classifier: 2^16 hash buckets, integer
+# weights derived from md5 of the bucket id. Stands in for a trained
+# fastText-style quality filter: at production scale the weight vector
+# is a broadcast lookup table; a hash-derived weight FUNCTION has the
+# same physical plan minus even that broadcast — every token's feature
+# hash and weight computes inside codegen, so scoring a 100 TB corpus
+# is one narrow map + one per-doc sum, no Python anywhere.
+N_BUCKETS = 65536
+_W_MOD = 2001  # weights span [-1000, 1000]
+
+
+@query(
+    "quality_classifier_logits",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    feat AS (
+        SELECT doc_id,
+               ({md5_int_sql(f"'w' || CAST({md5_int_sql('term')} % {N_BUCKETS} AS VARCHAR)")}
+                % {_W_MOD}) - {(_W_MOD - 1) // 2} AS w
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(w) AS BIGINT) AS logit,
+           (CAST(SUM(w) AS DOUBLE) / COUNT(*)) AS mean_weight,
+           (SUM(w) > 0) AS keep
+    FROM feat
+    GROUP BY doc_id
+    """,
+)
+def quality_classifier_logits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier scoring over hashed bag-of-words
+    features (the fastText-filter shape used for corpus quality
+    gating): token -> 16-bit feature hash -> integer weight ->
+    per-document logit, keep iff logit > 0.
+
+    All arithmetic is md5-derived integers (``determinism.md5_int``),
+    so the scores are bit-exact across engines — the point being that
+    CLASSIFIER APPLICATION at corpus scale is a pure codegen map +
+    one per-doc aggregation: no UDF, no model server, no shuffle
+    beyond the doc rollup. Swapping the hash-derived weight for a
+    real trained vector changes this plan only by one broadcast
+    join on the bucket id."""
+    toks = table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    bucket = (md5_int("term") % N_BUCKETS).cast("string")
+    w = (md5_int(F.concat(F.lit("w"), bucket)) % _W_MOD) - (_W_MOD - 1) // 2
+    return (
+        toks.select("doc_id", w.alias("w"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("w").alias("logit"),
+            (F.sum("w").cast("double") / F.count(F.lit(1))).alias(
+                "mean_weight"
+            ),
+            (F.sum("w") > 0).alias("keep"),
+        )
+    )
+
+
+# Iteration-1 pair counting as a reusable SQL body (shared by
+# bpe_pair_counts' oracle shape and bpe_apply_merge's top-1 pick).
+_BPE_VOCAB_SQL = """
+    bpe_toks AS (
+        SELECT unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    bpe_vocab AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM bpe_toks WHERE len(term) >= 1 GROUP BY term
+    ),
+    bpe_pairs1 AS (
+        SELECT p.pair, SUM(v.cnt) AS weight
+        FROM bpe_vocab v, LATERAL (
+            SELECT unnest(list_transform(
+                       generate_series(1, len(v.term) - 1),
+                       i -> substr(v.term, CAST(i AS INT), 2))) AS pair
+        ) p
+        GROUP BY p.pair
+    ),
+    bpe_top1 AS (
+        SELECT substr(pair, 1, 1) AS x, substr(pair, 2, 1) AS y
+        FROM bpe_pairs1 ORDER BY weight DESC, pair LIMIT 1
+    )
+"""
+
+
+@query(
+    "bpe_apply_merge",
+    oracle=f"""
+    WITH {_BPE_VOCAB_SQL},
+    chars AS (
+        SELECT v.term, v.cnt, t.i, substr(v.term, CAST(t.i AS INT), 1) AS c
+        FROM bpe_vocab v, LATERAL (
+            SELECT unnest(generate_series(1, len(v.term))) AS i
+        ) t
+    ),
+    marked AS (
+        SELECT c.term, c.cnt, c.i, c.c, b.x, b.y,
+               CASE WHEN c.c = b.x
+                     AND lead(c.c) OVER (PARTITION BY c.term ORDER BY c.i) = b.y
+                    THEN 1 ELSE 0 END AS m
+        FROM chars c, bpe_top1 b
+    ),
+    run AS (
+        SELECT *, SUM(m) OVER (PARTITION BY term ORDER BY i) AS running
+        FROM marked
+    ),
+    isl AS (
+        SELECT *, CASE WHEN m = 1 THEN i - running END AS island FROM run
+    ),
+    offs AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY term, island ORDER BY i)
+                      AS off
+        FROM isl
+    ),
+    ms AS (
+        SELECT *, (m = 1 AND off % 2 = 1) AS merge_start FROM offs
+    ),
+    sy AS (
+        SELECT term, cnt, i, x, y,
+               CASE WHEN merge_start THEN x || y
+                    WHEN lag(merge_start, 1, false)
+                             OVER (PARTITION BY term ORDER BY i) THEN NULL
+                    ELSE c END AS sym
+        FROM ms
+    ),
+    seq AS (SELECT * FROM sy WHERE sym IS NOT NULL),
+    pairs2 AS (
+        SELECT sym || '+' || lead(sym) OVER (PARTITION BY term ORDER BY i)
+                   AS pair,
+               cnt
+        FROM seq
+    ),
+    agg AS (
+        SELECT pair, CAST(SUM(cnt) AS BIGINT) AS weight
+        FROM pairs2 WHERE pair IS NOT NULL GROUP BY pair
+    )
+    SELECT b.x || b.y AS merged_symbol, a.pair, a.weight,
+           CAST(ROW_NUMBER() OVER (ORDER BY a.weight DESC, a.pair) AS BIGINT)
+               AS rk
+    FROM agg a, bpe_top1 b
+    QUALIFY rk <= {TOP_BPE_PAIRS}
+    """,
+)
+def bpe_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SECOND BPE-trainer iteration: apply the iteration-1 winning
+    merge to every vocabulary term (greedy, left-to-right,
+    non-overlapping — the exact semantics of a BPE tokenizer) and
+    recount adjacent-symbol pairs under the new segmentation.
+
+    Greedy non-overlap is the subtle part when x == y ("aaa" merges
+    to ["aa","a"], not twice): merge starts are the ODD offsets
+    within each maximal run of consecutive pair-matches, computed
+    with a gaps-and-islands window (running match count -> island id
+    -> in-island row_number) — no UDF, no per-term Python loop, so
+    the merge applies to a trillion-token corpus as a handful of
+    window passes over the VOCABULARY (O(distinct terms × length),
+    corpus frequency enters as a weight).
+
+    The winning merge itself is data-derived (same deterministic
+    tie-break as ``bpe_pair_counts``) and broadcast as a 1-row
+    scalar; post-merge pairs are keyed ``sym_a+sym_b`` so multi-char
+    symbols stay unambiguous."""
+    toks = table(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("term")
+    )
+    vocab = (
+        toks.filter(F.length("term") >= 1)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    starts = (
+        "if(length(term) - 1 >= 1, sequence(1, length(term) - 1),"
+        " cast(array() as array<int>))"
+    )
+    pairs1 = (
+        vocab.select(
+            "cnt",
+            F.explode(
+                F.expr(f"transform({starts}, i -> substring(term, i, 2))")
+            ).alias("pair"),
+        )
+        .groupBy("pair")
+        .agg(F.sum("cnt").alias("weight"))
+    )
+    top1 = (
+        pairs1.orderBy(F.desc("weight"), "pair")
+        .limit(1)
+        .select(
+            F.substring("pair", 1, 1).alias("x"),
+            F.substring("pair", 2, 1).alias("y"),
+        )
+    )
+    chars = vocab.select(
+        "term",
+        "cnt",
+        F.explode(F.expr("sequence(1, length(term))")).alias("i"),
+    ).select("term", "cnt", "i", F.expr("substring(term, i, 1)").alias("c"))
+    wt = Window.partitionBy("term").orderBy("i")
+    df = (
+        chars.crossJoin(F.broadcast(top1))
+        .withColumn("nxt", F.lead("c").over(wt))
+        .withColumn(
+            "m",
+            F.when(
+                (F.col("c") == F.col("x")) & (F.col("nxt") == F.col("y")), 1
+            ).otherwise(0),
+        )
+        .withColumn("running", F.sum("m").over(wt))
+        .withColumn(
+            "island", F.when(F.col("m") == 1, F.col("i") - F.col("running"))
+        )
+    )
+    wisl = Window.partitionBy("term", "island").orderBy("i")
+    df = (
+        df.withColumn("off", F.row_number().over(wisl))
+        .withColumn(
+            "ms", (F.col("m") == 1) & (F.col("off") % 2 == 1)
+        )
+        .withColumn("skip", F.lag("ms", 1, False).over(wt))
+        .withColumn(
+            "sym",
+            F.when(F.col("ms"), F.concat("x", "y"))
+            .when(F.col("skip"), F.lit(None))
+            .otherwise(F.col("c")),
+        )
+    )
+    seq = df.filter(F.col("sym").isNotNull()).select(
+        "term", "cnt", "i", "x", "y", "sym"
+    )
+    pairs2 = (
+        seq.withColumn("nxt2", F.lead("sym").over(wt))
+        .filter(F.col("nxt2").isNotNull())
+        .select(
+            F.concat("x", "y").alias("merged_symbol"),
+            F.concat_ws("+", "sym", "nxt2").alias("pair"),
+            "cnt",
+        )
+        .groupBy("merged_symbol", "pair")
+        .agg(F.sum("cnt").alias("weight"))
+    )
+    w = Window.orderBy(F.desc("weight"), "pair")
+    return (
+        pairs2.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= TOP_BPE_PAIRS)
+        .select("merged_symbol", "pair", "weight", "rk")
     )
