@@ -350,3 +350,123 @@ def trending_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TRENDING_TOP_N)
         .select("w_start", "event_type", "n_events", "rk", "delta")
     )
+
+
+@query(
+    "gap_filled_daily_activity",
+    oracle=f"""
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               COUNT(*) AS n, {dsum_sql('value', 4)} AS day_value
+        FROM events GROUP BY 1, 2
+    ),
+    span AS (
+        SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1
+    ),
+    cal AS (
+        SELECT user_id,
+               CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+                   AS day
+        FROM span
+    ),
+    filled AS (
+        SELECT c.user_id, c.day, d.n, d.day_value
+        FROM cal c LEFT JOIN daily d USING (user_id, day)
+    )
+    SELECT user_id, day,
+           CAST(COALESCE(n, 0) AS BIGINT) AS n_events,
+           last_value(day_value IGNORE NULLS) OVER w AS ffill_value,
+           CAST(day - last_value(CASE WHEN n IS NOT NULL THEN day END
+                                 IGNORE NULLS) OVER w AS BIGINT)
+               AS days_since_active
+    FROM filled
+    WINDOW w AS (PARTITION BY user_id ORDER BY day)
+    """,
+)
+def gap_filled_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling with forward fill: densify each user's
+    daily activity to a complete calendar (their first..last active
+    day), carrying the last known daily value forward across gaps and
+    reporting staleness (days since last activity) — the
+    dashboard/feature-store shape Spark has no built-in for.
+
+    Scale: the calendar derives from a per-user 2-column span agg and
+    explodes to |span| rows per user — O(users × days), independent
+    of event volume; the heavy event table is reduced FIRST (daily
+    agg with map-side combine), so the explode and the forward-fill
+    window touch only the densified daily grid, partitioned by
+    user_id. Forward fill is ``last(col, ignorenulls=True)`` over a
+    running frame — one window pass, no self-join, no UDF; filled
+    values are bit-copies of the exact-decimal daily sums, so the
+    oracle hash-matches."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day"), "value"
+    )
+    daily = ev.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).alias("n"), dsum("value", 4).alias("day_value")
+    )
+    cal = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id", F.explode(F.expr("sequence(d0, d1)")).alias("day")
+        )
+    )
+    filled = cal.join(daily, ["user_id", "day"], "left")
+    w = Window.partitionBy("user_id").orderBy("day")
+    active_day = F.when(F.col("n").isNotNull(), F.col("day"))
+    return filled.select(
+        "user_id",
+        "day",
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
+        F.last("day_value", ignorenulls=True).over(w).alias("ffill_value"),
+        F.datediff(
+            F.col("day"), F.last(active_day, ignorenulls=True).over(w)
+        )
+        .cast("bigint")
+        .alias("days_since_active"),
+    )
+
+
+# Trailing-8 EMA with power-of-2 decay: every term is value / 2^k —
+# halving a double is EXACT (exponent decrement), and the add order is
+# pinned left-to-right in both engines, so the smoothed series is
+# bit-identical cross-engine with no decimal detour.
+_EMA_TAPS = 8
+
+
+def _ema_terms_sql() -> str:
+    terms = ["value"] + [
+        f"COALESCE(lag(value, {k}) OVER w, 0) / {float(2 ** k)}"
+        for k in range(1, _EMA_TAPS)
+    ]
+    return " + ".join(terms)
+
+
+@query(
+    "ema_event_value",
+    oracle=f"""
+    SELECT event_id, user_id, ts, value,
+           {_ema_terms_sql()} AS ema8
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def ema_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of each user's event
+    value over their trailing 8 events (decay 1/2) — the smoothed
+    rate/load signal behind per-key throttling decisions. EMA is
+    recursive in its textbook form (not windowable); truncating at 8
+    taps with 2^-k weights makes it a finite lag-chain: one window
+    pass, 7 ``lag`` reads sharing a single sort, no recursion, and —
+    because the weights are powers of two — bit-exact across engines
+    (see module constant). Missing taps (a user's first events)
+    contribute 0, matching the truncated-kernel definition."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ema = F.col("value")
+    for k in range(1, _EMA_TAPS):
+        ema = ema + F.coalesce(F.lag("value", k).over(w), F.lit(0)) / float(
+            2**k
+        )
+    return ev.select("event_id", "user_id", "ts", "value", ema.alias("ema8"))
