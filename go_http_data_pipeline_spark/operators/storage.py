@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -176,4 +176,165 @@ def partition_pruned_week_activity(spark: SparkSession, sf_dir: str) -> DataFram
     return pruned.groupBy("event_date", "event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         dsum("value", 4).alias("total_value"),
+    )
+
+
+# --- Z-order multi-dimensional layout --------------------------------------
+
+# Bits per dimension for the interleaved curve key. Each dimension is
+# first RANGE-BUCKETED into 2^Z_BITS equal-frequency buckets (how
+# Delta's OPTIMIZE ZORDER BY works: interleaving raw values wastes the
+# key space on empty value ranges — the fixture's custkey/date both
+# occupy a sliver of 16 bits, which would put every row in one file).
+Z_BITS = 8
+
+
+def _zkey_spark(x: str, y: str) -> str:
+    terms = []
+    for b in range(Z_BITS):
+        terms.append(f"shiftleft(shiftright({x}, {b}) & 1, {2 * b})")
+        terms.append(f"shiftleft(shiftright({y}, {b}) & 1, {2 * b + 1})")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def _zkey_duck(x: str, y: str) -> str:
+    terms = []
+    for b in range(Z_BITS):
+        terms.append(f"((({x} >> {b}) & 1) << {2 * b})")
+        terms.append(f"((({y} >> {b}) & 1) << {2 * b + 1})")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+# 2*Z_BITS-bit zkey >> shift = 6 leading curve bits = 64 files.
+_Z_FILES_SHIFT = 2 * Z_BITS - 6
+
+
+@query(
+    "zorder_file_stats",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderkey, o_custkey,
+               (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS day
+        FROM orders
+    ),
+    bucketed AS (
+        SELECT o_custkey, day,
+               ntile({2 ** Z_BITS}) OVER (ORDER BY o_custkey, o_orderkey) - 1
+                   AS bx,
+               ntile({2 ** Z_BITS}) OVER (ORDER BY day, o_orderkey) - 1
+                   AS by
+        FROM base
+    ),
+    keyed AS (
+        SELECT o_custkey, day, {_zkey_duck("bx", "by")} AS zkey
+        FROM bucketed
+    )
+    SELECT CAST(zkey >> {_Z_FILES_SHIFT} AS BIGINT) AS file_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(o_custkey) AS BIGINT) AS min_cust,
+           CAST(MAX(o_custkey) AS BIGINT) AS max_cust,
+           CAST(MIN(day) AS BIGINT) AS min_day,
+           CAST(MAX(day) AS BIGINT) AS max_day
+    FROM keyed
+    GROUP BY 1
+    """,
+)
+def zorder_file_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) layout for two-dimensional data
+    clustering — the Delta/Iceberg ``ZORDER BY (custkey, orderdate)``
+    primitive: range-bucket each dimension into 2^8 equal-frequency
+    buckets, interleave the bucket bits into a 16-bit curve key, and
+    cut the curve into 64 files (top 6 key bits). Every file then has
+    a BOUNDED min/max box in BOTH dimensions — exactly the footer
+    stats a writer persists and the data-skipping evidence this query
+    emits.
+
+    The equal-frequency bucketing here is exact ``ntile`` with a
+    deterministic tie-break (orderkey) so the oracle hash-matches; at
+    100 TB the ntile sort is replaced by SAMPLED range boundaries
+    (``repartitionByRange`` does precisely this internally), which
+    changes no downstream shape: the interleave is 32 codegen bit
+    ops per row, the stats one rollup shuffle. Writing the layout is
+    ``repartitionByRange(64, zkey)`` + sortWithinPartitions +
+    write."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff("o_orderdate", F.lit("1970-01-01")).alias("day"),
+    )
+    n = 2 ** Z_BITS
+    wx = Window.orderBy("o_custkey", "o_orderkey")
+    wy = Window.orderBy("day", "o_orderkey")
+    bucketed = o.select(
+        "o_custkey",
+        "day",
+        (F.ntile(n).over(wx) - 1).alias("bx"),
+        (F.ntile(n).over(wy) - 1).alias("by"),
+    )
+    keyed = bucketed.select(
+        "o_custkey", "day", F.expr(_zkey_spark("bx", "by")).alias("zkey")
+    )
+    return keyed.groupBy(
+        F.expr(f"CAST(shiftright(zkey, {_Z_FILES_SHIFT}) AS BIGINT)").alias(
+            "file_id"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("o_custkey").cast("bigint").alias("min_cust"),
+        F.max("o_custkey").cast("bigint").alias("max_cust"),
+        F.min("day").cast("bigint").alias("min_day"),
+        F.max("day").cast("bigint").alias("max_day"),
+    )
+
+
+# --- Incremental aggregate maintenance -------------------------------------
+
+
+@query(
+    "incremental_daily_counts",
+    oracle=f"""
+    SELECT CAST(ts AS DATE) AS day, event_type,
+           COUNT(*) AS n_events,
+           {dsum_sql('value', 4)} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def incremental_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained daily aggregate: the stored partial
+    state (counts + EXACT DECIMAL sums) from a base batch is merged
+    with a late-arriving delta batch by re-aggregating the partials —
+    and the oracle is a FULL RECOMPUTE, so the hash check proves
+    merge(partial(A), partial(B)) == aggregate(A ∪ B) bit-for-bit.
+
+    That identity is the foundation of incremental materialized
+    views and of exactly-once streaming upserts (``foreachBatch``
+    merging batch partials into a running table): it holds here
+    because the partial sums stay DECIMAL until after the merge —
+    decimal addition is associative, double addition is not. The
+    fixture's split (even/odd event ids) makes every (day, type)
+    group overlap both batches, so the merge path is actually
+    exercised, not a disjoint union."""
+    ev = table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"),
+        "event_type",
+        "value",
+        "event_id",
+    )
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("day", "event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("s"),
+        )
+
+    base = partial(ev.filter(F.col("event_id") % 2 == 0))
+    late = partial(ev.filter(F.col("event_id") % 2 == 1))
+    return (
+        base.unionByName(late)
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("s").cast("double").alias("total_value"),
+        )
     )
