@@ -193,3 +193,91 @@ def intersect_all_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("priority")
     )
     return f.intersectAll(op)
+
+
+# Deterministic "next snapshot" of the customer table for the diff
+# operator: keys ≡3 (mod 17) deleted, keys ≡0 (mod 10) get acctbal
+# +100, keys ≡0 (mod 25) cloned as inserts under key+1_000_000.
+_DIFF_DEL, _DIFF_UPD, _DIFF_INS = 17, 10, 25
+_DIFF_KEY_OFFSET = 1_000_000
+
+
+@query(
+    "snapshot_diff",
+    oracle=f"""
+    WITH v2 AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % {_DIFF_UPD} = 0
+                    THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal,
+               c_name
+        FROM customer WHERE c_custkey % {_DIFF_DEL} != 3
+        UNION ALL
+        SELECT c_custkey + {_DIFF_KEY_OFFSET}, c_acctbal, c_name
+        FROM customer WHERE c_custkey % {_DIFF_INS} = 0
+    )
+    SELECT COALESCE(a.c_custkey, b.c_custkey) AS custkey,
+           CASE WHEN a.c_custkey IS NULL THEN 'insert'
+                WHEN b.c_custkey IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type,
+           a.c_acctbal AS old_acctbal,
+           b.c_acctbal AS new_acctbal
+    FROM customer a
+    FULL JOIN v2 b ON a.c_custkey = b.c_custkey
+    WHERE a.c_custkey IS NULL OR b.c_custkey IS NULL
+       OR a.c_acctbal != b.c_acctbal OR a.c_name != b.c_name
+    """,
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style snapshot diff: given two versions of a keyed table,
+    emit (key, insert|delete|update, old, new) — the table-diff
+    operator behind data validation, replication audit, and
+    change-feed backfill. The "new" snapshot is derived
+    deterministically from the fixture (see module constants) so the
+    diff is oracle-checkable; in production the two sides are two
+    table versions.
+
+    Scale: one full outer join on the table key — co-partitioned if
+    both snapshots share layout (bucketed by key: zero exchange),
+    else one shuffle each; the change classification is pure codegen
+    on the joined row. Columns are compared NATIVELY (never via
+    stringified hashes of floats — cross-engine float formatting is
+    not canonical); at 100-column width you'd hash the non-key
+    columns per side with a binary-safe encoding instead."""
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_name"
+    )
+    k = F.col("c_custkey")
+    v2 = (
+        c.filter(k % _DIFF_DEL != 3)
+        .withColumn(
+            "c_acctbal",
+            F.when(k % _DIFF_UPD == 0, F.col("c_acctbal") + 100).otherwise(
+                F.col("c_acctbal")
+            ),
+        )
+        .unionByName(
+            c.filter(k % _DIFF_INS == 0).withColumn(
+                "c_custkey", k + _DIFF_KEY_OFFSET
+            )
+        )
+    )
+    a, b = c.alias("a"), v2.alias("b")
+    joined = a.join(
+        b, F.col("a.c_custkey") == F.col("b.c_custkey"), "full_outer"
+    )
+    return joined.filter(
+        F.col("a.c_custkey").isNull()
+        | F.col("b.c_custkey").isNull()
+        | (F.col("a.c_acctbal") != F.col("b.c_acctbal"))
+        | (F.col("a.c_name") != F.col("b.c_name"))
+    ).select(
+        F.coalesce(F.col("a.c_custkey"), F.col("b.c_custkey")).alias(
+            "custkey"
+        ),
+        F.when(F.col("a.c_custkey").isNull(), "insert")
+        .when(F.col("b.c_custkey").isNull(), "delete")
+        .otherwise("update")
+        .alias("change_type"),
+        F.col("a.c_acctbal").alias("old_acctbal"),
+        F.col("b.c_acctbal").alias("new_acctbal"),
+    )

@@ -468,3 +468,90 @@ def streaming_dedup_within_watermark(
         F.lit(1).cast("bigint").alias("n_after_dedup"),
     )
     return run_to_memory(spark, out, "stream_dedup_wm", output_mode="append")
+
+
+# Output cutoff for the left-outer stream-stream join: unmatched LEFT
+# rows only emit once the watermark passes their entire join window,
+# so clicks near the end of a bounded replay would be missing their
+# NULL rows (state never expires — the stream just ends). Restricting
+# the OUTPUT (not the input: the watermark must still advance on the
+# full stream) to clicks at least ~3 days before the fixture's last
+# event makes every retained click's window provably expired at final
+# watermark (max_ts − 1 h ≫ cutoff + 30 min), so the streaming result
+# equals the batch left join exactly. Production pipelines have no
+# cutoff — the stream simply never ends; this models "results are
+# final once the watermark passes".
+_LEFT_OUTER_CUTOFF = "2024-01-28 00:00:00"
+
+
+@query(
+    "streaming_left_outer_attrib",
+    oracle=f"""
+    SELECT c.event_id AS click_id,
+           c.user_id AS user_id,
+           c.ts AS click_ts,
+           p.event_id AS purchase_id,
+           CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS secs_to_purchase
+    FROM events c
+    LEFT JOIN events p
+      ON c.user_id = p.user_id
+     AND p.event_type = 'purchase'
+     AND p.ts BETWEEN c.ts AND c.ts + INTERVAL 30 MINUTE
+    WHERE c.event_type = 'click'
+      AND c.ts <= TIMESTAMP '{_LEFT_OUTER_CUTOFF}'
+    """,
+)
+def streaming_left_outer_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every click, attributed
+    to same-user purchases in the next 30 minutes — or to NULL once
+    the watermark proves no purchase can still arrive. The outer side
+    is the part plain batch joins get for free and streaming must
+    EARN: a null row is only correct after the state store has seen
+    the watermark pass the click's whole join window, so emission is
+    a watermark-driven negative statement ("no purchase happened"),
+    not just a match.
+
+    Scale: state partitions by user_id and the interval condition
+    bounds retention to 30 minutes of each stream past the watermark
+    — the same bounded-state argument as the inner join, plus timely
+    null emission. See `_LEFT_OUTER_CUTOFF` for why the bounded
+    replay filters its OUTPUT."""
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "leftOuter",
+    )
+    out = joined.filter(
+        F.col("c_ts") <= F.lit(_LEFT_OUTER_CUTOFF).cast("timestamp")
+    ).select(
+        "click_id",
+        F.col("c_user").alias("user_id"),
+        F.col("c_ts").cast("timestamp_ntz").alias("click_ts"),
+        "purchase_id",
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")).alias(
+            "secs_to_purchase"
+        ),
+    )
+    return run_to_memory(spark, out, "stream_left_outer_attrib", "append")
