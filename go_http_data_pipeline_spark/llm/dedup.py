@@ -600,10 +600,10 @@ def simhash_neardup_pairs_d3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.select("doc_a", "doc_b", hamming).filter(F.col("hamming") <= 3)
 
 
-@query(
-    "dedup_components",
-    oracle=f"""
-    WITH RECURSIVE {_MINHASH_PAIRS_BODY},
+# Connected-components closure over the verified near-dup edges, as a
+# reusable recursive-CTE tail (callers prepend WITH RECURSIVE and the
+# minhash pair body that defines `verified`).
+_COMPONENTS_TAIL_SQL = """
     sym AS (
         SELECT doc_a AS src, doc_b AS dst FROM verified
         UNION
@@ -613,12 +613,21 @@ def simhash_neardup_pairs_d3(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT src, dst FROM sym
         UNION
         SELECT r.src, s.dst FROM reach r JOIN sym s ON s.src = r.dst
+    ),
+    comps AS (
+        SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component_id
+        FROM reach GROUP BY src
     )
-    SELECT src AS doc_id,
-           LEAST(src, MIN(dst)) AS component_id,
-           CASE WHEN LEAST(src, MIN(dst)) = src THEN 1 ELSE 0 END AS is_keeper
-    FROM reach
-    GROUP BY src
+"""
+
+
+@query(
+    "dedup_components",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_PAIRS_BODY}, {_COMPONENTS_TAIL_SQL}
+    SELECT doc_id, component_id,
+           CASE WHEN component_id = doc_id THEN 1 ELSE 0 END AS is_keeper
+    FROM comps
     """,
 )
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -795,4 +804,78 @@ def neardup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             d.cast("bigint").alias("edit_distance"),
             (F.lit(1.0) - d.cast("double") / denom).alias("edit_similarity"),
         )
+    )
+
+
+def _quality_logit_sql() -> str:
+    """Per-doc hashed-classifier logit as a CTE body (`q_logits`) —
+    the same md5-derived integer arithmetic as
+    ``textstats.quality_classifier_logits``, shared via its module
+    constants so the two oracles cannot drift."""
+    from ..determinism import md5_int_sql
+    from .textstats import N_BUCKETS, _W_MOD
+
+    bucket = f"CAST({md5_int_sql('term')} % {N_BUCKETS} AS VARCHAR)"
+    hashed_w = md5_int_sql("'w' || " + bucket)
+    w = f"({hashed_w} % {_W_MOD}) - {(_W_MOD - 1) // 2}"
+    return f"""
+    q_toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    q_logits AS (
+        SELECT doc_id, CAST(SUM({w}) AS BIGINT) AS logit
+        FROM q_toks GROUP BY doc_id
+    )
+"""
+
+
+@query(
+    "dedup_keep_best_quality",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_PAIRS_BODY}, {_COMPONENTS_TAIL_SQL},
+    {_quality_logit_sql()}
+    SELECT c.doc_id, c.component_id, q.logit,
+           first_value(c.doc_id)
+               OVER (PARTITION BY c.component_id
+                     ORDER BY q.logit DESC, c.doc_id) AS canonical_doc_id,
+           CASE WHEN first_value(c.doc_id)
+                     OVER (PARTITION BY c.component_id
+                           ORDER BY q.logit DESC, c.doc_id) = c.doc_id
+                THEN 1 ELSE 0 END AS is_kept
+    FROM comps c JOIN q_logits q USING (doc_id)
+    """,
+)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: within each near-duplicate
+    CLUSTER (connected components over verified MinHash pairs), keep
+    the member with the highest quality-classifier logit instead of
+    the arbitrary min-id — how production dedup actually decides
+    which copy survives (near-dups differ: one copy may be truncated
+    or boilerplate-padded). Ties break on doc_id so the choice is
+    total.
+
+    Scale: components come from the distributed label propagation
+    (`dedup_components`), logits from the codegen classifier — the
+    selection itself is one window over (component, logit), with
+    cluster sizes bounded by the near-dup graph, never the corpus."""
+    comps = dedup_components(spark, sf_dir).select("doc_id", "component_id")
+    from .textstats import quality_classifier_logits
+
+    logits = quality_classifier_logits(spark, sf_dir).select(
+        "doc_id", "logit"
+    )
+    joined = comps.join(logits, "doc_id")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("component_id").orderBy(
+        F.desc("logit"), F.asc("doc_id")
+    )
+    canonical = F.first("doc_id").over(w)
+    return joined.select(
+        "doc_id",
+        "component_id",
+        "logit",
+        canonical.alias("canonical_doc_id"),
+        F.when(canonical == F.col("doc_id"), 1).otherwise(0).alias("is_kept"),
     )

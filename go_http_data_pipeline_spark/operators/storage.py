@@ -338,3 +338,72 @@ def incremental_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("s").cast("double").alias("total_value"),
         )
     )
+
+
+# --- Compaction planning ----------------------------------------------------
+
+# Target compacted-file size (bytes, synthetic scale): files are rolled
+# into a bin until the running total crosses the target.
+_COMPACT_TARGET = 20_000
+
+
+@query(
+    "compaction_bin_packing",
+    oracle=f"""
+    WITH files AS (
+        SELECT CAST(ts AS DATE) AS day,
+               event_type,
+               COUNT(*) * 64 + CAST(SUM(len(props)) AS BIGINT) AS bytes
+        FROM events GROUP BY 1, 2
+    ),
+    planned AS (
+        SELECT day, event_type, bytes,
+               CAST((SUM(bytes) OVER (ORDER BY day, event_type) - bytes)
+                        // {_COMPACT_TARGET} AS BIGINT) AS bin_id
+        FROM files
+    )
+    SELECT bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+           MIN(day) AS min_day, MAX(day) AS max_day
+    FROM planned
+    GROUP BY bin_id
+    """,
+)
+def compaction_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner: roll per-(day, type) files into
+    target-sized output bins by prefix sum — ``bin = (cumulative
+    bytes BEFORE this file) div target`` assigns consecutive files to
+    a bin until the target is crossed, the same size-tiered policy
+    behind OPTIMIZE/auto-compaction in table formats. The plan (not
+    the rewrite) is the query: bins with file counts, byte totals,
+    and the day range each merged file will span.
+
+    Scale: file metadata is O(files), thousands of rows per million
+    data files — the prefix sum is one window over that metadata
+    table, never over data. A real compactor would then launch one
+    write task per bin. The full-table ordering models the manifest
+    scan; per-partition compaction adds the partition key to the
+    window's PARTITION BY."""
+    files = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(
+            (F.count(F.lit(1)) * 64 + F.sum(F.length("props")))
+            .cast("bigint")
+            .alias("bytes")
+        )
+    )
+    w = Window.orderBy("day", "event_type")
+    planned = files.withColumn(
+        "bin_id",
+        F.floor(
+            (F.sum("bytes").over(w) - F.col("bytes")) / _COMPACT_TARGET
+        ).cast("bigint"),
+    )
+    return planned.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("bytes").cast("bigint").alias("total_bytes"),
+        F.min("day").alias("min_day"),
+        F.max("day").alias("max_day"),
+    )

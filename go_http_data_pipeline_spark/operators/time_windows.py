@@ -470,3 +470,46 @@ def ema_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             2**k
         )
     return ev.select("event_id", "user_id", "ts", "value", ema.alias("ema8"))
+
+
+@query(
+    "rolling_7day_active_users",
+    oracle="""
+    WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+    du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events)
+    SELECT d.day,
+           CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
+    FROM days d
+    JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+    GROUP BY d.day
+    """,
+)
+def rolling_7day_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users (WAU) per day — the metric
+    shape windowed COUNT(DISTINCT) cannot express in either engine
+    (distinct doesn't decompose over sliding frames), so it becomes a
+    range join: the tiny day grid against the (day, user) DISTINCT
+    pairs, re-counting distinct users per trailing week.
+
+    Scale: events reduce FIRST to distinct (day, user) pairs — one
+    dedup shuffle over pairs, ~0.1% of event volume — and the day
+    grid is O(days), always broadcast; each grid day touches ≤7 days
+    of pairs, so work is O(days × daily_actives × 7), independent of
+    raw event count. The exact-distinct-over-sliding-window
+    alternative at extreme scale is per-day HLL sketch MERGE, which
+    ``sketch_accuracy_eval`` grades the error of."""
+    ev = table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    du = ev.distinct()
+    days = du.select("day").distinct()
+    return (
+        F.broadcast(days.alias("d"))
+        .join(
+            du.alias("u"),
+            (F.col("u.day") >= F.date_sub(F.col("d.day"), 6))
+            & (F.col("u.day") <= F.col("d.day")),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.countDistinct("u.user_id").alias("wau"))
+    )
