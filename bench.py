@@ -65,6 +65,18 @@ HEADLINE = (
     "funnel_view_click_purchase",  # strict-sequence conversion funnel
     "retention_cohorts",        # weekly cohort retention matrix
     "token_budget_selection",   # two-phase budget cutoff (no global sort)
+    "dup_span_coverage",        # span-level dup metric over shingle cache
+    "neardup_edit_distance",    # prefix-bounded levenshtein on LSH pairs
+    "quality_classifier_logits",  # hashed linear classifier in codegen
+    "bpe_apply_merge",          # greedy merge application (windows)
+    "dedup_keep_best_quality",  # components + quality argmax selection
+    "gap_filled_daily_activity",  # calendar densify + forward fill
+    "ema_event_value",          # trailing-8 EMA lag chain
+    "rolling_7day_active_users",  # sliding exact-distinct via range join
+    "zorder_file_stats",        # Morton-curve layout + per-file boxes
+    "incremental_daily_counts",  # partial-aggregate merge maintenance
+    "snapshot_diff",            # CDC full-outer table diff
+    "compaction_bin_packing",   # prefix-sum file compaction plan
 )
 
 
