@@ -649,6 +649,26 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pregel iterations for the same reason). The oracle replays the
     same closure as a recursive CTE (iterative algorithms ARE
     SQL-expressible when the engine has WITH RECURSIVE)."""
+    labels = component_labels_cached(spark, sf_dir)
+    return labels.select(
+        "doc_id",
+        "component_id",
+        F.when(F.col("component_id") == F.col("doc_id"), 1)
+        .otherwise(0)
+        .alias("is_keeper"),
+    )
+
+
+def component_labels_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Converged (doc_id, component_id) labels, memoized per
+    (session, sf) like the shingle/band caches: the propagation's
+    result is a materialized intermediate table two queries consume
+    (`dedup_components`, `dedup_keep_best_quality`) — recomputing the
+    whole iteration per consumer would re-run every round's jobs."""
+    key = ("components", spark.sparkContext.applicationId, sf_dir)
+    cached = _SHINGLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     edges = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
     sym = edges.union(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
@@ -688,13 +708,9 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
-    return labels.select(
-        "doc_id",
-        "component_id",
-        F.when(F.col("component_id") == F.col("doc_id"), 1)
-        .otherwise(0)
-        .alias("is_keeper"),
-    )
+    sym.unpersist()
+    _SHINGLE_CACHE[key] = labels
+    return labels
 
 
 @query(
@@ -859,7 +875,9 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`dedup_components`), logits from the codegen classifier — the
     selection itself is one window over (component, logit), with
     cluster sizes bounded by the near-dup graph, never the corpus."""
-    comps = dedup_components(spark, sf_dir).select("doc_id", "component_id")
+    comps = component_labels_cached(spark, sf_dir).select(
+        "doc_id", "component_id"
+    )
     from .textstats import quality_classifier_logits
 
     logits = quality_classifier_logits(spark, sf_dir).select(
