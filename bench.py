@@ -129,6 +129,7 @@ def main() -> int:
     # their build cost landed on whichever dedup query ran first,
     # making that query's delta unattributable (VERDICT r3 item 6).
     from go_http_data_pipeline_spark.llm.dedup import (
+        component_labels_cached,
         lsh_bands_cached,
         shingles_cached,
     )
@@ -136,6 +137,10 @@ def main() -> int:
     t0 = time.perf_counter()
     shingles_cached(spark, sf_dir).count()
     lsh_bands_cached(spark, sf_dir).count()
+    # Converged near-dup component labels: the third materialized
+    # intermediate (consumed by dedup_components and the keep-best
+    # selection) — iterative build cost belongs to the ingest phase.
+    component_labels_cached(spark, sf_dir).count()
     cache_build = round(time.perf_counter() - t0, 3)
     print(f"# dedup_cache_build: {cache_build}s", file=sys.stderr)
 
