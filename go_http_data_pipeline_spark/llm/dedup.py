@@ -897,3 +897,92 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         canonical.alias("canonical_doc_id"),
         F.when(canonical == F.col("doc_id"), 1).otherwise(0).alias("is_kept"),
     )
+
+
+@query(
+    "neardup_graph_stats",
+    oracle=f"""
+    WITH {_MINHASH_PAIRS_BODY},
+    nodes AS (
+        SELECT doc_a AS v FROM verified
+        UNION SELECT doc_b AS v FROM verified
+    ),
+    deg AS (
+        SELECT v, COUNT(*) AS d FROM (
+            SELECT doc_a AS v FROM verified
+            UNION ALL SELECT doc_b AS v FROM verified
+        ) GROUP BY v
+    ),
+    tri AS (
+        SELECT COUNT(*) AS n_triangles
+        FROM verified e1
+        JOIN verified e2 ON e1.doc_b = e2.doc_a
+        JOIN verified e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+    )
+    SELECT CAST((SELECT COUNT(*) FROM nodes) AS BIGINT) AS n_nodes,
+           CAST((SELECT COUNT(*) FROM verified) AS BIGINT) AS n_edges,
+           CAST((SELECT SUM(d * (d - 1) // 2) FROM deg) AS BIGINT) AS n_wedges,
+           CAST((SELECT n_triangles FROM tri) AS BIGINT) AS n_triangles,
+           (CAST(3 * (SELECT n_triangles FROM tri) AS DOUBLE)
+               / (SELECT SUM(d * (d - 1) // 2) FROM deg))
+               AS clustering_coefficient
+    """,
+)
+def neardup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triangle counting over the near-duplicate graph —
+    the graph-analytics primitive (global clustering coefficient)
+    that diagnoses WHAT KIND of duplication a corpus has: high
+    clustering = dense template families (cliques), low = chain-like
+    drift. Triangles via the ordered edge-join (every edge already
+    stores doc_a < doc_b, so each triangle a<b<c is counted exactly
+    once — the standard dedup trick that keeps the join linear in
+    wedge count); wedges in closed form from the degree distribution.
+
+    Scale: two self-joins on the (small) verified-pair table, both on
+    node keys; at web scale this is the classic degree-ordered
+    triangle join whose cost is bounded by wedge count, not |V|²."""
+    edges = (
+        minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b").persist()
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.doc_b") == F.col("e2.doc_a"))
+        .join(
+            e3,
+            (F.col("e3.doc_a") == F.col("e1.doc_a"))
+            & (F.col("e3.doc_b") == F.col("e2.doc_b")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    sym = edges.select(F.col("doc_a").alias("v")).unionAll(
+        edges.select(F.col("doc_b").alias("v"))
+    )
+    deg_stats = (
+        sym.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            (F.sum(F.col("d") * (F.col("d") - 1)) / 2)
+            .cast("bigint")
+            .alias("n_wedges"),
+        )
+    )
+    edge_count = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    # Three 1-row aggregates crossJoined — everything stays in the
+    # plan (no driver-side collect), same shape as the scalar
+    # broadcast thresholds elsewhere in the repo.
+    return (
+        deg_stats.crossJoin(edge_count)
+        .crossJoin(tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            (
+                3.0
+                * F.col("n_triangles").cast("double")
+                / F.col("n_wedges")
+            ).alias("clustering_coefficient"),
+        )
+    )

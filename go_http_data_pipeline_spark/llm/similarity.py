@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..determinism import dsum, dsum_sql
 from ..registry import query
 
 N_PLANES = 8
@@ -904,4 +905,112 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "q", F.lit(0).cast("bigint"), lambda acc, x: acc + x
             ).alias("q_sum"),
         )
+    )
+
+
+# --- Sparse TF-IDF cosine similarity (text-side) ---------------------------
+
+# Document-frequency cap for the inverted-index pair join — same
+# argument as dedup.DF_CAP: a term in >64 documents is stopword-grade
+# and would make the term self-join quadratic; the weight universe is
+# defined over the capped vocabulary on BOTH sides (norms included).
+TFIDF_DF_CAP = 64
+TFIDF_MIN_COS = 0.2
+
+
+@query(
+    "tfidf_cosine_pairs",
+    oracle=f"""
+    WITH tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents)
+        GROUP BY doc_id, term
+    ),
+    n_docs AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+    df AS (
+        SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term
+    ),
+    w AS (
+        SELECT t.doc_id, t.term,
+               CAST(t.tf AS DOUBLE) * (n.n / d.df) AS w
+        FROM tf t JOIN df d USING (term) CROSS JOIN n_docs n
+        WHERE d.df <= {TFIDF_DF_CAP}
+    ),
+    norms AS (
+        SELECT doc_id,
+               sqrt({dsum_sql('w * w', 4)}) AS nrm
+        FROM w GROUP BY doc_id
+    ),
+    dots AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               {dsum_sql('a.w * b.w', 4)} AS dot
+        FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT d.doc_a, d.doc_b,
+           (d.dot / (na.nrm * nb.nrm)) AS cosine
+    FROM dots d
+    JOIN norms na ON na.doc_id = d.doc_a
+    JOIN norms nb ON nb.doc_id = d.doc_b
+    WHERE (d.dot / (na.nrm * nb.nrm)) >= {TFIDF_MIN_COS}
+    """,
+)
+def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARSE cosine similarity between documents over TF-IDF term
+    weights — the text-side complement of the dense embedding paths:
+    no embeddings needed, pairs emerge from an inverted-index
+    self-join on shared terms, so disjoint-vocabulary documents cost
+    nothing (the sparse win brute-force dense cosine can't have).
+
+    Scale: the DF cap bounds the term join's fan-out at DF_CAP² pairs
+    per term (boilerplate terms drop out of the weight universe on
+    both sides, norms included); dot products are decimal-exact sums
+    of per-term weight products grouped by pair, so the only big
+    shuffles carry (term, doc, weight) postings and (pair, partial
+    dot) rows. Weight = tf · (N/df) with single-rounded double ops,
+    norms via IEEE-exact sqrt — bit-identical cross-engine."""
+    docs = table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = docs.count()
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = (
+        tf.join(df.filter(F.col("df") <= TFIDF_DF_CAP), "term")
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf").cast("double")
+                * (F.lit(float(n_docs)) / F.col("df").cast("double"))
+            ).alias("w"),
+        )
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(dsum(F.col("w") * F.col("w"), 4)).alias("nrm")
+    )
+    a, b = w.alias("a"), w.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(dsum(F.col("a.w") * F.col("b.w"), 4).alias("dot"))
+    )
+    na, nb = norms.alias("na"), norms.alias("nb")
+    cos = F.col("dot") / (F.col("na.nrm") * F.col("nb.nrm"))
+    return (
+        dots.join(na, F.col("na.doc_id") == F.col("doc_a"))
+        .join(nb, F.col("nb.doc_id") == F.col("doc_b"))
+        .select("doc_a", "doc_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= TFIDF_MIN_COS)
     )

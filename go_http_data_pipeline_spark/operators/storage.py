@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..determinism import dsum, dsum_sql
+from ..determinism import davg, davg_sql, dsum, dsum_sql
 from ..registry import query
 
 N_BUCKETS = 8
@@ -406,4 +406,116 @@ def compaction_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("bytes").cast("bigint").alias("total_bytes"),
         F.min("day").alias("min_day"),
         F.max("day").alias("max_day"),
+    )
+
+
+@query(
+    "layout_skipping_eval",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderkey, o_custkey,
+               (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS day
+        FROM orders
+    ),
+    rng AS (
+        SELECT CAST(MAX(o_custkey) - MIN(o_custkey) AS DOUBLE) AS c_rng,
+               CAST(MAX(day) - MIN(day) AS DOUBLE) AS d_rng
+        FROM base
+    ),
+    bucketed AS (
+        SELECT o_custkey, day,
+               ntile({2 ** Z_BITS}) OVER (ORDER BY o_custkey, o_orderkey) - 1
+                   AS bx,
+               ntile({2 ** Z_BITS}) OVER (ORDER BY day, o_orderkey) - 1
+                   AS by,
+               ntile(64) OVER (ORDER BY o_custkey, o_orderkey) - 1
+                   AS lin_file
+        FROM base
+    ),
+    keyed AS (
+        SELECT o_custkey, day, lin_file,
+               {_zkey_duck("bx", "by")} >> {_Z_FILES_SHIFT} AS z_file
+        FROM bucketed
+    ),
+    files AS (
+        SELECT 'zorder' AS layout, z_file AS f,
+               CAST(MAX(o_custkey) - MIN(o_custkey) AS DOUBLE) AS c_span,
+               CAST(MAX(day) - MIN(day) AS DOUBLE) AS d_span
+        FROM keyed GROUP BY z_file
+        UNION ALL
+        SELECT 'linear' AS layout, lin_file AS f,
+               CAST(MAX(o_custkey) - MIN(o_custkey) AS DOUBLE) AS c_span,
+               CAST(MAX(day) - MIN(day) AS DOUBLE) AS d_span
+        FROM keyed GROUP BY lin_file
+    )
+    SELECT layout,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           {davg_sql('c_span / rng.c_rng', 6)} AS avg_cust_span,
+           {davg_sql('d_span / rng.d_rng', 6)} AS avg_day_span
+    FROM files CROSS JOIN rng
+    GROUP BY layout
+    """,
+)
+def layout_skipping_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The measured case FOR z-order: the same 64-file budget laid
+    out two ways — single-column sort (linear by custkey) vs the
+    Morton curve — and, per layout, the average per-file min/max span
+    in EACH dimension, normalized to the column's range. Linear sort
+    gives ~1/64 custkey spans but ~full-range date spans (date
+    predicates skip nothing); z-order pays a slightly wider custkey
+    box to bound BOTH dims (~1/8 each), which is exactly the
+    data-skipping trade a ZORDER BY decision should be based on —
+    numbers, not folklore (mirrors the recall-eval pattern used for
+    the ANN knobs).
+
+    Scale: identical shapes to ``zorder_file_stats`` plus one more
+    ntile over the same sort; all downstream work is over 128 file-
+    stat rows."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff("o_orderdate", F.lit("1970-01-01")).alias("day"),
+    )
+    n = 2 ** Z_BITS
+    wx = Window.orderBy("o_custkey", "o_orderkey")
+    wy = Window.orderBy("day", "o_orderkey")
+    keyed = o.select(
+        "o_custkey",
+        "day",
+        (F.ntile(n).over(wx) - 1).alias("bx"),
+        (F.ntile(n).over(wy) - 1).alias("by"),
+        (F.ntile(64).over(wx) - 1).alias("lin_file"),
+    ).select(
+        "o_custkey",
+        "day",
+        "lin_file",
+        F.expr(
+            f"CAST(shiftright({_zkey_spark('bx', 'by')}, {_Z_FILES_SHIFT})"
+            " AS BIGINT)"
+        ).alias("z_file"),
+    )
+    rng = o.agg(
+        (F.max("o_custkey") - F.min("o_custkey"))
+        .cast("double")
+        .alias("c_rng"),
+        (F.max("day") - F.min("day")).cast("double").alias("d_rng"),
+    )
+
+    def spans(file_col: str, layout: str) -> DataFrame:
+        return keyed.groupBy(F.col(file_col).alias("f")).agg(
+            (F.max("o_custkey") - F.min("o_custkey"))
+            .cast("double")
+            .alias("c_span"),
+            (F.max("day") - F.min("day")).cast("double").alias("d_span"),
+        ).select(F.lit(layout).alias("layout"), "f", "c_span", "d_span")
+
+    files = spans("z_file", "zorder").unionByName(spans("lin_file", "linear"))
+    return (
+        files.crossJoin(F.broadcast(rng))
+        .groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            davg(F.col("c_span") / F.col("c_rng"), 6).alias("avg_cust_span"),
+            davg(F.col("d_span") / F.col("d_rng"), 6).alias("avg_day_span"),
+        )
     )
