@@ -77,7 +77,7 @@ HEADLINE = (
     "incremental_daily_counts",  # partial-aggregate merge maintenance
     "snapshot_diff",            # CDC full-outer table diff
     "compaction_bin_packing",   # prefix-sum file compaction plan
-    "tfidf_cosine_pairs",       # sparse inverted-index cosine join
+    "tfidf_cosine_verify",      # weighted-cosine LSH-candidate verifier
     "neardup_graph_stats",      # ordered-edge triangle counting
     "layout_skipping_eval",     # zorder-vs-linear measured spans
 )

@@ -908,109 +908,119 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- Sparse TF-IDF cosine similarity (text-side) ---------------------------
+# --- Sparse TF-IDF cosine verification (text-side) -------------------------
 
-# Document-frequency cap for the inverted-index pair join — same
-# argument as dedup.DF_CAP: a term in >64 documents is stopword-grade
-# and would make the term self-join quadratic; the weight universe is
-# defined over the capped vocabulary on BOTH sides (norms included).
-TFIDF_DF_CAP = 64
-TFIDF_MIN_COS = 0.2
+from .dedup import _MINHASH_SQL as _DEDUP_MINHASH_SQL  # noqa: E402
+from .dedup import _SHINGLES_SQL as _DEDUP_SHINGLES_SQL  # noqa: E402
+
+# The LSH candidate CTE chain from the dedup module, reused verbatim
+# so the candidate set this verifier scores is EXACTLY the one the
+# Jaccard and edit-distance verifiers score.
+_MINHASH_ORACLE_BODY = f"{_DEDUP_SHINGLES_SQL}, {_DEDUP_MINHASH_SQL}"
 
 
 @query(
-    "tfidf_cosine_pairs",
-    oracle=f"""
-    WITH tf AS (
+    "tfidf_cosine_verify",
+    oracle="""
+    WITH __MINHASH__,
+    tf AS (
         SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
               FROM documents)
         GROUP BY doc_id, term
     ),
     n_docs AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
-    df AS (
+    idf AS (
         SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term
     ),
     w AS (
-        SELECT t.doc_id, t.term,
-               CAST(t.tf AS DOUBLE) * (n.n / d.df) AS w
-        FROM tf t JOIN df d USING (term) CROSS JOIN n_docs n
-        WHERE d.df <= {TFIDF_DF_CAP}
+        SELECT t.doc_id, t.term, CAST(t.tf AS DOUBLE) * (n.n / d.df) AS w
+        FROM tf t JOIN idf d USING (term) CROSS JOIN n_docs n
     ),
     norms AS (
-        SELECT doc_id,
-               sqrt({dsum_sql('w * w', 4)}) AS nrm
-        FROM w GROUP BY doc_id
+        SELECT doc_id, sqrt(__DSUM_W2__) AS nrm FROM w GROUP BY doc_id
     ),
     dots AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               {dsum_sql('a.w * b.w', 4)} AS dot
-        FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
+        SELECT c.doc_a, c.doc_b, __DSUM_AB__ AS dot
+        FROM candidates c
+        JOIN w a ON a.doc_id = c.doc_a
+        JOIN w b ON b.doc_id = c.doc_b AND b.term = a.term
+        GROUP BY c.doc_a, c.doc_b
     )
-    SELECT d.doc_a, d.doc_b,
-           (d.dot / (na.nrm * nb.nrm)) AS cosine
-    FROM dots d
-    JOIN norms na ON na.doc_id = d.doc_a
-    JOIN norms nb ON nb.doc_id = d.doc_b
-    WHERE (d.dot / (na.nrm * nb.nrm)) >= {TFIDF_MIN_COS}
-    """,
+    SELECT c.doc_a, c.doc_b,
+           (COALESCE(d.dot, 0.0) / (na.nrm * nb.nrm)) AS cosine
+    FROM candidates c
+    LEFT JOIN dots d ON d.doc_a = c.doc_a AND d.doc_b = c.doc_b
+    JOIN norms na ON na.doc_id = c.doc_a
+    JOIN norms nb ON nb.doc_id = c.doc_b
+    """.replace("__MINHASH__", _MINHASH_ORACLE_BODY)
+       .replace("__DSUM_W2__", dsum_sql("w * w", 4))
+       .replace("__DSUM_AB__", dsum_sql("a.w * b.w", 4)),
 )
-def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SPARSE cosine similarity between documents over TF-IDF term
-    weights — the text-side complement of the dense embedding paths:
-    no embeddings needed, pairs emerge from an inverted-index
-    self-join on shared terms, so disjoint-vocabulary documents cost
-    nothing (the sparse win brute-force dense cosine can't have).
+def tfidf_cosine_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARSE TF-IDF cosine as the third verification lens over the
+    MinHash-LSH candidate pairs — Jaccard sees set overlap, edit
+    distance sees order, weighted cosine sees FREQUENCY shape (a doc
+    that repeats one shared term 50x scores high on Jaccard but low
+    here). No embeddings involved: the vectors are (term, tf·N/df)
+    postings.
 
-    Scale: the DF cap bounds the term join's fan-out at DF_CAP² pairs
-    per term (boilerplate terms drop out of the weight universe on
-    both sides, norms included); dot products are decimal-exact sums
-    of per-term weight products grouped by pair, so the only big
-    shuffles carry (term, doc, weight) postings and (pair, partial
-    dot) rows. Weight = tf · (N/df) with single-rounded double ops,
-    norms via IEEE-exact sqrt — bit-identical cross-engine."""
+    Scale: candidate generation stays LSH's job (`lsh_candidate_pairs`
+    — candidates ~ O(near-dups), never the corpus square), so this
+    operator's joins are candidate-bounded: postings attach per pair
+    side, the dot product is a decimal-exact sum over shared terms,
+    norms are one per-doc aggregate over the postings table. A
+    standalone sparse-similarity JOIN (no candidate set) would need
+    a DF-capped inverted index instead — on this fixture's 31-word
+    vocabulary every term is boilerplate-grade, which is exactly the
+    regime where candidate-first beats index-first.
+
+    Weight = tf · (N/df), single-rounded double ops; sqrt is
+    IEEE-correctly-rounded — bit-identical cross-engine."""
+    from .dedup import lsh_candidate_pairs
+
     docs = table(spark, sf_dir, "documents")
     tf = (
-        docs.select(
-            "doc_id", F.explode(F.split("text", " ")).alias("term")
-        )
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    n_docs = docs.count()
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    w = (
-        tf.join(df.filter(F.col("df") <= TFIDF_DF_CAP), "term")
-        .select(
-            "doc_id",
-            "term",
-            (
-                F.col("tf").cast("double")
-                * (F.lit(float(n_docs)) / F.col("df").cast("double"))
-            ).alias("w"),
-        )
+    n_docs = float(docs.count())
+    idf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = tf.join(idf, "term").select(
+        "doc_id",
+        "term",
+        (
+            F.col("tf").cast("double")
+            * (F.lit(n_docs) / F.col("df").cast("double"))
+        ).alias("w"),
     )
     norms = w.groupBy("doc_id").agg(
         F.sqrt(dsum(F.col("w") * F.col("w"), 4)).alias("nrm")
     )
+    cand = lsh_candidate_pairs(spark, sf_dir)
     a, b = w.alias("a"), w.alias("b")
     dots = (
-        a.join(
+        cand.join(a, F.col("a.doc_id") == F.col("doc_a"))
+        .join(
             b,
-            (F.col("a.term") == F.col("b.term"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            (F.col("b.doc_id") == F.col("doc_b"))
+            & (F.col("b.term") == F.col("a.term")),
         )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        .groupBy("doc_a", "doc_b")
         .agg(dsum(F.col("a.w") * F.col("b.w"), 4).alias("dot"))
     )
     na, nb = norms.alias("na"), norms.alias("nb")
-    cos = F.col("dot") / (F.col("na.nrm") * F.col("nb.nrm"))
     return (
-        dots.join(na, F.col("na.doc_id") == F.col("doc_a"))
+        cand.join(dots, ["doc_a", "doc_b"], "left")
+        .join(na, F.col("na.doc_id") == F.col("doc_a"))
         .join(nb, F.col("nb.doc_id") == F.col("doc_b"))
-        .select("doc_a", "doc_b", cos.alias("cosine"))
-        .filter(F.col("cosine") >= TFIDF_MIN_COS)
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.coalesce(F.col("dot"), F.lit(0.0))
+                / (F.col("na.nrm") * F.col("nb.nrm"))
+            ).alias("cosine"),
+        )
     )
