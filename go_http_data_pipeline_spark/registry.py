@@ -194,11 +194,15 @@ def _ordered(d: dict) -> dict:
             return 5
         if k in _REFRESH_R4 or k not in greens:
             return 0
-        if k in _DRIVER_GREEN_R1:
-            return 1
+        # Staleness = LATEST green round, checked newest-first: a query
+        # re-verified in a later round must not hog a rotation slot
+        # meant for genuinely stale rows (ship_priority_classes is in
+        # both the r2 and r3 sets).
+        if k in _DRIVER_GREEN_R3:
+            return 3
         if k in _DRIVER_GREEN_R2:
             return 2
-        return 3
+        return 1
 
     keys = sorted(d, key=lambda k: rank(k))  # stable: keeps module order
     return {k: d[k] for k in keys}
