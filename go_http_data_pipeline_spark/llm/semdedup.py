@@ -252,11 +252,15 @@ def semantic_dedup_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_PAIRS_SQL},
     brute AS (
-        SELECT va.vec_id AS vec_a, vb.vec_id AS vec_b,
-               CAST(SUM(va.qd * vb.qd) AS BIGINT) AS dot
-        FROM qlong va
-        JOIN qlong vb ON vb.d = va.d AND va.vec_id < vb.vec_id
-        GROUP BY va.vec_id, vb.vec_id
+        -- Pairwise list_dot_product over the quantized arrays, NOT a
+        -- per-dimension join: the long-form join materializes
+        -- n(n-1)/2 x 64 rows (800M at sf0.1 -- it spilled ~90 GB of
+        -- DuckDB temp before failing), while the array form stays at
+        -- n(n-1)/2 rows. Exact: all products and partial sums are
+        -- integers < 2^53, so the double accumulation is lossless.
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               CAST(list_dot_product(a.q, b.q) AS BIGINT) AS dot
+        FROM qvecs a JOIN qvecs b ON a.vec_id < b.vec_id
     ),
     true_pairs AS (
         SELECT b.vec_a, b.vec_b
@@ -396,11 +400,15 @@ def _multiassign_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
               >= {TAU}
     ),
     brute AS (
-        SELECT va.vec_id AS vec_a, vb.vec_id AS vec_b,
-               CAST(SUM(va.qd * vb.qd) AS BIGINT) AS dot
-        FROM qlong va
-        JOIN qlong vb ON vb.d = va.d AND va.vec_id < vb.vec_id
-        GROUP BY va.vec_id, vb.vec_id
+        -- Pairwise list_dot_product over the quantized arrays, NOT a
+        -- per-dimension join: the long-form join materializes
+        -- n(n-1)/2 x 64 rows (800M at sf0.1 -- it spilled ~90 GB of
+        -- DuckDB temp before failing), while the array form stays at
+        -- n(n-1)/2 rows. Exact: all products and partial sums are
+        -- integers < 2^53, so the double accumulation is lossless.
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               CAST(list_dot_product(a.q, b.q) AS BIGINT) AS dot
+        FROM qvecs a JOIN qvecs b ON a.vec_id < b.vec_id
     ),
     true_pairs AS (
         SELECT b.vec_a, b.vec_b
