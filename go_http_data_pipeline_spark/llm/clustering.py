@@ -239,9 +239,9 @@ def kmeans_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DIM_STATS_FINAL = {
     "mean_val": "(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)) / 1e7",
     "var_val": (
-        "(CAST(CAST(n AS DECIMAL(18,0)) * CAST(sqq AS DECIMAL(18,0))"
-        " - CAST(sq AS DECIMAL(18,0)) * CAST(sq AS DECIMAL(18,0)) AS DOUBLE)"
-        " / CAST(CAST(n AS DECIMAL(18,0)) * CAST(n - 1 AS DECIMAL(18,0))"
+        "(CAST(CAST(n AS DECIMAL(28,0)) * CAST(sqq AS DECIMAL(28,0))"
+        " - CAST(sq AS DECIMAL(28,0)) * CAST(sq AS DECIMAL(28,0)) AS DOUBLE)"
+        " / CAST(CAST(n AS DECIMAL(28,0)) * CAST(n - 1 AS DECIMAL(28,0))"
         " AS DOUBLE)) / 1e14"
     ),
     "min_val": "CAST(mn AS DOUBLE) / 1e7",

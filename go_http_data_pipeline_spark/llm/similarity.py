@@ -985,15 +985,24 @@ def tfidf_cosine_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    n_docs = float(docs.count())
+    # Corpus size rides in-plan as a broadcast 1-row aggregate (the
+    # oracle's n_docs CTE shape) — an eager docs.count() here would
+    # launch a full-scan job per query construction.
+    n_docs = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs")
+    )
     idf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    w = tf.join(idf, "term").select(
-        "doc_id",
-        "term",
-        (
-            F.col("tf").cast("double")
-            * (F.lit(n_docs) / F.col("df").cast("double"))
-        ).alias("w"),
+    w = (
+        tf.join(idf, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf").cast("double")
+                * (F.col("n_docs") / F.col("df").cast("double"))
+            ).alias("w"),
+        )
     )
     norms = w.groupBy("doc_id").agg(
         F.sqrt(dsum(F.col("w") * F.col("w"), 4)).alias("nrm")

@@ -546,26 +546,72 @@ def token_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TOP_BPE_PAIRS = 10
 
-
-@query(
-    "bpe_pair_counts",
-    oracle=f"""
-    WITH toks AS (
+# Iteration-1 vocabulary + pair counting, shared VERBATIM by
+# bpe_pair_counts' oracle and bpe_apply_merge's top-1 pick — one
+# definition so the iteration-1 winner and the iteration-2 recount
+# cannot drift. (Empty terms are filtered; they carry no pairs either
+# way, and the filter keeps the char-explosion CTE safe.)
+_BPE_VOCAB_SQL = """
+    bpe_toks AS (
         SELECT unnest(string_split(text, ' ')) AS term FROM documents
     ),
-    vocab AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY term),
-    pairs AS (
+    bpe_vocab AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM bpe_toks WHERE len(term) >= 1 GROUP BY term
+    ),
+    bpe_pairs1 AS (
         SELECT p.pair, CAST(SUM(v.cnt) AS BIGINT) AS weight
-        FROM vocab v, LATERAL (
+        FROM bpe_vocab v, LATERAL (
             SELECT unnest(list_transform(
                        generate_series(1, len(v.term) - 1),
                        i -> substr(v.term, CAST(i AS INT), 2))) AS pair
         ) p
         GROUP BY p.pair
+    ),
+    bpe_top1 AS (
+        SELECT substr(pair, 1, 1) AS x, substr(pair, 2, 1) AS y
+        FROM bpe_pairs1 ORDER BY weight DESC, pair LIMIT 1
     )
+"""
+
+# Shared Spark halves of the same definitions.
+_BPE_STARTS = (
+    "if(length(term) - 1 >= 1, sequence(1, length(term) - 1),"
+    " cast(array() as array<int>))"
+)
+
+
+def _bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = table(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("term")
+    )
+    return (
+        toks.filter(F.length("term") >= 1)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _bpe_pairs1(vocab: DataFrame) -> DataFrame:
+    return (
+        vocab.select(
+            "cnt",
+            F.explode(
+                F.expr(f"transform({_BPE_STARTS}, i -> substring(term, i, 2))")
+            ).alias("pair"),
+        )
+        .groupBy("pair")
+        .agg(F.sum("cnt").alias("weight"))
+    )
+
+
+@query(
+    "bpe_pair_counts",
+    oracle=f"""
+    WITH {_BPE_VOCAB_SQL}
     SELECT pair, weight,
            CAST(ROW_NUMBER() OVER (ORDER BY weight DESC, pair) AS BIGINT) AS rk
-    FROM pairs
+    FROM bpe_pairs1
     QUALIFY rk <= {TOP_BPE_PAIRS}
     """,
 )
@@ -585,24 +631,7 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair-sum agg, and a WindowGroupLimit top-k. The global top-k
     window runs over distinct pairs (bounded by charset², tiny);
     at a real charset the same two-agg shape holds."""
-    toks = table(spark, sf_dir, "documents").select(
-        F.explode(F.split("text", " ")).alias("term")
-    )
-    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
-    starts = (
-        "if(length(term) - 1 >= 1, sequence(1, length(term) - 1),"
-        " cast(array() as array<int>))"
-    )
-    pairs = (
-        vocab.select(
-            "cnt",
-            F.explode(
-                F.expr(f"transform({starts}, i -> substring(term, i, 2))")
-            ).alias("pair"),
-        )
-        .groupBy("pair")
-        .agg(F.sum("cnt").alias("weight"))
-    )
+    pairs = _bpe_pairs1(_bpe_vocab(spark, sf_dir))
     w = Window.orderBy(F.desc("weight"), "pair")
     return (
         pairs.withColumn("rk", F.row_number().over(w).cast("bigint"))
@@ -674,32 +703,6 @@ def quality_classifier_logits(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("w") > 0).alias("keep"),
         )
     )
-
-
-# Iteration-1 pair counting as a reusable SQL body (shared by
-# bpe_pair_counts' oracle shape and bpe_apply_merge's top-1 pick).
-_BPE_VOCAB_SQL = """
-    bpe_toks AS (
-        SELECT unnest(string_split(text, ' ')) AS term FROM documents
-    ),
-    bpe_vocab AS (
-        SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
-        FROM bpe_toks WHERE len(term) >= 1 GROUP BY term
-    ),
-    bpe_pairs1 AS (
-        SELECT p.pair, SUM(v.cnt) AS weight
-        FROM bpe_vocab v, LATERAL (
-            SELECT unnest(list_transform(
-                       generate_series(1, len(v.term) - 1),
-                       i -> substr(v.term, CAST(i AS INT), 2))) AS pair
-        ) p
-        GROUP BY p.pair
-    ),
-    bpe_top1 AS (
-        SELECT substr(pair, 1, 1) AS x, substr(pair, 2, 1) AS y
-        FROM bpe_pairs1 ORDER BY weight DESC, pair LIMIT 1
-    )
-"""
 
 
 @query(
@@ -779,28 +782,8 @@ def bpe_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break as ``bpe_pair_counts``) and broadcast as a 1-row
     scalar; post-merge pairs are keyed ``sym_a+sym_b`` so multi-char
     symbols stay unambiguous."""
-    toks = table(spark, sf_dir, "documents").select(
-        F.explode(F.split("text", " ")).alias("term")
-    )
-    vocab = (
-        toks.filter(F.length("term") >= 1)
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    starts = (
-        "if(length(term) - 1 >= 1, sequence(1, length(term) - 1),"
-        " cast(array() as array<int>))"
-    )
-    pairs1 = (
-        vocab.select(
-            "cnt",
-            F.explode(
-                F.expr(f"transform({starts}, i -> substring(term, i, 2))")
-            ).alias("pair"),
-        )
-        .groupBy("pair")
-        .agg(F.sum("cnt").alias("weight"))
-    )
+    vocab = _bpe_vocab(spark, sf_dir)
+    pairs1 = _bpe_pairs1(vocab)
     top1 = (
         pairs1.orderBy(F.desc("weight"), "pair")
         .limit(1)

@@ -327,18 +327,18 @@ def approx_revenue_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STATS_DERIVE = {
     # shared Spark/DuckDB SQL over the power sums (n, sq, sqq, sd, sdd, sqd)
-    "nn1": "CAST(CAST(n AS DECIMAL(18,0)) * CAST(n - 1 AS DECIMAL(18,0)) AS DOUBLE)",
+    "nn1": "CAST(CAST(n AS DECIMAL(28,0)) * CAST(n - 1 AS DECIMAL(28,0)) AS DOUBLE)",
     "num_q": (
-        "CAST(CAST(n AS DECIMAL(18,0)) * CAST(sqq AS DECIMAL(18,0))"
-        " - CAST(sq AS DECIMAL(18,0)) * CAST(sq AS DECIMAL(18,0)) AS DOUBLE)"
+        "CAST(CAST(n AS DECIMAL(28,0)) * CAST(sqq AS DECIMAL(28,0))"
+        " - CAST(sq AS DECIMAL(28,0)) * CAST(sq AS DECIMAL(28,0)) AS DOUBLE)"
     ),
     "num_d": (
-        "CAST(CAST(n AS DECIMAL(18,0)) * CAST(sdd AS DECIMAL(18,0))"
-        " - CAST(sd AS DECIMAL(18,0)) * CAST(sd AS DECIMAL(18,0)) AS DOUBLE)"
+        "CAST(CAST(n AS DECIMAL(28,0)) * CAST(sdd AS DECIMAL(28,0))"
+        " - CAST(sd AS DECIMAL(28,0)) * CAST(sd AS DECIMAL(28,0)) AS DOUBLE)"
     ),
     "num_qd": (
-        "CAST(CAST(n AS DECIMAL(18,0)) * CAST(sqd AS DECIMAL(18,0))"
-        " - CAST(sq AS DECIMAL(18,0)) * CAST(sd AS DECIMAL(18,0)) AS DOUBLE)"
+        "CAST(CAST(n AS DECIMAL(28,0)) * CAST(sqd AS DECIMAL(28,0))"
+        " - CAST(sq AS DECIMAL(28,0)) * CAST(sd AS DECIMAL(28,0)) AS DOUBLE)"
     ),
 }
 

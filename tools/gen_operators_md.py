@@ -31,7 +31,8 @@ def main() -> int:
     checked = sum(1 for v in groups.values() for _, o, _ in v if o)
     print(
         f"{total} queries; {checked} DuckDB-oracle hash-checked, "
-        f"{total - checked} rows-only (engine-specific sketches, stubbed media decode).\n"
+        f"{total - checked} rows-only by design (the HLL and quantile sketches, whose\n"
+        "accuracy is separately hash-gated by the sketch_accuracy_eval queries).\n"
     )
     for mod in sorted(groups):
         print(f"## {mod}\n")
