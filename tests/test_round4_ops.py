@@ -268,3 +268,24 @@ def test_keep_best_no_cartesian(spark, sf_dir):
 
     strategies = join_strategies(dedup_keep_best_quality(spark, sf_dir))
     assert "CartesianProduct" not in strategies
+
+
+def test_tfidf_verify_no_cartesian_broadcast_count(spark, sf_dir):
+    from go_http_data_pipeline_spark.llm.similarity import tfidf_cosine_verify
+
+    df = tfidf_cosine_verify(spark, sf_dir)
+    strategies = join_strategies(df)
+    assert "CartesianProduct" not in strategies
+    # The corpus-size scalar rides as a broadcast, not a collected
+    # literal — no eager job at query-construction time.
+    assert any("Broadcast" in s for s in strategies)
+
+
+def test_graph_stats_no_cartesian_beyond_scalar_joins(spark, sf_dir):
+    from go_http_data_pipeline_spark.llm.dedup import neardup_graph_stats
+
+    df = neardup_graph_stats(spark, sf_dir)
+    strategies = join_strategies(df)
+    # The only non-equi joins are the 1-row stat crossJoins (broadcast
+    # nested loop); the triangle joins themselves are hash/merge.
+    assert "CartesianProduct" not in strategies
