@@ -443,15 +443,17 @@ def _ema_terms_sql() -> str:
     return " + ".join(terms)
 
 
-@query(
-    "ema_event_value",
-    oracle=f"""
+# Shared with streaming_ema_stateful: the streaming/batch parity
+# check is "same oracle string, two execution paradigms".
+EMA8_ORACLE = f"""
     SELECT event_id, user_id, ts, value,
            {_ema_terms_sql()} AS ema8
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    """,
-)
+    """
+
+
+@query("ema_event_value", oracle=EMA8_ORACLE)
 def ema_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially-weighted moving average of each user's event
     value over their trailing 8 events (decay 1/2) — the smoothed

@@ -125,3 +125,115 @@ def run_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .withColumn("last_ts", F.col("last_ts").cast("timestamp_ntz"))
     )
+
+
+# --- Stateful trailing-8 EMA -------------------------------------------------
+
+_EMA_OUT_SCHEMA = (
+    "event_id long, user_id long, ts timestamp, value double, ema8 double"
+)
+# Last up-to-7 events per user, kept as parallel arrays (fixed struct
+# schema; Spark state stores cannot hold ragged tuples of rows).
+_EMA_STATE_SCHEMA = "ts_us array<long>, eid array<long>, vals array<double>"
+
+_EMA_TAPS = 8
+
+
+def _ema_update(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    hts, heid, hvals = state.get if state.exists else ([], [], [])
+    hist = list(zip(hts, heid, hvals))
+    rows = []
+    for pdf in pdfs:
+        ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+        for t, e, v in zip(ts_us, pdf["event_id"], pdf["value"]):
+            rows.append((int(t), int(e), float(v)))
+    # Event-time order within the batch; across batches the replay is
+    # time-ordered (file-source batches preserve fixture order), which
+    # is the standard in-order assumption for emit-on-arrival signals.
+    rows.sort()
+    out = []
+    for t, e, v in rows:
+        # EXACT mirror of the batch lag-chain: left-to-right adds,
+        # missing taps contribute +0.0/2^k — same association, same
+        # IEEE roundings, bit-identical result.
+        acc = v
+        for k in range(1, _EMA_TAPS):
+            prev = hist[-k][2] if len(hist) >= k else 0.0
+            acc = acc + prev / float(2**k)
+        out.append((e, t, v, acc))
+        hist.append((t, e, v))
+    hist = hist[-(_EMA_TAPS - 1):]
+    state.update(
+        (
+            [h[0] for h in hist],
+            [h[1] for h in hist],
+            [h[2] for h in hist],
+        )
+    )
+    yield pd.DataFrame(
+        {
+            "event_id": [o[0] for o in out],
+            "user_id": [user_id] * len(out),
+            "ts": pd.to_datetime([o[1] for o in out], unit="us"),
+            "value": [o[2] for o in out],
+            "ema8": [o[3] for o in out],
+        }
+    )
+
+
+def ema_stream(events: DataFrame) -> DataFrame:
+    return events.groupBy("user_id").applyInPandasWithState(
+        _ema_update,
+        outputStructType=_EMA_OUT_SCHEMA,
+        stateStructType=_EMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _ema_oracle() -> str:
+    from ..operators.time_windows import EMA8_ORACLE
+
+    return EMA8_ORACLE
+
+
+@_query("streaming_ema_stateful", oracle=_ema_oracle())
+def run_streaming_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trailing-8 EMA as a STREAMING stateful operator: per-user
+    state holds the last 7 (ts, event_id, value) triples; every
+    arriving event emits its smoothed value immediately — the
+    per-key signal a streaming rate limiter actually consumes, where
+    the batch twin (`ema_event_value`) is the backfill path.
+
+    Streaming/batch parity is hash-checked: this query shares the
+    batch twin's ORACLE STRING verbatim, and the Python state update
+    mirrors the batch lag-chain's exact add order (see `_ema_update`)
+    — so `applyInPandasWithState` must reproduce the window-function
+    result bit-for-bit over the bounded replay.
+
+    Scale: state is 7 triples per user, partitioned by the grouping
+    key and checkpointed by the engine; emission is append-mode
+    (no retraction), resting on in-order arrival per key — the
+    fixture replay is time-ordered, and a production deployment
+    bounds disorder with a watermark-driven reorder buffer
+    upstream."""
+    from pyspark.sql import functions as F
+
+    from .core import events_stream, run_to_memory
+
+    ev = events_stream(spark, sf_dir).select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = run_to_memory(spark, ema_stream(ev), "streaming_ema", "append")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "value",
+        "ema8",
+    )
