@@ -60,3 +60,71 @@ def sql_api_segment_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly as the DataFrame twins do."""
     register_views(spark, sf_dir)
     return spark.sql(_PORTABLE_SEGMENT_NATIONS)
+
+
+# Depth bound for the recursive closure: Spark's WITH RECURSIVE
+# supports only UNION ALL (no in-recursion dedup), so on a cyclic
+# symmetric edge set the walk must be depth-bounded to terminate.
+# 8 levels >= any near-dup cluster diameter by orders of magnitude
+# (clusters are template families, diameter ~2); both engines run the
+# IDENTICAL bounded recursion, so parity holds regardless.
+_RECURSION_DEPTH = 8
+
+# The recursion tail over an `edges(doc_a, doc_b)` relation — shared
+# verbatim by the Spark program and the DuckDB oracle.
+_CLOSURE_TAIL = f"""
+    sym AS (
+        SELECT doc_a AS src, doc_b AS dst FROM edges
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM edges
+    ),
+    reach(src, dst, depth) AS (
+        SELECT src, dst, 1 FROM sym
+        UNION ALL
+        SELECT r.src, s.dst, r.depth + 1
+        FROM reach r JOIN sym s ON s.src = r.dst
+        WHERE r.depth < {_RECURSION_DEPTH}
+    )
+    SELECT src AS doc_id,
+           LEAST(src, MIN(dst)) AS component_id,
+           CASE WHEN LEAST(src, MIN(dst)) = src THEN 1 ELSE 0 END AS is_keeper
+    FROM reach
+    GROUP BY src
+"""
+
+
+def _components_recursive_oracle() -> str:
+    from ..llm.dedup import _MINHASH_PAIRS_BODY
+
+    return f"""
+    WITH RECURSIVE {_MINHASH_PAIRS_BODY},
+    edges AS (SELECT doc_a, doc_b FROM verified),
+    {_CLOSURE_TAIL}
+    """
+
+
+@query("sql_api_components_recursive", oracle=_components_recursive_oracle())
+def sql_api_components_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via Spark 4's ``WITH RECURSIVE`` — the
+    THIRD paradigm for the same answer (`dedup_components` iterates
+    DataFrames, its oracle recurses in DuckDB, this recurses in
+    SPARK SQL), exercising the recursive-CTE surface of the engine
+    itself. Spark restricts recursion to UNION ALL, so the walk is
+    depth-bounded (see `_RECURSION_DEPTH`) with dedup at the final
+    rollup; the oracle runs the IDENTICAL bounded recursion, and the
+    result equals the fixpoint whenever depth >= cluster diameter.
+
+    Scale: UNION-ALL path enumeration is exponential in depth on
+    dense clusters — this is the declarative convenience form for
+    shallow graphs; the production-scale form remains the
+    checkpointed label-propagation loop in `dedup_components`."""
+    from ..llm.dedup import minhash_lsh_pairs
+
+    minhash_lsh_pairs(spark, sf_dir).createOrReplaceTempView("neardup_edges")
+    return spark.sql(
+        f"""
+        WITH RECURSIVE
+        edges AS (SELECT doc_a, doc_b FROM neardup_edges),
+        {_CLOSURE_TAIL}
+        """
+    )

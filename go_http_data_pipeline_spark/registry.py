@@ -28,6 +28,7 @@ _MODULES = (
     "go_http_data_pipeline_spark.operators.analytics2",
     "go_http_data_pipeline_spark.operators.analytics3",
     "go_http_data_pipeline_spark.operators.sqlapi",
+    "go_http_data_pipeline_spark.operators.quality",
     "go_http_data_pipeline_spark.operators.skew",
     "go_http_data_pipeline_spark.operators.storage",
     "go_http_data_pipeline_spark.streaming.stateful",
