@@ -16,7 +16,6 @@ golden oracle), so it cannot follow perturbed data.
 
 from __future__ import annotations
 
-import hashlib
 import sys
 
 import duckdb
