@@ -679,6 +679,19 @@ def component_labels_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("doc_id").alias("component_id"))
         .persist()
     )
+    # DataFrame.unpersist only releases cacheManager-registered
+    # persist() entries; localCheckpoint blocks live in the RDD
+    # registry and must be freed THERE, else an N-round propagation
+    # holds N superseded label copies until the ContextCleaner's GC
+    # gets around to them (the memory-pressure case checkpointing was
+    # added for). Superseded rounds are freed via the persistent-RDD
+    # map, identified by diffing registry ids around each checkpoint.
+    jsc = spark.sparkContext._jsc
+
+    def _persist_ids() -> set:
+        return set(jsc.getPersistentRDDs().keySet().toArray())
+
+    prev_ckpt_id = None
     while True:
         nbr_min = (
             sym.join(labels, sym.doc_b == labels.doc_id)
@@ -688,6 +701,7 @@ def component_labels_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         # localCheckpoint (eager) truncates the lineage so the plan
         # stays one-round deep no matter how many rounds run; it also
         # materializes new_labels, subsuming the old persist().
+        before_ids = _persist_ids()
         new_labels = (
             labels.join(nbr_min, labels.doc_id == F.col("node"), "left")
             .select(
@@ -698,13 +712,19 @@ def component_labels_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint()
         )
+        new_ckpt_ids = _persist_ids() - before_ids
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
             .filter(F.col("n.component_id") != F.col("o.component_id"))
             .count()
         )
-        labels.unpersist()
+        labels.unpersist()  # round-1 persist(); no-op afterwards
+        if prev_ckpt_id is not None:
+            rdd = jsc.getPersistentRDDs().get(prev_ckpt_id)
+            if rdd is not None:
+                rdd.unpersist(False)
+        prev_ckpt_id = next(iter(new_ckpt_ids), None)
         labels = new_labels
         if changed == 0:
             break
@@ -972,9 +992,10 @@ def neardup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("d"))
         .agg(
             F.count(F.lit(1)).alias("n_nodes"),
-            (F.sum(F.col("d") * (F.col("d") - 1)) / 2)
-            .cast("bigint")
-            .alias("n_wedges"),
+            # Integer `div`, not `/`: double division rounds once
+            # sum(d*(d-1)) exceeds 2^53 (dense dup graphs at scale);
+            # the oracle's // is exact, so this side must be too.
+            F.expr("sum(d * (d - 1)) div 2").alias("n_wedges"),
         )
     )
     edge_count = edges.agg(F.count(F.lit(1)).alias("n_edges"))

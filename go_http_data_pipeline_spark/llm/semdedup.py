@@ -130,6 +130,34 @@ def _seed_top2_expr(spark: SparkSession, sf_dir: str) -> str:
     )
 
 
+def _cluster_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted intra-cluster pair set, memoized per (session, sf):
+    consumed by the verdicts query AND both recall evals — without
+    the memo a registry sweep recomputes the cluster self-join once
+    per consumer."""
+    key = ("cluster_pairs", spark.sparkContext.applicationId, sf_dir)
+    df = _BEST_CACHE.get(key)
+    if df is None:
+        df = _cluster_pairs(spark, sf_dir).persist()
+        _BEST_CACHE[key] = df
+    return df
+
+
+def _exact_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted exact all-pairs ground truth (the blocked cogroup —
+    the most expensive job in the suite), memoized per (session, sf)
+    so the two recall evals don't re-run the O(N²) pass the
+    ``embedding_neardup_pairs`` query already paid for."""
+    key = ("exact_pairs", spark.sparkContext.applicationId, sf_dir)
+    df = _BEST_CACHE.get(key)
+    if df is None:
+        from .similarity import embedding_neardup_pairs
+
+        df = embedding_neardup_pairs(spark, sf_dir).persist()
+        _BEST_CACHE[key] = df
+    return df
+
+
 def _cluster_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_a, vec_b, cid): intra-cluster pairs with cosine >= TAU.
 
@@ -216,7 +244,7 @@ def semantic_dedup_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by cluster sizes → pair-endpoint aggregation that is
     O(duplicate pairs). Contrast ``embedding_neardup_pairs``: same
     threshold, exhaustive O(N²); this is the curation-scale path."""
-    pairs = _cluster_pairs(spark, sf_dir)
+    pairs = _cluster_pairs_cached(spark, sf_dir)
     best = _seed_best_expr(spark, sf_dir)
     assigned = _quantized(spark, sf_dir).select(
         "vec_id", F.expr(f"{best}.cid").alias("cid")
@@ -292,13 +320,10 @@ def semdedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Both counts are DataFrame aggregates joined as 1-row scalars —
     no driver-side collect of either pair set."""
-    from .similarity import embedding_neardup_pairs
-
-    true_cnt = (
-        embedding_neardup_pairs(spark, sf_dir)
-        .agg(F.count(F.lit(1)).alias("n_true_pairs"))
+    true_cnt = _exact_pairs_cached(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("n_true_pairs")
     )
-    buck_cnt = _cluster_pairs(spark, sf_dir).agg(
+    buck_cnt = _cluster_pairs_cached(spark, sf_dir).agg(
         F.count(F.lit(1)).alias("n_bucketed_pairs")
     )
     return (
@@ -440,13 +465,10 @@ def semdedup_multiassign_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     All three pair sets are DataFrame aggregates joined as 1-row
     scalars — no driver-side pair materialization."""
-    from .similarity import embedding_neardup_pairs
-
-    true_cnt = (
-        embedding_neardup_pairs(spark, sf_dir)
-        .agg(F.count(F.lit(1)).alias("n_true_pairs"))
+    true_cnt = _exact_pairs_cached(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("n_true_pairs")
     )
-    single_cnt = _cluster_pairs(spark, sf_dir).agg(
+    single_cnt = _cluster_pairs_cached(spark, sf_dir).agg(
         F.count(F.lit(1)).alias("n_single_pairs")
     )
     multi_cnt = _multiassign_pairs(spark, sf_dir).agg(

@@ -395,10 +395,16 @@ def compaction_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.orderBy("day", "event_type")
+    # Integer `div`, not floor(double /): manifest byte totals beyond
+    # 2^53 (multi-PB) would round in the double quotient and diverge
+    # from the oracle's exact // — same overflow-free integer form as
+    # token_budget_selection.
     planned = files.withColumn(
         "bin_id",
-        F.floor(
-            (F.sum("bytes").over(w) - F.col("bytes")) / _COMPACT_TARGET
+        F.expr(
+            f"(sum(bytes) OVER (ORDER BY day, event_type"
+            f" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            f" - bytes) div {_COMPACT_TARGET}"
         ).cast("bigint"),
     )
     return planned.groupBy("bin_id").agg(

@@ -285,10 +285,17 @@ def watermark_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("is_late").cast("bigint")).cast("double")
             / F.count(F.lit(1))
         ).alias("rejected_ratio"),
+        # Floor-each seconds (unix_timestamp difference), NOT
+        # timestampdiff(SECOND, ...): Spark's timestampdiff truncates
+        # ELAPSED time while DuckDB's date_diff('second') counts
+        # second-boundary crossings — off by one whenever the late
+        # row's sub-second fraction exceeds the frontier's. Flooring
+        # each side matches the boundary-count semantics exactly
+        # (same pattern as streaming_left_outer_attrib).
         F.max(
             F.when(
                 F.col("is_late"),
-                F.expr("timestampdiff(SECOND, ts, frontier)"),
+                F.unix_timestamp("frontier") - F.unix_timestamp("ts"),
             )
         ).cast("bigint").alias("max_late_secs"),
     )
@@ -432,13 +439,13 @@ def gap_filled_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # halving a double is EXACT (exponent decrement), and the add order is
 # pinned left-to-right in both engines, so the smoothed series is
 # bit-identical cross-engine with no decimal detour.
-_EMA_TAPS = 8
+EMA_TAPS = 8
 
 
 def _ema_terms_sql() -> str:
     terms = ["value"] + [
         f"COALESCE(lag(value, {k}) OVER w, 0) / {float(2 ** k)}"
-        for k in range(1, _EMA_TAPS)
+        for k in range(1, EMA_TAPS)
     ]
     return " + ".join(terms)
 
@@ -467,7 +474,7 @@ def ema_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ema = F.col("value")
-    for k in range(1, _EMA_TAPS):
+    for k in range(1, EMA_TAPS):
         ema = ema + F.coalesce(F.lag("value", k).over(w), F.lit(0)) / float(
             2**k
         )

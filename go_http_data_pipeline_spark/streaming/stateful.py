@@ -132,11 +132,14 @@ def run_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EMA_OUT_SCHEMA = (
     "event_id long, user_id long, ts timestamp, value double, ema8 double"
 )
-# Last up-to-7 events per user, kept as parallel arrays (fixed struct
-# schema; Spark state stores cannot hold ragged tuples of rows).
+# Last up-to-(EMA_TAPS-1) events per user, kept as parallel arrays
+# (fixed struct schema; Spark state stores cannot hold ragged tuples
+# of rows).
 _EMA_STATE_SCHEMA = "ts_us array<long>, eid array<long>, vals array<double>"
 
-_EMA_TAPS = 8
+# Single-sourced with the batch twin: tap count AND oracle both come
+# from operators/time_windows, so the parity pair cannot drift.
+from ..operators.time_windows import EMA_TAPS as _EMA_TAPS  # noqa: E402
 
 
 def _ema_update(
