@@ -289,3 +289,39 @@ def test_graph_stats_no_cartesian_beyond_scalar_joins(spark, sf_dir):
     # The only non-equi joins are the 1-row stat crossJoins (broadcast
     # nested loop); the triangle joins themselves are hash/merge.
     assert "CartesianProduct" not in strategies
+
+
+def test_components_long_chain_converges_and_frees_checkpoints(
+    spark, tmp_path
+):
+    """A path-graph of near-dups (each doc overlaps only its
+    neighbors) forces the label propagation through ~diameter rounds
+    — exercising multi-round convergence AND the superseded-
+    checkpoint cleanup (DataFrame.unpersist cannot free
+    localCheckpoint blocks; the loop frees them via the
+    persistent-RDD registry)."""
+    from go_http_data_pipeline_spark.llm.dedup import dedup_components
+
+    # 8 docs over a sliding 30-token window shifted by 1: banded-LSH
+    # edges connect each doc to its ~4 nearest neighbors (verified by
+    # probing the deterministic md5 bands), one component of
+    # eccentricity 2 — the propagation runs multiple rounds, so at
+    # least two checkpoints get superseded and must be freed.
+    words = [f"w{i:03d}" for i in range(60)]
+    texts = [" ".join(words[i : i + 30]) for i in range(8)]
+    d = _docs_dir(spark, tmp_path, texts)
+
+    jsc = spark.sparkContext._jsc
+    before = jsc.getPersistentRDDs().size()
+    out = dedup_components(spark, d).collect()
+    after = jsc.getPersistentRDDs().size()
+
+    comps = {r.doc_id: r.component_id for r in out}
+    assert len(comps) == 8
+    # One connected chain: everyone labeled with the min doc_id.
+    assert set(comps.values()) == {min(comps)}
+    assert sum(r.is_keeper for r in out) == 1
+    # Block storage bounded: the run leaves at most the final labels
+    # checkpoint + the memoized shingle/band caches — not one block
+    # set per propagation round (diameter 7 would leak ~7).
+    assert after - before <= 4
