@@ -170,11 +170,39 @@ _DRIVER_GREEN_R3 = frozenset(
     }
 )
 
-# Round-4 rewrites that MUST re-enter the driver window: the r3 red
-# row (list-column reshape) and the two auth chains whose oracles
-# flipped from rows-only to golden VALUES this round.
-_REFRESH_R4 = frozenset(
-    {"embedding_int8_quantize", "bcrypt_login_roundtrip", "jwt_auth_chain"}
+# Queries with a green driver row in CORRECTNESS_r04.json (a perfect
+# 50/50 window: 42 new queries, 3 r3-red rewrites, 5 rotation
+# re-verifies of the core relational scans).
+_DRIVER_GREEN_R4 = frozenset(
+    {
+        "ann_lsh_multiprobe_top1", "ann_multiprobe_recall_eval",
+        "bcrypt_login_roundtrip", "bpe_apply_merge", "bpe_pair_counts",
+        "column_profile", "compaction_bin_packing", "data_quality_checks",
+        "dataset_split_assignment", "dedup_keep_best_quality",
+        "dup_span_coverage", "ema_event_value", "embedding_int8_quantize",
+        "error_burst_runs", "filter_date_range", "filter_predicates",
+        "full_scan", "funnel_view_click_purchase", "gap_filled_daily_activity",
+        "heavy_hitters_eval", "incremental_daily_counts", "jwt_auth_chain",
+        "layout_skipping_eval", "neardup_edit_distance", "neardup_graph_stats",
+        "point_lookup", "projected_scan", "quality_classifier_logits",
+        "quantile_sketch_accuracy_eval", "retention_cohorts",
+        "rolling_7day_active_users", "semantic_dedup_verdicts",
+        "semdedup_multiassign_recall", "semdedup_recall_eval",
+        "sketch_accuracy_eval", "snapshot_diff", "source_mixture_weights",
+        "sql_api_components_recursive", "streaming_dedup_within_watermark",
+        "streaming_ema_stateful", "streaming_left_outer_attrib",
+        "supplier_balance_standing", "tfidf_cosine_verify",
+        "token_budget_selection", "token_rarity_scores",
+        "trailing_30min_user_load", "training_shard_manifest",
+        "trending_event_types", "watermark_late_audit", "zorder_file_stats",
+    }
+)
+
+# Round-5 rewrites that MUST re-enter the driver window: the z-order
+# pair's global-ntile -> broadcast range-boundary rewrite and the
+# rolling-WAU pair-explosion rewrite (VERDICT r4 items 2 and 4).
+_REFRESH_R5 = frozenset(
+    {"zorder_file_stats", "layout_skipping_eval", "rolling_7day_active_users"}
 )
 
 # rows-only by design (approx sketches): a driver re-check adds
@@ -185,20 +213,26 @@ _ROWS_ONLY = frozenset({"approx_distinct_parts", "approx_revenue_percentiles"})
 def _ordered(d: dict) -> dict:
     """Driver-window ordering (the driver checks ~the first 50 rows):
     never-checked/new queries and this round's rewrites first, then
-    green queries by staleness (r1 oldest -> r3 freshest) so the
+    green queries by staleness (r1 oldest -> r4 freshest) so the
     spare window slots re-verify the rows whose last green is oldest
-    — VERDICT r3 item 7's rotation."""
-    greens = _DRIVER_GREEN_R1 | _DRIVER_GREEN_R2 | _DRIVER_GREEN_R3
+    — VERDICT r4 item 1's rotation-over-growth directive (drain the
+    42-query r1-stale backlog before anything else)."""
+    greens = (
+        _DRIVER_GREEN_R1 | _DRIVER_GREEN_R2 | _DRIVER_GREEN_R3
+        | _DRIVER_GREEN_R4
+    )
 
     def rank(k: str) -> int:
         if k in _ROWS_ONLY:
-            return 5
-        if k in _REFRESH_R4 or k not in greens:
+            return 9
+        if k in _REFRESH_R5 or k not in greens:
             return 0
         # Staleness = LATEST green round, checked newest-first: a query
         # re-verified in a later round must not hog a rotation slot
         # meant for genuinely stale rows (ship_priority_classes is in
         # both the r2 and r3 sets).
+        if k in _DRIVER_GREEN_R4:
+            return 4
         if k in _DRIVER_GREEN_R3:
             return 3
         if k in _DRIVER_GREEN_R2:
