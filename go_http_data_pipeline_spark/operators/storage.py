@@ -208,23 +208,117 @@ def _zkey_duck(x: str, y: str) -> str:
 # 2*Z_BITS-bit zkey >> shift = 6 leading curve bits = 64 files.
 _Z_FILES_SHIFT = 2 * Z_BITS - 6
 
+# Fixed value-grid resolution for the equal-frequency bucketing: each
+# dimension is first mapped onto 2^12 equal-WIDTH cells (pure per-row
+# arithmetic off broadcast min/max), then cells are assigned to the
+# 2^Z_BITS equal-FREQUENCY buckets from the cell histogram's
+# cumulative counts. The histogram is a control-plane table (≤4096
+# rows per dimension), so the only work proportional to the fact
+# table is one groupBy per dimension and two broadcast hash joins —
+# no global sort anywhere. (The previous formulation used exact
+# ``ntile`` over the whole table: a single-task sort of every row,
+# twice — the textbook 100 TB straggler. VERDICT r4 item 2.)
+_Z_GRID = 4096
+
+
+def _z_bucketed_cte_duck() -> str:
+    """DuckDB CTE mirror of :func:`_equidepth_bucketed` (must stay
+    bit-identical: same grid rule, same cumulative-count bucket rule,
+    all-integer math)."""
+    nb = 2 ** Z_BITS
+    return f"""
+    base AS (
+        SELECT o_custkey,
+               (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS day
+        FROM orders
+    ),
+    mm AS (
+        SELECT CAST(MIN(o_custkey) AS BIGINT) AS cmin,
+               CAST(MAX(o_custkey) AS BIGINT) AS cmax,
+               CAST(MIN(day) AS BIGINT) AS dmin,
+               CAST(MAX(day) AS BIGINT) AS dmax
+        FROM base
+    ),
+    cells AS (
+        SELECT o_custkey, day,
+               ((o_custkey - cmin) * {_Z_GRID}) // (cmax - cmin + 1) AS cx,
+               ((day - dmin) * {_Z_GRID}) // (dmax - dmin + 1) AS cy
+        FROM base CROSS JOIN mm
+    ),
+    hx AS (SELECT cx, COUNT(*) AS c FROM cells GROUP BY cx),
+    mapx AS (
+        SELECT cx,
+               CAST((SUM(c) OVER (ORDER BY cx) - c) * {nb}
+                        // SUM(c) OVER () AS BIGINT) AS bx,
+               CAST((SUM(c) OVER (ORDER BY cx) - c) * 64
+                        // SUM(c) OVER () AS BIGINT) AS lin_file
+        FROM hx
+    ),
+    hy AS (SELECT cy, COUNT(*) AS c FROM cells GROUP BY cy),
+    mapy AS (
+        SELECT cy,
+               CAST((SUM(c) OVER (ORDER BY cy) - c) * {nb}
+                        // SUM(c) OVER () AS BIGINT) AS by
+        FROM hy
+    ),
+    bucketed AS (
+        SELECT o_custkey, day, bx, by, lin_file
+        FROM cells JOIN mapx USING (cx) JOIN mapy USING (cy)
+    )
+    """
+
+
+def _equidepth_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency bucket assignment for (custkey, day) without a
+    global sort: equal-width grid cells per dimension (codegen row
+    math off a broadcast 1-row min/max), a per-dimension cell
+    histogram (ONE distributed groupBy each, ≤``_Z_GRID`` output
+    rows), cumulative-count bucket ids over that control-plane
+    histogram, and broadcast joins back onto the rows. The two
+    unpartitioned windows here run over the ≤4096-row histograms —
+    control-plane by construction, never the fact table."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff("o_orderdate", F.lit("1970-01-01")).alias("day"),
+    )
+    mm = o.agg(
+        F.min("o_custkey").cast("bigint").alias("cmin"),
+        F.max("o_custkey").cast("bigint").alias("cmax"),
+        F.min("day").cast("bigint").alias("dmin"),
+        F.max("day").cast("bigint").alias("dmax"),
+    )
+    cells = o.crossJoin(F.broadcast(mm)).selectExpr(
+        "o_custkey",
+        "day",
+        f"((CAST(o_custkey AS BIGINT) - cmin) * {_Z_GRID})"
+        " div (cmax - cmin + 1) AS cx",
+        f"((CAST(day AS BIGINT) - dmin) * {_Z_GRID})"
+        " div (dmax - dmin + 1) AS cy",
+    )
+    nb = 2 ** Z_BITS
+    mapx = cells.groupBy("cx").agg(F.count(F.lit(1)).alias("c")).selectExpr(
+        "cx",
+        f"CAST((SUM(c) OVER (ORDER BY cx) - c) * {nb}"
+        " div SUM(c) OVER () AS BIGINT) AS bx",
+        "CAST((SUM(c) OVER (ORDER BY cx) - c) * 64"
+        " div SUM(c) OVER () AS BIGINT) AS lin_file",
+    )
+    mapy = cells.groupBy("cy").agg(F.count(F.lit(1)).alias("c")).selectExpr(
+        "cy",
+        f"CAST((SUM(c) OVER (ORDER BY cy) - c) * {nb}"
+        " div SUM(c) OVER () AS BIGINT) AS `by`",
+    )
+    return (
+        cells.join(F.broadcast(mapx), "cx")
+        .join(F.broadcast(mapy), "cy")
+        .select("o_custkey", "day", "bx", "by", "lin_file")
+    )
+
 
 @query(
     "zorder_file_stats",
     oracle=f"""
-    WITH base AS (
-        SELECT o_orderkey, o_custkey,
-               (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS day
-        FROM orders
-    ),
-    bucketed AS (
-        SELECT o_custkey, day,
-               ntile({2 ** Z_BITS}) OVER (ORDER BY o_custkey, o_orderkey) - 1
-                   AS bx,
-               ntile({2 ** Z_BITS}) OVER (ORDER BY day, o_orderkey) - 1
-                   AS by
-        FROM base
-    ),
+    WITH {_z_bucketed_cte_duck()},
     keyed AS (
         SELECT o_custkey, day, {_zkey_duck("bx", "by")} AS zkey
         FROM bucketed
@@ -243,34 +337,18 @@ def zorder_file_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton-curve) layout for two-dimensional data
     clustering — the Delta/Iceberg ``ZORDER BY (custkey, orderdate)``
     primitive: range-bucket each dimension into 2^8 equal-frequency
-    buckets, interleave the bucket bits into a 16-bit curve key, and
-    cut the curve into 64 files (top 6 key bits). Every file then has
-    a BOUNDED min/max box in BOTH dimensions — exactly the footer
-    stats a writer persists and the data-skipping evidence this query
-    emits.
+    buckets (via :func:`_equidepth_bucketed`'s grid-histogram rule —
+    broadcast boundaries, no global sort), interleave the bucket bits
+    into a 16-bit curve key, and cut the curve into 64 files (top 6
+    key bits). Every file then has a BOUNDED min/max box in BOTH
+    dimensions — exactly the footer stats a writer persists and the
+    data-skipping evidence this query emits.
 
-    The equal-frequency bucketing here is exact ``ntile`` with a
-    deterministic tie-break (orderkey) so the oracle hash-matches; at
-    100 TB the ntile sort is replaced by SAMPLED range boundaries
-    (``repartitionByRange`` does precisely this internally), which
-    changes no downstream shape: the interleave is 32 codegen bit
-    ops per row, the stats one rollup shuffle. Writing the layout is
-    ``repartitionByRange(64, zkey)`` + sortWithinPartitions +
-    write."""
-    o = table(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        "o_custkey",
-        F.datediff("o_orderdate", F.lit("1970-01-01")).alias("day"),
-    )
-    n = 2 ** Z_BITS
-    wx = Window.orderBy("o_custkey", "o_orderkey")
-    wy = Window.orderBy("day", "o_orderkey")
-    bucketed = o.select(
-        "o_custkey",
-        "day",
-        (F.ntile(n).over(wx) - 1).alias("bx"),
-        (F.ntile(n).over(wy) - 1).alias("by"),
-    )
+    Scale: per-row work is 32 codegen bit ops, bucketing is two
+    broadcast hash joins off control-plane histograms, the stats one
+    rollup shuffle. Writing the layout is ``repartitionByRange(64,
+    zkey)`` + sortWithinPartitions + write."""
+    bucketed = _equidepth_bucketed(spark, sf_dir)
     keyed = bucketed.select(
         "o_custkey", "day", F.expr(_zkey_spark("bx", "by")).alias("zkey")
     )
@@ -418,24 +496,10 @@ def compaction_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "layout_skipping_eval",
     oracle=f"""
-    WITH base AS (
-        SELECT o_orderkey, o_custkey,
-               (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS day
-        FROM orders
-    ),
+    WITH {_z_bucketed_cte_duck()},
     rng AS (
         SELECT CAST(MAX(o_custkey) - MIN(o_custkey) AS DOUBLE) AS c_rng,
                CAST(MAX(day) - MIN(day) AS DOUBLE) AS d_rng
-        FROM base
-    ),
-    bucketed AS (
-        SELECT o_custkey, day,
-               ntile({2 ** Z_BITS}) OVER (ORDER BY o_custkey, o_orderkey) - 1
-                   AS bx,
-               ntile({2 ** Z_BITS}) OVER (ORDER BY day, o_orderkey) - 1
-                   AS by,
-               ntile(64) OVER (ORDER BY o_custkey, o_orderkey) - 1
-                   AS lin_file
         FROM base
     ),
     keyed AS (
@@ -474,24 +538,12 @@ def layout_skipping_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     numbers, not folklore (mirrors the recall-eval pattern used for
     the ANN knobs).
 
-    Scale: identical shapes to ``zorder_file_stats`` plus one more
-    ntile over the same sort; all downstream work is over 128 file-
-    stat rows."""
-    o = table(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        "o_custkey",
-        F.datediff("o_orderdate", F.lit("1970-01-01")).alias("day"),
-    )
-    n = 2 ** Z_BITS
-    wx = Window.orderBy("o_custkey", "o_orderkey")
-    wy = Window.orderBy("day", "o_orderkey")
-    keyed = o.select(
-        "o_custkey",
-        "day",
-        (F.ntile(n).over(wx) - 1).alias("bx"),
-        (F.ntile(n).over(wy) - 1).alias("by"),
-        (F.ntile(64).over(wx) - 1).alias("lin_file"),
-    ).select(
+    Scale: identical shapes to ``zorder_file_stats`` — the linear
+    baseline's 64 files reuse the custkey histogram's cumulative
+    counts (one extra control-plane column, no extra pass); all
+    downstream work is over 128 file-stat rows."""
+    bucketed = _equidepth_bucketed(spark, sf_dir)
+    keyed = bucketed.select(
         "o_custkey",
         "day",
         "lin_file",
@@ -500,7 +552,7 @@ def layout_skipping_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("z_file"),
     )
-    rng = o.agg(
+    rng = bucketed.agg(
         (F.max("o_custkey") - F.min("o_custkey"))
         .cast("double")
         .alias("c_rng"),

@@ -65,3 +65,47 @@ def codegen_stage_count(df: DataFrame) -> int:
     test-scale data) and counts the distinct ``*(N)`` spans."""
     df.collect()  # finalize the adaptive plan
     return len(set(re.findall(r"\*\((\d+)\)", plan_str(df, "simple"))))
+
+
+def _node_depths(lines: list[str]) -> list[int]:
+    """Tree depth of each simple-plan line = column where the node
+    name starts (after the ``+-``/``:-``/indent prefix)."""
+    out = []
+    for line in lines:
+        m = re.search(r"[^\s:+\-]", line)
+        out.append(m.start() if m else len(line))
+    return out
+
+
+def unaggregated_global_sorts(df: DataFrame) -> list[str]:
+    """Fact-scale data funneled through ONE task: every
+    ``Exchange SinglePartition`` whose subtree reaches a parquet scan
+    with NO aggregate on the path between them. A single-partition
+    exchange is fine when it consumes a HashAggregate (control-plane
+    tables: histograms, bucket sums, file stats — bounded rows); it
+    is the textbook 100 TB straggler when raw scan rows flow into it
+    (an unpartitioned Window/ntile over a fact table). Returns the
+    offending scan lines; the scale contract is ``== []``."""
+    lines = plan_str(df, "simple").splitlines()
+    depths = _node_depths(lines)
+    offenders: list[str] = []
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        # Subtree = following lines strictly deeper than the exchange.
+        j = i + 1
+        while j < len(lines) and depths[j] > depths[i]:
+            if "Scan parquet" in lines[j]:
+                # Walk the ancestor chain scan -> exchange; an
+                # Aggregate anywhere on it bounds the row count.
+                cur, aggregated = depths[j], False
+                for k in range(j - 1, i, -1):
+                    if depths[k] < cur:
+                        cur = depths[k]
+                        if "Aggregate" in lines[k]:
+                            aggregated = True
+                            break
+                if not aggregated:
+                    offenders.append(lines[j].strip())
+            j += 1
+    return offenders

@@ -544,3 +544,72 @@ def test_bpe_pairs_two_bounded_aggregates(spark, sf_dir):
     # (strictly better than a WindowGroupLimit over a full sort).
     assert "TakeOrderedAndProject" in plan or "WindowGroupLimit" in plan
     assert "Join" not in plan_str(df, "simple")
+
+
+def test_zorder_pair_no_global_fact_sort(spark, sf_dir):
+    """The z-order rewrite's scale contract: equal-frequency buckets
+    come from broadcast-joined control-plane histograms, so NO
+    single-partition exchange consumes raw scan rows (the old exact
+    ``ntile`` formulation sorted the whole fact table in one task —
+    VERDICT r4 item 2), and the cell->bucket maps broadcast."""
+    from go_http_data_pipeline_spark.operators.storage import (
+        layout_skipping_eval,
+        zorder_file_stats,
+    )
+    from go_http_data_pipeline_spark.plans.inspect import (
+        unaggregated_global_sorts,
+    )
+
+    for fn in (zorder_file_stats, layout_skipping_eval):
+        df = fn(spark, sf_dir)
+        assert unaggregated_global_sorts(df) == []
+        assert "BroadcastHashJoin" in join_strategies(df)
+
+
+def test_rolling_wau_is_explosion_not_nested_loop(spark, sf_dir):
+    """Pair-explosion WAU: a fixed 7x fan-out plus one aggregate —
+    no BroadcastNestedLoopJoin against the day grid (O(days x pairs)
+    in the old range-join form), and the grid filter is a broadcast
+    semi-join."""
+    from go_http_data_pipeline_spark.operators.time_windows import (
+        rolling_7day_active_users,
+    )
+
+    strategies = join_strategies(rolling_7day_active_users(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in strategies
+    assert "CartesianProduct" not in strategies
+    assert "BroadcastHashJoin" in strategies
+    assert "Explode" in plan_str(
+        rolling_7day_active_users(spark, sf_dir), "simple"
+    ) or "Generate" in plan_str(
+        rolling_7day_active_users(spark, sf_dir), "simple"
+    )
+
+
+def test_no_registry_query_global_sorts_a_fact_scan(spark, sf_dir):
+    """Registry-wide scale sweep (generalizes the z-order fix): no
+    registered batch query may funnel raw parquet-scan rows through a
+    single-partition exchange. Control-plane global windows (over
+    HashAggregate outputs: histograms, bucket sums, distinct pairs)
+    are allowed — that is precisely the aggregate-on-path rule
+    ``unaggregated_global_sorts`` encodes."""
+    from go_http_data_pipeline_spark import registry
+    from go_http_data_pipeline_spark.plans.inspect import (
+        unaggregated_global_sorts,
+    )
+
+    # Streaming-backed twins execute real micro-batch streams on
+    # construction; their batch plans are covered by their own tests.
+    skip = {
+        name
+        for name in registry.all_queries()
+        if name.startswith("streaming_")
+    }
+    bad: dict[str, list[str]] = {}
+    for name, fn in registry.all_queries().items():
+        if name in skip:
+            continue
+        offenders = unaggregated_global_sorts(fn(spark, sf_dir))
+        if offenders:
+            bad[name] = offenders
+    assert bad == {}, f"global single-task sort over a fact scan: {bad}"
