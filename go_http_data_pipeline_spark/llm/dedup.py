@@ -691,7 +691,14 @@ def component_labels_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _persist_ids() -> set:
         return set(jsc.getPersistentRDDs().keySet().toArray())
 
-    prev_ckpt_id = None
+    # NOTE private-API dependency: _persist_ids() reads the JVM-side
+    # persistent-RDD registry via _jsc (no public PySpark surface
+    # lists checkpoint blocks). The set-diff can catch MORE than one
+    # new id if a checkpoint registers several RDDs or something else
+    # persists concurrently — so every id in the diff is tracked and
+    # ALL of them are unpersisted once superseded (tracking just one
+    # would silently leak the rest until ContextCleaner GC).
+    prev_ckpt_ids: set = set()
     while True:
         nbr_min = (
             sym.join(labels, sym.doc_b == labels.doc_id)
@@ -720,11 +727,11 @@ def component_labels_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
             .count()
         )
         labels.unpersist()  # round-1 persist(); no-op afterwards
-        if prev_ckpt_id is not None:
-            rdd = jsc.getPersistentRDDs().get(prev_ckpt_id)
+        for ckpt_id in prev_ckpt_ids:
+            rdd = jsc.getPersistentRDDs().get(ckpt_id)
             if rdd is not None:
                 rdd.unpersist(False)
-        prev_ckpt_id = next(iter(new_ckpt_ids), None)
+        prev_ckpt_ids = new_ckpt_ids
         labels = new_labels
         if changed == 0:
             break
@@ -764,7 +771,16 @@ def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     final per-doc rollup, carrying one row per (doc, shingle) —
     never the text. At 100 TB this is two passes over a bucketed
     shingle table, the same shape substring-dedup pipelines
-    (suffix-array approximations) reduce to."""
+    (suffix-array approximations) reduce to.
+
+    Collision sensitivity: df is grouped on the 48-bit ``sh_h``
+    while the oracle groups on shingle TEXT, so a hash collision
+    merges two distinct shingles' df buckets and can flip a unique
+    shingle to "duplicated" (df>=2) — a STRICTER exposure than the
+    equality joins elsewhere, where a collision must also survive
+    the verify step. Expected collisions ~n²/2^49 (≈1e-7 on the
+    fixture's ~60k distinct shingles); at corpus scale widen sh_h
+    before trusting per-doc coverage to the last percent."""
     sh = shingles_cached(spark, sf_dir)
     dfc = sh.groupBy("sh_h").agg(F.count(F.lit(1)).alias("df"))
     n_dup = F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))

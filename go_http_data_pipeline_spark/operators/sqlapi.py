@@ -64,11 +64,16 @@ def sql_api_segment_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Depth bound for the recursive closure: Spark's WITH RECURSIVE
 # supports only UNION ALL (no in-recursion dedup), so on a cyclic
-# symmetric edge set the walk must be depth-bounded to terminate.
-# 8 levels >= any near-dup cluster diameter by orders of magnitude
-# (clusters are template families, diameter ~2); both engines run the
-# IDENTICAL bounded recursion, so parity holds regardless.
-_RECURSION_DEPTH = 8
+# symmetric edge set the walk must be depth-bounded to terminate —
+# and the intermediate reach relation grows ~O(k·(k-1)^(depth-1)) per
+# k-clique IN BOTH ENGINES, so the bound is also the memory guard.
+# Correctness needs only depth >= cluster diameter: clusters are
+# template families (diameter ~2, verified by `neardup_graph_stats`),
+# so 4 is a 2x margin while keeping the per-clique blowup at (k-1)^3
+# instead of the (k-1)^7 a depth of 8 allowed. Both engines run the
+# IDENTICAL bounded recursion, so parity holds at any depth; raise
+# this only alongside a fixture whose dup graphs are actual chains.
+_RECURSION_DEPTH = 4
 
 # The recursion tail over an `edges(doc_a, doc_b)` relation — shared
 # verbatim by the Spark program and the DuckDB oracle.

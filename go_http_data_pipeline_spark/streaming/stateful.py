@@ -159,6 +159,18 @@ def _ema_update(
     # time-ordered (file-source batches preserve fixture order), which
     # is the standard in-order assumption for emit-on-arrival signals.
     rows.sort()
+    # That assumption is CHECKED, not trusted: hist's tail is the last
+    # emitted (ts, event_id), so a batch starting before it means the
+    # source split the replay out of event-time order — fail loudly
+    # here instead of silently diverging from the batch oracle at the
+    # hash-compare (a multi-file fixture or a repartitioned source
+    # would otherwise corrupt the EMA undetectably).
+    if rows and hist and (rows[0][0], rows[0][1]) < (hist[-1][0], hist[-1][1]):
+        raise ValueError(
+            f"out-of-order replay for user {user_id}: batch starts at "
+            f"(ts_us={rows[0][0]}, event_id={rows[0][1]}) but state last "
+            f"emitted (ts_us={hist[-1][0]}, event_id={hist[-1][1]})"
+        )
     out = []
     for t, e, v in rows:
         # EXACT mirror of the batch lag-chain: left-to-right adds,
