@@ -252,3 +252,235 @@ def run_streaming_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         "ema8",
     )
+
+
+# --- TTL-evicting sessions (transformWithState, Spark 4.x) ------------------
+
+_SESS_OUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp,"
+    " n_events long, total_value double"
+)
+_SESS_STATE_SCHEMA = (
+    "start_us long, last_us long, last_eid long, n long, total_scaled long"
+)
+# Event-time TTL: a key's session state is evicted (and its profile
+# emitted) once event time moves > TTL past the key's last update —
+# the same 30-minute bound the session operators share.
+SESSION_TTL_MIN = 30
+_TTL_US = SESSION_TTL_MIN * 60 * 1_000_000
+
+
+def _fold_sessions(user_id, events, st):
+    """The session-TTL kernel, shared verbatim by BOTH stateful API
+    paths (transformWithState and the applyInPandasWithState
+    fallback): fold a sorted (ts_us, event_id, value) batch into the
+    open-session state tuple, returning (closed_sessions, new_state).
+    An event arriving > TTL after the key's last update closes the
+    open session; ties and order are checked against the state's
+    (last_us, last_eid) so an out-of-order replay fails loudly
+    instead of silently mis-sessionizing (same contract as the
+    stateful EMA)."""
+    if events and st is not None and (
+        (events[0][0], events[0][1]) < (st[1], st[2])
+    ):
+        raise ValueError(
+            f"out-of-order replay for user {user_id}: batch starts "
+            f"(ts_us={events[0][0]}, eid={events[0][1]}) before state "
+            f"last (ts_us={st[1]}, eid={st[2]})"
+        )
+    closed = []
+    for t, e, v in events:
+        q = _quantize_1e4(v)
+        if st is None:
+            st = (t, t, e, 1, q)
+        elif t - st[1] > _TTL_US:
+            closed.append(st)
+            st = (t, t, e, 1, q)
+        else:
+            st = (st[0], t, e, st[3] + 1, st[4] + q)
+    return closed, st
+
+
+def _closed_sessions_pdf(user_id, closed) -> pd.DataFrame:
+    # Explicit dtypes: a key with zero closed sessions must not emit
+    # object-dtype empty columns (Arrow/pandas concat would have to
+    # guess, and warns).
+    return pd.DataFrame(
+        {
+            "user_id": pd.Series([user_id] * len(closed), dtype="int64"),
+            "session_start": pd.to_datetime(
+                [c[0] for c in closed], unit="us"
+            ),
+            "session_end": pd.to_datetime([c[1] for c in closed], unit="us"),
+            "n_events": pd.Series([c[3] for c in closed], dtype="int64"),
+            "total_value": pd.Series(
+                [c[4] / 1e4 for c in closed], dtype="float64"
+            ),
+        }
+    )
+
+
+def _collect_sorted_events(pdfs) -> list:
+    events = []
+    for pdf in pdfs:
+        ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+        for t, e, v in zip(ts_us, pdf["event_id"], pdf["value"]):
+            events.append((int(t), int(e), float(v)))
+    events.sort()
+    return events
+
+
+def _session_ttl_processor():
+    """Build the StatefulProcessor lazily so importing this module
+    never depends on the Spark 4.x transformWithState surface."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class SessionTTL(StatefulProcessor):
+        """Per-user session profile with EVENT-TIME TTL eviction via
+        the Spark 4.x ``ValueState`` API. The built-in
+        ``ttlDurationMs`` knob is deliberately NOT used: it expires
+        on wall-clock processing time, so outputs would depend on
+        when the replay runs — useless for exactly-once replays and
+        impossible to oracle-check. Here event time itself drives
+        eviction: a key's next event arriving > TTL after its last
+        update closes (emits) the stale session and re-seeds the
+        state, which is deterministic under replay."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._sess = handle.getValueState("sess", _SESS_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            (user_id,) = key
+            closed, st = _fold_sessions(
+                user_id, _collect_sorted_events(rows), self._sess.get()
+            )
+            if st is not None:
+                self._sess.update(st)
+            yield _closed_sessions_pdf(user_id, closed)
+
+        def close(self) -> None:
+            pass
+
+    return SessionTTL()
+
+
+def _session_ttl_group_state(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Fallback path: the IDENTICAL kernel on the GroupState API (for
+    environments without the protobuf dependency transformWithState's
+    Python worker needs — see run_stateful_session_ttl)."""
+    (user_id,) = key
+    closed, st = _fold_sessions(
+        user_id,
+        _collect_sorted_events(pdfs),
+        tuple(state.get) if state.exists else None,
+    )
+    if st is not None:
+        state.update(st)
+    yield _closed_sessions_pdf(user_id, closed)
+
+
+@_query(
+    "stateful_session_ttl",
+    oracle=f"""
+    WITH gaps AS (
+        SELECT user_id, ts, value, event_id,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                         > INTERVAL {SESSION_TTL_MIN} MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    ids AS (
+        SELECT user_id, ts, value,
+               CAST(SUM(new_session) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM gaps
+    ),
+    sess AS (
+        SELECT user_id, session_id,
+               CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+               CAST(MAX(ts) AS TIMESTAMP) AS session_end,
+               COUNT(*) AS n_events,
+               {_dsum_sql('value', 4)} AS total_value
+        FROM ids GROUP BY 1, 2
+    ),
+    marked AS (
+        SELECT *, MAX(session_id) OVER (PARTITION BY user_id) AS max_sid
+        FROM sess
+    )
+    SELECT user_id, session_start, session_end, n_events, total_value
+    FROM marked WHERE session_id < max_sid
+    """,
+)
+def run_stateful_session_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TTL-evicted session profiles through Spark 4.x's
+    ``transformWithStateInPandas`` (the successor stateful API to
+    ``applyInPandasWithState``): per-user ``ValueState`` holds the
+    open session (start, last ts/eid, count, exact 1e-4 value sum);
+    an event arriving > 30 event-time minutes after the key's last
+    update EVICTS the stale state as an emitted session row and
+    re-seeds it — the streaming form of expiring-profile stores,
+    completing §2.9 T5 on the 4.x API surface.
+
+    Only sessions CLOSED by a successor event are emitted (open
+    tails stay in state at end-of-replay), so the batch oracle is
+    gap-sessionization minus each user's final session — fully
+    SQL-expressible and hash-checked, including the exact-integer
+    value sums (same quantization contract as the profile
+    operator).
+
+    API gate: transformWithState's Python worker needs protobuf
+    (``pyspark.sql.streaming.proto``) and the RocksDB state store;
+    where protobuf is absent (this container pins its package set)
+    the query runs the SAME kernel (`_fold_sessions`) through
+    ``applyInPandasWithState`` — byte-identical output, and the 4.x
+    processor stays the primary path wherever its worker can start.
+
+    Scale: state is one 5-field tuple per ACTIVE key (evicted keys
+    cost nothing — the point of TTL), partitioned by user and
+    checkpointed by the engine; emission is append-mode."""
+    from pyspark.sql import functions as F
+
+    from .core import events_stream, run_to_memory
+
+    ev = events_stream(spark, sf_dir).select(
+        "event_id", "user_id", "ts", "value"
+    )
+    try:
+        import google.protobuf  # noqa: F401  (transformWithState worker dep)
+
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        sdf = ev.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=_session_ttl_processor(),
+            outputStructType=_SESS_OUT_SCHEMA,
+            outputMode="append",
+            timeMode="none",
+        )
+    except ModuleNotFoundError:
+        sdf = ev.groupBy("user_id").applyInPandasWithState(
+            _session_ttl_group_state,
+            outputStructType=_SESS_OUT_SCHEMA,
+            stateStructType=_SESS_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    out = run_to_memory(spark, sdf, "session_ttl", "append")
+    return out.select(
+        "user_id",
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+        "n_events",
+        "total_value",
+    )

@@ -237,3 +237,65 @@ def test_streaming_repetition_equals_batch(spark, sf_dir):
             b["top_token_share"],
             b["dup_bigram_ratio"],
         )
+
+
+def test_session_ttl_fold_kernel():
+    """The shared session-TTL kernel: gap > TTL closes a session;
+    ties accumulate; out-of-order replay raises."""
+    import pytest
+
+    from go_http_data_pipeline_spark.streaming.stateful import (
+        _TTL_US,
+        _fold_sessions,
+    )
+
+    t0 = 1_000_000_000_000_000
+    closed, st = _fold_sessions(
+        7,
+        [
+            (t0, 1, 1.0),
+            (t0 + 10, 2, 2.0),          # same session
+            (t0 + 10 + _TTL_US, 3, 4.0),   # gap == TTL: still same
+            (t0 + 11 + 2 * _TTL_US, 4, 8.0),  # gap > TTL: closes
+        ],
+        None,
+    )
+    assert closed == [(t0, t0 + 10 + _TTL_US, 3, 3, 70000)]
+    assert st == (t0 + 11 + 2 * _TTL_US, t0 + 11 + 2 * _TTL_US, 4, 1, 80000)
+
+    # State carries across batches: a later batch closes the tail.
+    closed2, st2 = _fold_sessions(7, [(st[1] + _TTL_US + 1, 5, 0.5)], st)
+    assert closed2 == [st]
+    assert st2[3] == 1 and st2[4] == 5000
+
+    with pytest.raises(ValueError, match="out-of-order"):
+        _fold_sessions(7, [(t0, 1, 1.0)], (t0, t0 + 5, 9, 1, 0))
+
+
+def test_session_ttl_equals_batch_sessionization(spark, sf_dir):
+    """The TTL-evicted stream equals gap-sessionization minus each
+    user's final (still-open) session, computed batch-side."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from go_http_data_pipeline_spark.operators.time_windows import (
+        sessionize_events,
+    )
+    from go_http_data_pipeline_spark.streaming.stateful import (
+        run_stateful_session_ttl,
+    )
+
+    sess = sessionize_events(spark, sf_dir)
+    w = Window.partitionBy("user_id")
+    expected = {
+        (r["user_id"], r["session_start"].isoformat()): r["n_events"]
+        for r in sess.withColumn(
+            "max_sid", F.max("session_id").over(w)
+        ).filter(F.col("session_id") < F.col("max_sid")).collect()
+    }
+    got = run_stateful_session_ttl(spark, sf_dir).collect()
+    assert len(got) == len(expected)
+    for r in got:
+        key = (r["user_id"], r["session_start"].isoformat())
+        assert expected[key] == r["n_events"]
+        assert r["session_end"] >= r["session_start"]
