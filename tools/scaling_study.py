@@ -79,8 +79,7 @@ def _build_amplified(spark) -> None:
         COPY (
             SELECT o_orderkey + i * 6000000 AS o_orderkey,
                    o_custkey + i * 1500000 AS o_custkey,
-                   o_orderstatus, o_totalprice, o_orderdate,
-                   o_orderpriority, o_clerk, o_shippriority, o_comment
+                   o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
             FROM '{BIG}/orders.parquet', (SELECT unnest({rng}) AS i)
         ) TO '{AMP_DIR}/orders.parquet' (FORMAT PARQUET)
         """
@@ -185,7 +184,7 @@ def main() -> int:
 
     wau_1 = _timed(qs["rolling_7day_active_users"], spark, BIG)
     wau_10 = _timed(qs["rolling_7day_active_users"], spark, AMP_DIR)
-    print(f"# rolling_wau sf0.1={wau_1}s amp10={wau_10}s")
+    print(f"# rolling_wau sf0.1={wau_1}s amp10={wau_10}s", flush=True)
 
     lines = [
         "# SCALING — measured scale-stress evidence (round 5)",
