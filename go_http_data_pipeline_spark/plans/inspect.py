@@ -90,22 +90,80 @@ def unaggregated_global_sorts(df: DataFrame) -> list[str]:
     depths = _node_depths(lines)
     offenders: list[str] = []
     for i, line in enumerate(lines):
-        if "Exchange SinglePartition" not in line:
+        if "Exchange SinglePartition" in line:
+            offenders.extend(
+                _scan_lines_without_aggregate_ancestor(lines, depths, i)
+            )
+    return offenders
+
+
+def _scan_lines_without_aggregate_ancestor(
+    lines: list[str], depths: list[int], root: int
+) -> list[str]:
+    """Parquet-scan lines inside ``root``'s subtree whose ancestor
+    chain up to ``root`` has no Aggregate bounding the row count.
+
+    A scan whose chain crosses an ``InMemoryRelation`` is skipped:
+    that scan is the cached plan's PRINTOUT (how the persisted
+    intermediate was built, executed once at materialization), not
+    work this query performs — and materialized AQE plans print
+    Initial/Final sections whose indentation is not a monotone tree,
+    so the chain can't be walked through them reliably anyway."""
+    out: list[str] = []
+    j = root + 1
+    while j < len(lines) and depths[j] > depths[root]:
+        if "Scan parquet" in lines[j]:
+            cur, bounded = depths[j], False
+            for k in range(j - 1, root, -1):
+                if depths[k] < cur:
+                    cur = depths[k]
+                    if (
+                        "Aggregate" in lines[k]
+                        or "InMemoryRelation" in lines[k]
+                    ):
+                        bounded = True
+                        break
+            if not bounded:
+                out.append(lines[j].strip())
+        j += 1
+    return out
+
+
+def unbounded_nested_loops(df: DataFrame) -> list[str]:
+    """BroadcastNestedLoopJoin nodes whose BROADCAST side carries raw
+    (un-aggregated) parquet-scan rows. A nested-loop join against a
+    broadcast SCALAR or small aggregate (count grids, 1-row
+    thresholds, centroid tables) is control-plane and fine; one whose
+    broadcast input is an unbounded scan re-reads the fact table per
+    row — O(n x m) at 100 TB. Returns offending scan lines; the scale
+    contract is ``== []``."""
+    lines = plan_str(df, "simple").splitlines()
+    depths = _node_depths(lines)
+    offenders: list[str] = []
+    for i, line in enumerate(lines):
+        if "BroadcastNestedLoopJoin" not in line:
             continue
-        # Subtree = following lines strictly deeper than the exchange.
+        # The broadcast side sits under a BroadcastExchange /
+        # BroadcastQueryStage inside this join's subtree (nested joins
+        # appear deeper; only inspect exchanges whose nearest
+        # enclosing join is THIS node).
         j = i + 1
         while j < len(lines) and depths[j] > depths[i]:
-            if "Scan parquet" in lines[j]:
-                # Walk the ancestor chain scan -> exchange; an
-                # Aggregate anywhere on it bounds the row count.
-                cur, aggregated = depths[j], False
-                for k in range(j - 1, i, -1):
+            if "BroadcastExchange" in lines[j] or "BroadcastQueryStage" in lines[j]:
+                # nearest enclosing join of this exchange
+                cur = depths[j]
+                encl = None
+                for k in range(j - 1, -1, -1):
                     if depths[k] < cur:
                         cur = depths[k]
-                        if "Aggregate" in lines[k]:
-                            aggregated = True
+                        if "Join" in lines[k] or "CartesianProduct" in lines[k]:
+                            encl = k
                             break
-                if not aggregated:
-                    offenders.append(lines[j].strip())
+                if encl == i:
+                    offenders.extend(
+                        _scan_lines_without_aggregate_ancestor(
+                            lines, depths, j
+                        )
+                    )
             j += 1
     return offenders

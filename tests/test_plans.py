@@ -586,16 +586,39 @@ def test_rolling_wau_is_explosion_not_nested_loop(spark, sf_dir):
     )
 
 
+# Queries whose BroadcastNestedLoopJoin over raw scan rows is the
+# DOCUMENTED physical strategy: the ANN/top-k family broadcasts the
+# QUERY-VECTOR side, a scan bounded to 10 rows by a literal pushed
+# filter (vec_id < 10) rather than by an aggregate — genuinely small,
+# just invisible to the aggregate-on-path rule. Everything else must
+# stay out of this list.
+_BNLJ_ALLOWED: frozenset = frozenset(
+    {
+        "cosine_topk",
+        "ann_recall_eval",
+        "ann_multiprobe_recall_eval",
+        "ivf_ann_top1",
+        "ivf_ann_nprobe2",
+    }
+)
+
+
 def test_no_registry_query_global_sorts_a_fact_scan(spark, sf_dir):
-    """Registry-wide scale sweep (generalizes the z-order fix): no
-    registered batch query may funnel raw parquet-scan rows through a
-    single-partition exchange. Control-plane global windows (over
-    HashAggregate outputs: histograms, bucket sums, distinct pairs)
-    are allowed — that is precisely the aggregate-on-path rule
-    ``unaggregated_global_sorts`` encodes."""
+    """Registry-wide scale sweep (generalizes the z-order fix), three
+    contracts over every registered batch query's physical plan:
+
+    1. no raw parquet-scan rows through a single-partition exchange
+       (control-plane global windows over Aggregate outputs are the
+       allowed exception — the aggregate-on-path rule
+       ``unaggregated_global_sorts`` encodes);
+    2. no CartesianProduct anywhere;
+    3. no BroadcastNestedLoopJoin whose broadcast side is raw
+       (un-aggregated) scan rows, outside the documented allowlist.
+    """
     from go_http_data_pipeline_spark import registry
     from go_http_data_pipeline_spark.plans.inspect import (
         unaggregated_global_sorts,
+        unbounded_nested_loops,
     )
 
     # Streaming-backed twins execute real micro-batch streams on
@@ -603,13 +626,18 @@ def test_no_registry_query_global_sorts_a_fact_scan(spark, sf_dir):
     skip = {
         name
         for name in registry.all_queries()
-        if name.startswith("streaming_")
+        if name.startswith("streaming_") or name == "stateful_session_ttl"
     }
     bad: dict[str, list[str]] = {}
     for name, fn in registry.all_queries().items():
         if name in skip:
             continue
-        offenders = unaggregated_global_sorts(fn(spark, sf_dir))
+        df = fn(spark, sf_dir)
+        offenders = unaggregated_global_sorts(df)
+        if "CartesianProduct" in plan_str(df, "simple"):
+            offenders.append("CartesianProduct")
+        if name not in _BNLJ_ALLOWED:
+            offenders.extend(unbounded_nested_loops(df))
         if offenders:
             bad[name] = offenders
-    assert bad == {}, f"global single-task sort over a fact scan: {bad}"
+    assert bad == {}, f"scale-contract violations: {bad}"
