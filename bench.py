@@ -90,23 +90,30 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 _LOCAL_LOG = os.path.join(_HERE, "BENCH_LOCAL.jsonl")
 
 
-def _prev_bench() -> dict:
+def _prev_bench(sf: float) -> dict:
     """The reference point for per-query deltas: the last full record
-    in BENCH_LOCAL.jsonl (this file appends one per run — the driver
-    keeps only a 2000-char tail of stdout, which truncated the r3/r4
-    per-query records to `"parsed": null`; the in-repo log is the
-    durable history — VERDICT r4 item 3). Falls back to the newest
-    parseable driver BENCH_r*.json."""
+    in BENCH_LOCAL.jsonl **at the same scale factor** (a dev run at
+    sf0.01 must not become the baseline for a driver run at sf0.1 —
+    the deltas would read as ~10x regressions). The log appends one
+    record per run — the driver keeps only a 2000-char tail of
+    stdout, which truncated the r3/r4 per-query records to
+    `"parsed": null`; the in-repo log is the durable history (VERDICT
+    r4 item 3). A malformed line (e.g. a kill mid-append) is skipped,
+    not fatal: older valid records still serve. Falls back to the
+    newest parseable driver BENCH_r*.json."""
     try:
         with open(_LOCAL_LOG) as f:
             lines = [ln for ln in f if ln.strip()]
-        for ln in reversed(lines):
+    except OSError:
+        lines = []
+    for ln in reversed(lines):
+        try:
             data = json.loads(ln)
-            if isinstance(data.get("queries"), dict):
-                data["_path"] = os.path.basename(_LOCAL_LOG)
-                return data
-    except (OSError, ValueError):
-        pass
+        except ValueError:
+            continue
+        if isinstance(data.get("queries"), dict) and data.get("sf") == sf:
+            data["_path"] = os.path.basename(_LOCAL_LOG)
+            return data
     import glob
 
     paths = sorted(glob.glob(os.path.join(_HERE, "BENCH_r*.json")))
@@ -165,7 +172,7 @@ def main() -> int:
     cache_build = round(time.perf_counter() - t0, 3)
     print(f"# dedup_cache_build: {cache_build}s", file=sys.stderr)
 
-    prev = _prev_bench()
+    prev = _prev_bench(sf)
     prev_times: dict = prev.get("queries", {})
 
     times: dict[str, float] = {}

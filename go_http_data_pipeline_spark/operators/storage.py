@@ -552,7 +552,15 @@ def layout_skipping_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("z_file"),
     )
-    rng = bucketed.agg(
+    # rng needs only the raw min/max — aggregate the plain projection
+    # (one scan), not `bucketed`, whose plan would re-run both
+    # histogram groupBys and broadcast joins just to reduce to the
+    # same four numbers (the oracle computes rng FROM base likewise).
+    raw = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff("o_orderdate", F.lit("1970-01-01")).alias("day"),
+    )
+    rng = raw.agg(
         (F.max("o_custkey") - F.min("o_custkey"))
         .cast("double")
         .alias("c_rng"),

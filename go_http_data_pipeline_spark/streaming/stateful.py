@@ -454,21 +454,42 @@ def run_stateful_session_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events_stream(spark, sf_dir).select(
         "event_id", "user_id", "ts", "value"
     )
+    out = None
     try:
         import google.protobuf  # noqa: F401  (transformWithState worker dep)
 
+        # The RocksDB provider is a session conf: scope it to THIS
+        # query's run and restore the prior value after, so later
+        # streaming queries in the session (which may assume the
+        # default HDFS-backed provider) are not order-dependently
+        # switched under them.
+        _PROV = "spark.sql.streaming.stateStore.providerClass"
+        prior = spark.conf.get(_PROV, None)
         spark.conf.set(
-            "spark.sql.streaming.stateStore.providerClass",
+            _PROV,
             "org.apache.spark.sql.execution.streaming.state."
             "RocksDBStateStoreProvider",
         )
-        sdf = ev.groupBy("user_id").transformWithStateInPandas(
-            statefulProcessor=_session_ttl_processor(),
-            outputStructType=_SESS_OUT_SCHEMA,
-            outputMode="append",
-            timeMode="none",
-        )
-    except ModuleNotFoundError:
+        try:
+            sdf = ev.groupBy("user_id").transformWithStateInPandas(
+                statefulProcessor=_session_ttl_processor(),
+                outputStructType=_SESS_OUT_SCHEMA,
+                outputMode="append",
+                timeMode="none",
+            )
+            out = run_to_memory(spark, sdf, "session_ttl", "append")
+        finally:
+            if prior is None:
+                spark.conf.unset(_PROV)
+            else:
+                spark.conf.set(_PROV, prior)
+    except Exception:
+        # Fallback engages on ANY primary-path failure, not just a
+        # missing driver-side protobuf: the worker can also die on a
+        # proto version mismatch or a RocksDB init failure, and the
+        # GroupState path runs the byte-identical kernel either way.
+        out = None
+    if out is None:
         sdf = ev.groupBy("user_id").applyInPandasWithState(
             _session_ttl_group_state,
             outputStructType=_SESS_OUT_SCHEMA,
@@ -476,7 +497,7 @@ def run_stateful_session_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
-    out = run_to_memory(spark, sdf, "session_ttl", "append")
+        out = run_to_memory(spark, sdf, "session_ttl", "append")
     return out.select(
         "user_id",
         F.col("session_start").cast("timestamp_ntz").alias("session_start"),

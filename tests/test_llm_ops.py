@@ -369,3 +369,29 @@ def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
     assert set(single) <= set(multi)
     for qid, cos in single.items():
         assert multi[qid] >= cos - 1e-12
+
+
+def test_recursive_cte_depth_covers_fixture_diameter(spark, sf_dir):
+    """`sql_api_components_recursive` truncates its UNION-ALL walk at
+    `_RECURSION_DEPTH`; its oracle truncates IDENTICALLY, so the gate
+    would stay green even if the bound were too shallow for some
+    cluster. This pins the bound against the CONVERGED fixpoint: the
+    depth-bounded closure must assign every doc the same component
+    (and keeper flag) as `dedup_components`' run-to-convergence label
+    propagation over the same edge set. If a fixture ever grows a
+    near-dup chain with diameter > _RECURSION_DEPTH, this fails
+    loudly instead of both engines agreeing on the wrong answer."""
+    from go_http_data_pipeline_spark.llm.dedup import dedup_components
+    from go_http_data_pipeline_spark.operators.sqlapi import (
+        sql_api_components_recursive,
+    )
+
+    fixpoint = {
+        r.doc_id: (r.component_id, r.is_keeper)
+        for r in dedup_components(spark, sf_dir).collect()
+    }
+    bounded = {
+        r.doc_id: (r.component_id, r.is_keeper)
+        for r in sql_api_components_recursive(spark, sf_dir).collect()
+    }
+    assert bounded == fixpoint

@@ -67,7 +67,8 @@ def main() -> int:
     qs = e.queries()
     names = [
         n for n in qs
-        if n.startswith("streaming_") or n == "stateful_user_profiles"
+        if n.startswith("streaming_")
+        or n in ("stateful_user_profiles", "stateful_session_ttl")
     ]
     flaky = []
     for n in names:

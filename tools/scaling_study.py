@@ -70,7 +70,11 @@ def _build_amplified(spark) -> None:
     import duckdb
 
     os.makedirs(AMP_DIR, exist_ok=True)
-    if os.path.exists(f"{AMP_DIR}/orders.parquet"):
+    # Skip only if BOTH outputs exist: a crash between the two COPYs
+    # must not poison the cache into a half-built fixture forever.
+    if os.path.exists(f"{AMP_DIR}/orders.parquet") and os.path.exists(
+        f"{AMP_DIR}/events.parquet"
+    ):
         return
     con = duckdb.connect()
     rng = f"range({AMP_COPIES})"
