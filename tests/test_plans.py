@@ -640,3 +640,84 @@ def test_no_registry_query_global_sorts_a_fact_scan(spark, sf_dir):
         if offenders:
             bad[name] = offenders
     assert bad == {}, f"scale-contract violations: {bad}"
+
+
+# --- pure-string unit tests for the tree-walk helpers ----------------------
+# The registry sweep exercises these on live plans; these pin the
+# parser itself on hand-built simple-mode plan text, so a behavior
+# change in the walker (not in any query) fails with a readable diff.
+
+
+def test_node_depths_ignores_tree_glyphs():
+    from go_http_data_pipeline_spark.plans.inspect import _node_depths
+
+    lines = [
+        "*(3) Sort [x ASC NULLS FIRST], true, 0",
+        "+- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=5]",
+        "   +- *(2) Window [ntile(8)]",
+        "   :- *(1) ColumnarToRow",
+        "      +- Scan parquet [o_custkey]",
+    ]
+    # Depth = column of the node name: glyphs (+- : spaces) skipped,
+    # the *(N) codegen marker counts as the node start.
+    assert _node_depths(lines) == [0, 3, 6, 6, 9]
+
+
+def _walk(lines, root):
+    from go_http_data_pipeline_spark.plans.inspect import (
+        _node_depths,
+        _scan_lines_without_aggregate_ancestor,
+    )
+
+    return _scan_lines_without_aggregate_ancestor(
+        lines, _node_depths(lines), root
+    )
+
+
+def test_scan_under_single_partition_without_aggregate_is_flagged():
+    lines = [
+        "+- Exchange SinglePartition, ENSURE_REQUIREMENTS",
+        "   +- *(2) Window [ntile(8) windowspecdefinition(...)]",
+        "      +- *(1) ColumnarToRow",
+        "         +- Scan parquet [o_custkey,o_orderdate]",
+    ]
+    assert _walk(lines, 0) == ["+- Scan parquet [o_custkey,o_orderdate]"]
+
+
+def test_scan_bounded_by_aggregate_is_allowed():
+    lines = [
+        "+- Exchange SinglePartition, ENSURE_REQUIREMENTS",
+        "   +- *(3) Window [sum(c)]",
+        "      +- *(2) HashAggregate(keys=[cx], functions=[count(1)])",
+        "         +- Exchange hashpartitioning(cx, 32)",
+        "            +- *(1) HashAggregate(keys=[cx], functions=[partial_count(1)])",
+        "               +- Scan parquet [o_custkey]",
+    ]
+    assert _walk(lines, 0) == []
+
+
+def test_scan_behind_cache_printout_is_skipped():
+    # An InMemoryRelation's child plan is the cached intermediate's
+    # build recipe (executed once at materialization), not work this
+    # query performs — its scans must not be charged to the query.
+    lines = [
+        "+- Exchange SinglePartition, ENSURE_REQUIREMENTS",
+        "   +- Window [row_number()]",
+        "      +- InMemoryTableScan [sh_h]",
+        "            +- InMemoryRelation [sh_h], StorageLevel(...)",
+        "                  +- Scan parquet [doc_id,text]",
+    ]
+    assert _walk(lines, 0) == []
+
+
+def test_sibling_subtree_outside_root_is_not_walked():
+    # The scan lives in a SIBLING of the exchange (depth pops back to
+    # the root's level before the scan) — nothing inside root's
+    # subtree, so nothing flagged.
+    lines = [
+        "+- BroadcastHashJoin [k], [k], Inner, BuildRight",
+        "   :- Exchange SinglePartition, ENSURE_REQUIREMENTS",
+        "   :  +- HashAggregate(keys=[], functions=[count(1)])",
+        "   +- Scan parquet [k,v]",
+    ]
+    assert _walk(lines, 1) == []
