@@ -1,0 +1,103 @@
+"""Round-5 differential property tests (pure Python, no Spark).
+
+The session-TTL kernel is hash-checked against a gap-sessionization
+oracle, but the gate replays the fixture through ONE deterministic
+batch sequence — it never varies the micro-batch boundaries. These
+properties pin the kernel's streaming contract directly: the closed
+sessions must be IDENTICAL no matter where the stream is cut into
+batches (threading state across the cuts), must equal an independent
+imperative reference, and any out-of-order cut must raise instead of
+silently mis-sessionizing.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from go_http_data_pipeline_spark.streaming.stateful import (
+    _TTL_US,
+    _fold_sessions,
+    _quantize_1e4,
+)
+
+
+def ref_gap_sessions(events: list, ttl_us: int):
+    """Imperative reference: split a sorted (ts_us, eid, value) stream
+    at gaps > ttl_us; return (closed_sessions, open_tail) as the
+    kernel's 5-field state tuples."""
+    sessions: list = []
+    cur = None
+    for t, e, v in events:
+        q = _quantize_1e4(v)
+        if cur is None:
+            cur = (t, t, e, 1, q)
+        elif t - cur[1] > ttl_us:
+            sessions.append(cur)
+            cur = (t, t, e, 1, q)
+        else:
+            cur = (cur[0], t, e, cur[3] + 1, cur[4] + q)
+    return sessions, cur
+
+
+def _random_stream(rng: random.Random, n: int) -> list:
+    """In-order stream with gaps straddling the TTL boundary (ties on
+    ts get distinct eids so the (ts, eid) order stays total)."""
+    events, t = [], 1_000_000_000_000_000
+    for eid in range(n):
+        gap = rng.choice(
+            [0, 1, _TTL_US - 1, _TTL_US, _TTL_US + 1, 3 * _TTL_US]
+        )
+        t += gap
+        events.append((t, eid, rng.uniform(-5, 5)))
+    return events
+
+
+def _fold_through_splits(events: list, cuts: list):
+    """Run the kernel batch-by-batch across the given cut points,
+    threading state like the streaming engine does."""
+    closed, st = [], None
+    for lo, hi in zip([0] + cuts, cuts + [len(events)]):
+        c, st = _fold_sessions(7, events[lo:hi], st)
+        closed.extend(c)
+    return closed, st
+
+
+def test_fold_sessions_batch_split_invariance():
+    rng = random.Random(0xC0FFEE)
+    for trial in range(200):
+        events = _random_stream(rng, rng.randint(0, 40))
+        want_closed, want_tail = ref_gap_sessions(events, _TTL_US)
+        n_cuts = rng.randint(0, 6)
+        cuts = sorted(rng.randint(0, len(events)) for _ in range(n_cuts))
+        got_closed, got_tail = _fold_through_splits(events, cuts)
+        assert got_closed == want_closed, (trial, cuts)
+        assert got_tail == want_tail, (trial, cuts)
+
+
+def test_fold_sessions_empty_batches_are_noops():
+    events = [(10**15, 0, 1.0), (10**15 + 2 * _TTL_US, 1, 2.0)]
+    closed, st = _fold_through_splits(events, [0, 1, 1, 2, 2])
+    want_closed, want_tail = ref_gap_sessions(events, _TTL_US)
+    assert closed == want_closed and st == want_tail
+
+
+def test_fold_sessions_out_of_order_cut_raises():
+    rng = random.Random(7)
+    events = _random_stream(rng, 12)
+    # Deliver a batch whose first event predates the state's last.
+    _, st = _fold_sessions(7, events[:8], None)
+    with pytest.raises(ValueError, match="out-of-order"):
+        _fold_sessions(7, events[5:8], st)
+
+
+def test_fold_sessions_ttl_boundary_is_strict():
+    # gap == TTL continues the session; TTL + 1 closes it.
+    t0 = 10**15
+    closed, st = _fold_sessions(7, [(t0, 0, 1.0), (t0 + _TTL_US, 1, 1.0)], None)
+    assert closed == [] and st[3] == 2
+    closed, st = _fold_sessions(
+        7, [(t0, 0, 1.0), (t0 + _TTL_US + 1, 1, 1.0)], None
+    )
+    assert len(closed) == 1 and st[3] == 1
