@@ -101,3 +101,78 @@ def test_fold_sessions_ttl_boundary_is_strict():
         7, [(t0, 0, 1.0), (t0 + _TTL_US + 1, 1, 1.0)], None
     )
     assert len(closed) == 1 and st[3] == 1
+
+
+# --- stateful EMA: batch-split invariance ------------------------------------
+
+
+class _FakeState:
+    """Minimal GroupState double for driving _ema_update off-engine."""
+
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+def _ema_ref(events: list) -> list:
+    """Independent fold over the FULL stream (no state round-trip):
+    same left-to-right IEEE add order as the batch lag-chain."""
+    from go_http_data_pipeline_spark.streaming.stateful import _EMA_TAPS
+
+    out, hist = [], []
+    for t, e, v in events:
+        acc = v
+        for k in range(1, _EMA_TAPS):
+            acc = acc + (hist[-k][2] if len(hist) >= k else 0.0) / float(2**k)
+        out.append((e, acc))
+        hist.append((t, e, v))
+    return out
+
+
+def _ema_through_splits(events: list, cuts: list) -> list:
+    import pandas as pd
+
+    from go_http_data_pipeline_spark.streaming.stateful import _ema_update
+
+    state, out = _FakeState(), []
+    for lo, hi in zip([0] + cuts, cuts + [len(events)]):
+        batch = events[lo:hi]
+        pdf = pd.DataFrame(
+            {
+                "ts": pd.to_datetime([b[0] for b in batch], unit="us"),
+                "event_id": [b[1] for b in batch],
+                "value": [b[2] for b in batch],
+            }
+        )
+        for res in _ema_update((7,), iter([pdf]), state):
+            out.extend(zip(res["event_id"], res["ema8"]))
+    return [(int(e), float(a)) for e, a in out]
+
+
+def test_ema_update_batch_split_invariance():
+    """The EMA must be BIT-identical no matter where the replay is
+    cut: the state round-trip (parallel arrays, TAPS-1 trim) must
+    reproduce exactly what a single uncut fold computes."""
+    rng = random.Random(0xEA5E)
+    for trial in range(100):
+        n = rng.randint(0, 30)
+        t = 10**15
+        events = []
+        for eid in range(n):
+            t += rng.randint(1, 10**7)
+            events.append((t, eid, rng.uniform(-100, 100)))
+        want = _ema_ref(events)
+        n_cuts = rng.randint(0, 5)
+        cuts = sorted(rng.randint(0, n) for _ in range(n_cuts))
+        got = _ema_through_splits(events, cuts)
+        assert got == want, (trial, cuts)  # == on floats: bit-exact
