@@ -176,3 +176,63 @@ def test_ema_update_batch_split_invariance():
         cuts = sorted(rng.randint(0, n) for _ in range(n_cuts))
         got = _ema_through_splits(events, cuts)
         assert got == want, (trial, cuts)  # == on floats: bit-exact
+
+
+# --- equidepth grid-histogram bucketing: semantic properties -----------------
+# The Spark plan and the DuckDB oracle run the SAME integer rule, so
+# the hash gate can't catch the rule itself being wrong. This Python
+# mirror pins what "equal-frequency bucketing without a global sort"
+# must mean: ids in range, monotone in value, and no bucket more than
+# one cell's worth above its fair share.
+
+
+def _equidepth_ref(values: list, grid: int, nb: int) -> dict:
+    """Mirror of operators/storage._equidepth_bucketed for one
+    dimension: equal-width cells, cell histogram, cumulative-count
+    bucket ids. Returns {value: bucket}."""
+    vmin, vmax = min(values), max(values)
+    width = vmax - vmin + 1
+    cells: dict = {}
+    for v in values:
+        cx = ((v - vmin) * grid) // width
+        cells[cx] = cells.get(cx, 0) + 1
+    total, cum, bx = len(values), 0, {}
+    for cx in sorted(cells):
+        bx[cx] = (cum * nb) // total
+        cum += cells[cx]
+    return {v: bx[((v - vmin) * grid) // width] for v in set(values)}
+
+
+def test_equidepth_bucketing_properties():
+    from go_http_data_pipeline_spark.operators.storage import Z_BITS, _Z_GRID
+
+    nb = 2**Z_BITS
+    rng = random.Random(0xB0C4)
+    datasets = [
+        [5] * 1000,                                  # single value
+        list(range(-500, 500)),                      # distinct, negative
+        [rng.randint(0, 50) for _ in range(2000)],   # few hot values
+        [rng.randint(-(10**9), 10**9) for _ in range(3000)],  # sparse
+        [0] * 1500 + list(range(1, 300)),            # one dominant cell
+    ]
+    for di, values in enumerate(datasets):
+        buckets = _equidepth_ref(values, _Z_GRID, nb)
+        assert all(0 <= b < nb for b in buckets.values()), di
+        ordered = sorted(buckets)
+        assert all(
+            buckets[a] <= buckets[b] for a, b in zip(ordered, ordered[1:])
+        ), di
+        # Equal-frequency bound: a bucket holds at most its fair share
+        # plus one straddling cell (the resolution limit of a 4096-cell
+        # histogram — exactly what sampled range boundaries give too).
+        from collections import Counter
+
+        per_bucket = Counter(buckets[v] for v in values)
+        vmin, vmax = min(values), max(values)
+        width = vmax - vmin + 1
+        cell_counts = Counter(((v - vmin) * _Z_GRID) // width for v in values)
+        max_cell = max(cell_counts.values())
+        fair = len(values) / nb
+        assert all(
+            c <= fair + max_cell for c in per_bucket.values()
+        ), (di, per_bucket.most_common(3), fair, max_cell)
