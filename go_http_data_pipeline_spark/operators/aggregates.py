@@ -213,7 +213,7 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         f"""
         SELECT l_returnflag, l_linestatus,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price
+               {dsum_sql('l_extendedprice', 2)} AS sum_base_price
         FROM gs_lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
@@ -342,17 +342,33 @@ _STATS_DERIVE = {
     ),
 }
 
+# Every division guards its denominator with NULLIF: Spark 4 runs
+# ANSI mode by default, where double x/0 THROWS, while DuckDB returns
+# NULL — a singleton group (nn1=0) or constant column (num_q=0) would
+# crash one engine and NULL the other. NULLIF makes both emit NULL
+# for degenerate groups, and the expressions are shared verbatim so
+# the two sides cannot diverge. (n itself is never 0: a group exists
+# only with >= 1 row.)
 _STATS_FINAL = {
     "avg_qty": "CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)",
-    "var_qty": f"{_STATS_DERIVE['num_q']} / {_STATS_DERIVE['nn1']}",
-    "std_qty": f"SQRT({_STATS_DERIVE['num_q']} / {_STATS_DERIVE['nn1']})",
-    "var_disc_pct": f"{_STATS_DERIVE['num_d']} / {_STATS_DERIVE['nn1']}",
-    "covar_qty_disc": f"{_STATS_DERIVE['num_qd']} / {_STATS_DERIVE['nn1']}",
+    "var_qty": f"{_STATS_DERIVE['num_q']} / NULLIF({_STATS_DERIVE['nn1']}, 0.0)",
+    "std_qty": (
+        f"SQRT({_STATS_DERIVE['num_q']} / NULLIF({_STATS_DERIVE['nn1']}, 0.0))"
+    ),
+    "var_disc_pct": (
+        f"{_STATS_DERIVE['num_d']} / NULLIF({_STATS_DERIVE['nn1']}, 0.0)"
+    ),
+    "covar_qty_disc": (
+        f"{_STATS_DERIVE['num_qd']} / NULLIF({_STATS_DERIVE['nn1']}, 0.0)"
+    ),
     "corr_qty_disc": (
         f"{_STATS_DERIVE['num_qd']} / "
-        f"(SQRT({_STATS_DERIVE['num_q']}) * SQRT({_STATS_DERIVE['num_d']}))"
+        f"NULLIF(SQRT({_STATS_DERIVE['num_q']})"
+        f" * SQRT({_STATS_DERIVE['num_d']}), 0.0)"
     ),
-    "slope_disc_per_qty": f"{_STATS_DERIVE['num_qd']} / {_STATS_DERIVE['num_q']}",
+    "slope_disc_per_qty": (
+        f"{_STATS_DERIVE['num_qd']} / NULLIF({_STATS_DERIVE['num_q']}, 0.0)"
+    ),
 }
 
 

@@ -284,35 +284,58 @@ def asof_join(
     unlike a correlated lookup or a time-banded cross join. A right
     row tied on timestamp with a left row counts as "already seen"
     (<= semantics) via the is_left sort tiebreak.
+
+    SQL join semantics on NULLs: right rows with a NULL key or NULL
+    timestamp are dropped up front (``s.key = p.key AND s.ts <= p.ts``
+    matches neither), so a NULL-key left row gets NULL asof columns
+    instead of inheriting values from other NULL-key right rows.
+    The value columns travel as ONE struct, so the attached values
+    always come from the SAME right row (per-column last-ignorenulls
+    would forward-fill each column independently and could stitch a
+    tuple no right row ever contained); rows tied on (key, timestamp)
+    order by that struct, so ties deterministically attach the
+    greatest-by-values row under any partitioning.
+    ``value_cols=[]`` means "attach only the as-of timestamp";
+    ``None`` (default) attaches every non-key right column.
     """
-    value_cols = value_cols or [c for c in right.columns if c not in (on, right_ts)]
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in (on, right_ts)]
     l_tagged = left.withColumn("_is_left", F.lit(1)).withColumn("_ts", F.col(left_ts))
-    r_tagged = (
-        right.select(
-            on,
-            F.col(right_ts).alias("_r_ts"),
-            *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+    r_proj = [on, F.col(right_ts).alias("_r_ts")]
+    if value_cols:
+        r_proj.append(
+            F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("_r_vals")
         )
+    r_tagged = (
+        right.filter(F.col(on).isNotNull() & F.col(right_ts).isNotNull())
+        .select(*r_proj)
         .withColumn("_is_left", F.lit(0))
         .withColumn("_ts", F.col("_r_ts"))
     )
     unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+    order = ["_ts", "_is_left"]
+    if value_cols:
+        order.append(F.col("_r_vals").asc_nulls_first())
     w = (
         Window.partitionBy(on)
-        .orderBy("_ts", "_is_left")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(
         "*",
         F.last("_r_ts", ignorenulls=True).over(w).alias(f"asof_{right_ts}"),
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
-            for c in value_cols
-        ],
+        *(
+            [F.last("_r_vals", ignorenulls=True).over(w).alias("_asof_vals")]
+            if value_cols
+            else []
+        ),
     )
-    return filled.filter(F.col("_is_left") == 1).drop(
-        "_is_left", "_ts", "_r_ts", *[f"_r_{c}" for c in value_cols]
+    out = filled.filter(F.col("_is_left") == 1).select(
+        *left.columns,
+        f"asof_{right_ts}",
+        *[F.col(f"_asof_vals.{c}").alias(f"asof_{c}") for c in value_cols],
     )
+    return out
 
 
 @query(

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..determinism import md5_int, md5_int_sql
 from ..registry import query
 
 
@@ -164,10 +165,10 @@ def existence_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "deterministic_sample",
-    oracle="""
+    oracle=f"""
     SELECT doc_id, lang, n_chars
     FROM documents
-    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 10
+    WHERE {md5_int_sql('CAST(doc_id AS VARCHAR)')} % 100 < 10
     """,
 )
 def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -177,8 +178,6 @@ def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     every engine, and every partitioning, so downstream experiments
     are comparable. Pure per-row predicate: pushes to the scan,
     no shuffle, trivially parallel at any scale."""
-    from ..determinism import md5_int
-
     docs = table(spark, sf_dir, "documents")
     return docs.filter(
         md5_int(F.col("doc_id").cast("string")) % 100 < 10
