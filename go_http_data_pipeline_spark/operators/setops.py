@@ -82,14 +82,27 @@ def intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_nationkey AS nationkey FROM customer
     EXCEPT
-    SELECT s_nationkey AS nationkey FROM supplier
+    SELECT n_nationkey AS nationkey
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
     """,
 )
 def except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT (distinct): nations with customers but no suppliers."""
-    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.subtract(s)
+    """EXCEPT (distinct): nations having customers, minus the ASIA
+    region. (The original formulation — customer nations minus
+    supplier nations — is EMPTY at every TPC-H scale because all 25
+    nations carry both, so its oracle row was vacuous: a broken
+    subtract would still 'pass' on 0 = 0 rows. Non-ASIA nations keep
+    the result structurally nonempty at any SF.)"""
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia = n.join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    ).select(F.col("n_nationkey").alias("nationkey"))
+    return c.subtract(asia)
 
 
 @query(
@@ -197,9 +210,13 @@ def intersect_all_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Deterministic "next snapshot" of the customer table for the diff
 # operator: keys ≡3 (mod 17) deleted, keys ≡0 (mod 10) get acctbal
-# +100, keys ≡0 (mod 25) cloned as inserts under key+1_000_000.
+# +100, keys ≡0 (mod 25) cloned as inserts under key + MAX(key).
+# The offset is the table's own max key (not a fixed constant): a
+# fixed 1_000_000 collides with real customer keys once SF exceeds
+# ~6.7 (custkey max = 150k x SF), silently reclassifying inserts as
+# updates and duplicating v2 keys — both engines would agree, so the
+# gate would stay green on corrupted CDC semantics.
 _DIFF_DEL, _DIFF_UPD, _DIFF_INS = 17, 10, 25
-_DIFF_KEY_OFFSET = 1_000_000
 
 
 @query(
@@ -212,7 +229,8 @@ _DIFF_KEY_OFFSET = 1_000_000
                c_name
         FROM customer WHERE c_custkey % {_DIFF_DEL} != 3
         UNION ALL
-        SELECT c_custkey + {_DIFF_KEY_OFFSET}, c_acctbal, c_name
+        SELECT c_custkey + (SELECT MAX(c_custkey) + 1 FROM customer),
+               c_acctbal, c_name
         FROM customer WHERE c_custkey % {_DIFF_INS} = 0
     )
     SELECT COALESCE(a.c_custkey, b.c_custkey) AS custkey,
@@ -256,9 +274,14 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .unionByName(
-            c.filter(k % _DIFF_INS == 0).withColumn(
-                "c_custkey", k + _DIFF_KEY_OFFSET
-            )
+            # Key offset = MAX(c_custkey) + 1, carried in-plan as a
+            # 1-row broadcast so clone keys are collision-free at
+            # every SF (+1 because custkeys start at 0: the k=0 clone
+            # would otherwise land exactly on the max key).
+            c.filter(k % _DIFF_INS == 0)
+            .crossJoin(F.broadcast(c.agg(F.max("c_custkey").alias("_mx"))))
+            .withColumn("c_custkey", k + F.col("_mx") + 1)
+            .drop("_mx")
         )
     )
     a, b = c.alias("a"), v2.alias("b")

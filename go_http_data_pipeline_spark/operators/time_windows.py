@@ -81,7 +81,7 @@ def sliding_window_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SESSION_STATS_ORACLE = f"""
     WITH flagged AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, ts, value, event_id,
                CASE WHEN LAG(ts) OVER w IS NULL
                          OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS new_session
@@ -89,8 +89,12 @@ SESSION_STATS_ORACLE = f"""
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sessions AS (
         SELECT user_id, ts, value,
+               -- event_id tiebreak here too: without it the ROWS
+               -- running sum is free to order tied (user_id, ts) rows
+               -- differently from the flagged CTE, assigning a tied
+               -- row to the PREVIOUS session nondeterministically.
                SUM(new_session) OVER (
-                   PARTITION BY user_id ORDER BY ts
+                   PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS session_id
         FROM flagged
@@ -184,27 +188,36 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     count of session breaks per user (lag + cumulative sum), then
     sessions aggregate to (start, length, event count).
 
-    This is the window-function twin of the built-in
+    This is the window-function companion of the built-in
     ``session_window_stats`` — unlike session_window it yields stable
     per-event session IDs joinable back onto the raw stream, which is
     what downstream feature pipelines need. One shuffle on user_id;
     the two window passes and the final agg share that partitioning.
+    Boundary convention: a session closes on gap STRICTLY greater
+    than 30 min (the TTL convention shared with
+    ``stateful_session_ttl``), whereas Spark's native session_window
+    closes at gap >= 30 min — an event landing exactly on the
+    boundary belongs to the previous session here and to a new one
+    there.
 
     Ties on ts break by event_id so lag() sees one deterministic
-    order in both engines."""
+    order in both engines. The gap compares FULL-precision
+    microseconds: flooring to whole seconds first would keep a
+    1800.5 s gap (floored diff exactly 1800) in one session while the
+    oracle's interval comparison splits it."""
     ev = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # ts is TIMESTAMP_NTZ; unix_seconds needs an instant — session tz
+    # ts is TIMESTAMP_NTZ; unix_micros needs an instant — session tz
     # is pinned UTC by the catalog, and the offset cancels in the
     # subtraction anyway.
-    secs = F.unix_seconds(F.col("ts").cast("timestamp"))
-    gap = secs - F.lag(secs).over(w)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
     ids = ev.select(
         "user_id",
         "ts",
         "value",
         F.sum(
-            F.when(gap > 30 * 60, 1).otherwise(0)
+            F.when(gap > 30 * 60 * 1_000_000, 1).otherwise(0)
         ).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("session_id"),
     )
     return ids.groupBy("user_id", "session_id").agg(

@@ -312,7 +312,7 @@ def trailing_30min_user_load(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         F.count(F.lit(1)).over(w).alias("n_last_30min"),
-        F.sum(F.col("value").cast("decimal(18,4)"))
+        F.sum(F.col("value").cast(_DEC))
         .over(w)
         .cast("double")
         .alias("load_last_30min"),

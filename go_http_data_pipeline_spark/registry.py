@@ -199,10 +199,17 @@ _DRIVER_GREEN_R4 = frozenset(
 )
 
 # Round-5 rewrites that MUST re-enter the driver window: the z-order
-# pair's global-ntile -> broadcast range-boundary rewrite and the
-# rolling-WAU pair-explosion rewrite (VERDICT r4 items 2 and 4).
+# pair's global-ntile -> broadcast range-boundary rewrite, the
+# rolling-WAU pair-explosion rewrite (VERDICT r4 items 2 and 4), and
+# the session-2 review-fix queries whose semantics or oracle changed
+# after their last green row (full-precision session gaps, oracle
+# tiebreak, max-key CDC offset, non-vacuous EXCEPT).
 _REFRESH_R5 = frozenset(
-    {"zorder_file_stats", "layout_skipping_eval", "rolling_7day_active_users"}
+    {
+        "zorder_file_stats", "layout_skipping_eval",
+        "rolling_7day_active_users", "sessionize_events",
+        "session_window_stats", "snapshot_diff", "except_nations",
+    }
 )
 
 # rows-only by design (approx sketches): a driver re-check adds
