@@ -18,7 +18,7 @@ Plan/scale notes (verified via .explain("formatted")):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -60,7 +60,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-06-01")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # customer is SF-scaled: no forced broadcast hint (a hint is never
+        # demoted by AQE; the planner auto-broadcasts at small scale and
+        # shuffle-joins at cluster scale).
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy(
             F.col("l_orderkey").alias("orderkey"),
             F.col("o_orderdate").alias("orderdate"),
@@ -189,12 +192,15 @@ def returned_items_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: percent of revenue from PROMO parts per ship
-    year — broadcast dim join + conditional agg."""
+    year — dim join + conditional agg. part is SF-scaled and joined
+    UNFILTERED here, so no forced broadcast hint (hints are never
+    AQE-demoted): the planner auto-broadcasts while part fits and
+    shuffle-joins at cluster scale."""
     l = table(spark, sf_dir, "lineitem")
-    p = table(spark, sf_dir, "part")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
     vol = _rev_col().cast("decimal(18,4)")
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .select(
             F.year("l_shipdate").cast("bigint").alias("ship_year"),
             vol.alias("volume"),
@@ -276,7 +282,10 @@ def small_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-part average subquery is rewritten as a self-aggregation
     joined back on partkey — one lineitem scan feeds both sides."""
     l = table(spark, sf_dir, "lineitem")
-    p = table(spark, sf_dir, "part")
+    # part is SF-scaled and unfiltered: no forced broadcast hint (see
+    # promo_revenue_ratio) — project to the two needed columns and let
+    # the planner pick the strategy per scale.
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     avgs = l.groupBy("l_partkey").agg(
         (0.5 * (dsum("l_quantity") / F.count(F.lit(1)))).alias("half_avg")
     )
@@ -284,7 +293,7 @@ def small_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(avgs.withColumnRenamed("l_partkey", "a_partkey"),
                l.l_partkey == F.col("a_partkey"))
         .filter(F.col("l_quantity") < F.col("half_avg"))
-        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(p, l.l_partkey == p.p_partkey)
         .groupBy(F.col("p_brand").alias("brand"))
         .agg((dsum("l_extendedprice") / 7.0).alias("avg_yearly"))
     )

@@ -28,11 +28,10 @@ from ..catalog import table
 from ..determinism import dsum, dsum_sql
 from ..registry import query
 
-_REV = "l_extendedprice * (1 - l_discount)"
-
-
-def _rev_col() -> F.Column:
-    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+# Revenue expression single-sourced from analytics.py: two hand-kept
+# copies would let a future change (tax term, decimal scale) skew half
+# the suite's oracles relative to the other half.
+from .analytics import _REV, _rev_col  # noqa: F401
 
 
 @query(

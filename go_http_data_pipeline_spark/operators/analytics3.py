@@ -89,10 +89,18 @@ def supplier_count_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape: distinct-supplier counts per (brand, type,
     size) for selected sizes, excluding one brand and all
     negative-balance suppliers. The NOT IN subquery is rewritten as a
-    broadcast left-anti join (s_suppkey is non-null by schema, so
-    anti-join and NOT IN agree); brand/size predicates push into the
-    broadcast part scan."""
-    l = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    broadcast left-anti join; NOT IN and anti-join agree only when
+    BOTH sides are null-free — s_suppkey by schema on the build side,
+    and an explicit isNotNull on the probe side (a NULL l_suppkey
+    evaluates NOT IN to NULL and is dropped by SQL, while left_anti
+    would keep it — the filter makes the Spark plan match the SQL
+    semantics instead of assuming the fixture). Brand/size predicates
+    push into the broadcast part scan."""
+    l = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .filter(F.col("l_suppkey").isNotNull())
+    )
     p = table(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "BRAND_1")
         & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)

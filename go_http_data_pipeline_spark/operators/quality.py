@@ -53,11 +53,13 @@ def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dbt-style table tests as one DataFrame: not-null, uniqueness,
     referential integrity (anti-join), accepted values, and range —
     each emitting its violation count, so the publish gate is
-    ``max(n_violations) == 0``. At 100 TB each check is one scan
-    (the referential check an anti-join against the bucketed
-    dimension); checks over the same table would be fused into one
-    pass by listing them as FILTER aggregates of a single agg, which
-    is exactly how the not-null/accepted/range rows compile here."""
+    ``max(n_violations) == 0``. Plan shape: five independent
+    single-row aggregates unioned — one scan per check, each pruned
+    to the checked column(s). orders is scanned twice (not-null and
+    referential); at 100 TB a production runner would fuse same-table
+    checks into FILTER aggregates of one pass (and fold the null
+    count into the anti-join input) — kept separate here because each
+    check row mirrors one oracle UNION ALL arm one-to-one."""
     orders = table(spark, sf_dir, "orders")
     customer = table(spark, sf_dir, "customer")
     events = table(spark, sf_dir, "events")

@@ -34,7 +34,22 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join ``fact ⋈ dim ON key`` with the hot-key rows of
     ``fact`` spread across ``n_salts`` shuffle partitions. ``dim`` is
-    replicated xN (fine for dimension-sized tables)."""
+    replicated xN (fine for dimension-sized tables).
+
+    Only ``inner`` and ``left`` are equivalent to the unsalted join:
+    each fact row carries exactly one salt, so it matches exactly the
+    one dim copy with that salt (inner), and an unmatched fact row
+    still emits exactly one null-extended row (left). For ``right``/
+    ``full`` the N dim copies of an unmatched (key, salt) each emit
+    their own null-extended row — up to N-1 spurious rows per dim row
+    — so those modes are rejected rather than silently inflated."""
+    if n_salts < 1:
+        raise ValueError(f"n_salts must be >= 1, got {n_salts}")
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left', got {how!r}: "
+            "replicated dim copies would null-extend individually"
+        )
     # Content-hash salt (all fact columns), not
     # monotonically_increasing_id(): the id changes across task
     # retries and re-partitionings, so a retried task could re-salt
