@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..registry import query
+from .record_functions import _SQL_CTX
 
 # ------------------------------------------------------------------ UDAF
 
@@ -100,15 +101,14 @@ def parse_log_line(line: str):
 
 @query(
     "udtf_parse_access_logs",
-    oracle="""
+    # The request-context derivation is _SQL_CTX, the SAME fragment
+    # access_log_lines' oracle interpolates — re-implementing it here
+    # would let the two silently drift when the derivation changes.
+    oracle=f"""
     WITH ctx AS (
         SELECT event_id,
-               printf('10.%d.%d.%d', user_id % 200, event_id % 251,
-                      (event_id // 251) % 251) AS ip,
                strftime(ts, '%d/%b/%Y %H:%M:%S') AS ts_str,
-               CASE WHEN event_type IN ('click','view') THEN 'GET' ELSE 'POST' END AS method,
-               '/' || event_type AS path,
-               CASE WHEN event_type = 'error' THEN 500 ELSE 200 END AS status
+               {_SQL_CTX}
         FROM events
     )
     SELECT ip, ts_str AS ts, method, path, status FROM ctx

@@ -36,7 +36,10 @@ def _spark_ctx() -> dict:
             "10.%d.%d.%d",
             (F.col("user_id") % 200).cast("int"),
             (F.col("event_id") % 251).cast("int"),
-            ((F.col("event_id") / F.lit(251)).cast("long") % 251).cast("int"),
+            # integer `div`, not double `/`: the oracle's `//` is
+            # exact at any magnitude, double division drifts past
+            # 2^53 (same hazard class catalog.py guards for ts).
+            (F.expr("event_id div 251") % 251).cast("int"),
         ),
         "method": F.when(F.col("event_type").isin("click", "view"), "GET").otherwise(
             "POST"

@@ -63,7 +63,11 @@ def jwt_verify_py(token: str, now: int, secret: str) -> tuple[str | None, bool]:
         if not hmac.compare_digest(expect, _b64url_decode(sig)):
             return None, False
         claims = json.loads(_b64url_decode(payload))
-        if int(claims.get("exp", 0)) < now:
+        # RFC 7519 §4.1.4: the current time MUST be BEFORE exp, so a
+        # token is already expired AT its exp instant (now >= exp
+        # rejects). `exp < now` would grant a 1-second acceptance
+        # window the reference's jwt.ParseWithClaims does not have.
+        if int(claims.get("exp", 0)) <= now:
             return None, False
         return claims.get("username"), True
     except Exception:

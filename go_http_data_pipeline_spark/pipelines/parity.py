@@ -128,7 +128,7 @@ def salary_etl_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT id, name, age, yearsofexp, CAST(salary + 10000 AS BIGINT) AS salary
         FROM employee WHERE id % 10 = 0
         UNION ALL
-        SELECT 1000000 + n AS id,
+        SELECT (SELECT MAX(id) + 1 FROM employee) + n AS id,
                'User' || CAST((1103515245 * (n + 42) + 12345) % 2147483648 % 10000
                               AS VARCHAR) AS name,
                CAST(18 + (1103515245 * (n + 42) + 12345) % 2147483648 % 40 AS INT)
@@ -148,14 +148,20 @@ def employee_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1/S4/S5: one MERGE covering both reference write paths — the
     keyed UPDATE (ids divisible by 10 get a raise) and the append of
     10 generated hires (the ``Random`` client's records, seeded LCG as
-    in ``generated_users``)."""
+    in ``generated_users``). Hire ids start at MAX(id) + 1 — carried
+    in-plan as a 1-row broadcast, not a fixed 1,000,000 offset, which
+    would collide with real employee ids at SF >= ~7 and put two
+    conflicting rows per key through a MERGE documented as keyed
+    upsert (both engines would agree, so the gate would stay green on
+    the broken semantics)."""
     emp = employees(spark, sf_dir)
     raises = emp.filter(F.col("id") % 10 == 0).withColumn(
         "salary", (F.col("salary") + 10000).cast("bigint")
     )
     lcg = (F.lit(1103515245) * (F.col("id") + 42) + 12345) % 2147483648
-    hires = spark.range(0, 10).select(
-        (F.lit(1000000) + F.col("id")).alias("id"),
+    base = emp.agg((F.max("id") + 1).alias("_base"))
+    hires = spark.range(0, 10).crossJoin(F.broadcast(base)).select(
+        (F.col("_base") + F.col("id")).alias("id"),
         F.concat(F.lit("User"), (lcg % 10000).cast("string")).alias("name"),
         (18 + lcg % 40).cast("int").alias("age"),
         F.lit(0).cast("int").alias("yearsofexp"),
@@ -418,9 +424,14 @@ def bcrypt_login_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .auth import _require_bcrypt
     from .bcrypt_pure import _b64_encode
 
-    bcrypt_mod = _require_bcrypt()
-
     def chain(batches: _Iter[pd.DataFrame]) -> _Iter[pd.DataFrame]:
+        # Resolve the implementation ON THE EXECUTOR: resolving on the
+        # driver would pickle the module by name, so a cluster whose
+        # executors lack the C package (or vice versa) raises
+        # ImportError at task time instead of using the pure-Python
+        # fallback — the fallback decision must be made where the
+        # hashing runs.
+        bcrypt_mod = _require_bcrypt()
         for pdf in batches:
             rows = []
             for name in pdf["username"]:
@@ -465,22 +476,28 @@ def bcrypt_login_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                '{"username":"' || username || '","exp":1700003600}'
                AS BLOB)), '+', '-'), '/', '_'), '=') AS signing_input,
            TRUE AS valid_now, TRUE AS valid_before_expiry,
-           FALSE AS valid_after_expiry, FALSE AS valid_tampered
+           FALSE AS valid_at_expiry, FALSE AS valid_after_expiry,
+           FALSE AS valid_tampered
     FROM (SELECT c_name AS username FROM customer ORDER BY 1 LIMIT 50)
     """,
 )
 def jwt_auth_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F3/F4/F14 executed for REAL inside the engine: mint each user's
     HS256 JWT (claims ``{username, exp}``, 1-hour TTL — ``Server/
-    main.go:134-147``), then verify it four ways through the same
+    main.go:134-147``), then verify it five ways through the same
     Arrow-batched UDFs production uses: valid at issue time, still
-    valid 1 s before expiry, rejected 1 s after expiry (F14 TTL
-    arithmetic), and rejected when tampered. The HMAC signature isn't
+    valid 1 s before expiry, rejected AT the exp instant (RFC 7519
+    §4.1.4: now must be BEFORE exp), rejected 1 s after (F14 TTL
+    arithmetic), and rejected when tampered. The tamper flips the
+    FIRST character of the signature segment, keeping the three-part
+    shape intact, so its rejection can only come from the HMAC
+    compare itself (a shape-breaking tamper would fail at token
+    parsing before the signature is ever checked, certifying nothing
+    about the HMAC). The HMAC isn't
     SQL-expressible, but everything else is: the oracle rebuilds the
     exact RFC 7515 signing input (b64url header '.' b64url payload)
-    in DuckDB and pins the four verify booleans — the signature
-    itself is certified transitively by ``valid_now``/``valid_
-    tampered`` (verification only passes with a correct HMAC) and by
+    in DuckDB and pins the five verify booleans — the signature is
+    certified transitively by ``valid_now``/``valid_tampered`` and by
     the exact-token pins in pytest."""
     from .auth import jwt_sign, jwt_verify
 
@@ -496,8 +513,26 @@ def jwt_auth_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     signed = users.withColumn(
         "token", jwt_sign(F.col("username"), F.col("iat"), 3600, secret)
     )
-    tampered = F.concat(F.substring("token", 1, 40), F.lit("x"))
     parts = F.split("token", "[.]")
+    # Flip the FIRST character of the signature segment (its 6 bits
+    # are all meaningful; the LAST b64url char also carries the
+    # discarded padding bits, where an x<->y flip decodes to the SAME
+    # bytes and would not tamper anything). Shape stays 3-part, so
+    # rejection can only come from the HMAC compare.
+    sig = F.element_at(parts, 3)
+    tampered_sig = F.concat(
+        F.when(F.substring(sig, 1, 1) == "x", F.lit("y")).otherwise(
+            F.lit("x")
+        ),
+        F.expr("substring(element_at(split(token, '[.]'), 3), 2)"),
+    )
+    tampered = F.concat(
+        F.element_at(parts, 1),
+        F.lit("."),
+        F.element_at(parts, 2),
+        F.lit("."),
+        tampered_sig,
+    )
     return signed.select(
         "username",
         F.concat(
@@ -508,6 +543,9 @@ def jwt_auth_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         jwt_verify(F.col("token"), F.col("iat") + 3599, secret)["valid"].alias(
             "valid_before_expiry"
+        ),
+        jwt_verify(F.col("token"), F.col("iat") + 3600, secret)["valid"].alias(
+            "valid_at_expiry"
         ),
         jwt_verify(F.col("token"), F.col("iat") + 3601, secret)["valid"].alias(
             "valid_after_expiry"

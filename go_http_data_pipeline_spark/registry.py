@@ -201,14 +201,19 @@ _DRIVER_GREEN_R4 = frozenset(
 # Round-5 rewrites that MUST re-enter the driver window: the z-order
 # pair's global-ntile -> broadcast range-boundary rewrite, the
 # rolling-WAU pair-explosion rewrite (VERDICT r4 items 2 and 4), and
-# the session-2 review-fix queries whose semantics or oracle changed
-# after their last green row (full-precision session gaps, oracle
-# tiebreak, max-key CDC offset, non-vacuous EXCEPT).
+# the session-2 review-fix queries whose OUTPUT changed after their
+# last green row (max-key CDC insert ids, non-vacuous EXCEPT, the
+# jwt chain's new at-expiry column + signature-segment tamper, the
+# upsert's max-key hire ids). Queries whose review fix left fixture
+# output bit-identical (sessionize_events' full-precision gap,
+# session_window_stats' oracle tiebreak) keep their existing green
+# rows and rotate normally — the window holds exactly 8 + the 42
+# r1-stale rows VERDICT item 1 requires.
 _REFRESH_R5 = frozenset(
     {
         "zorder_file_stats", "layout_skipping_eval",
-        "rolling_7day_active_users", "sessionize_events",
-        "session_window_stats", "snapshot_diff", "except_nations",
+        "rolling_7day_active_users", "snapshot_diff", "except_nations",
+        "jwt_auth_chain", "employee_upsert",
     }
 )
 
