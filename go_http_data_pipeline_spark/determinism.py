@@ -41,13 +41,19 @@ def dsum_sql(expr: str, scale: int = 4) -> str:
 
 
 def davg(col: Column | str, scale: int = 4) -> Column:
-    """Deterministic mean: exact decimal sum -> double, / count."""
+    """Deterministic mean: exact decimal sum -> double, / count.
+
+    The denominator counts NON-NULL values of the column (matching
+    SQL ``AVG`` semantics): SUM skips nulls, so dividing by a
+    count-every-row denominator would yield a value that is neither
+    the mean of the non-null values nor of all rows — e.g. [10.0,
+    NULL] would report 5.0 where AVG says 10.0."""
     c = F.col(col) if isinstance(col, str) else col
-    return dsum(c, scale) / F.count(F.lit(1))
+    return dsum(c, scale) / F.count(c)
 
 
 def davg_sql(expr: str, scale: int = 4) -> str:
-    return f"({dsum_sql(expr, scale)} / COUNT(*))"
+    return f"({dsum_sql(expr, scale)} / COUNT({expr}))"
 
 
 def md5_int(col: Column | str, hex_chars: int = 8) -> Column:

@@ -23,21 +23,24 @@ Decoding mirrors Go ``encoding/json`` semantics (SURVEY.md §1.1.3):
 unknown fields dropped, missing fields null, malformed lines -> all-
 null row (PERMISSIVE) rather than an error.
 
-Streaming offsets are record counts over the sorted spool files —
-monotonic because ingest files are append-only (files are sorted by
-name and never rewritten, the same contract as Spark's own file
-source). Each micro-batch's offset range is sharded into
-``split_size`` partitions for parallel decode; the source is
-replayable from any committed offset, so checkpoint recovery gives
-at-least-once, which the idempotent downstream merge upgrades to
-effectively-once.
+Streaming offsets are PER-FILE record counts (``{"files": {name:
+n}}``), monotonic because ingest files are append-only. Per-file
+tracking (not a single global index over name-sorted files) is what
+makes the offsets stable: a new file that doesn't sort last, or an
+append to a non-last file, changes nothing about already-committed
+positions — a global index would silently re-emit committed records
+and skip new ones after such an arrival. Each micro-batch's ranges
+are sharded into ``split_size`` partitions for parallel decode; the
+source is replayable from any committed offset, so checkpoint
+recovery gives at-least-once, which the idempotent downstream merge
+upgrades to effectively-once.
 """
 
 from __future__ import annotations
 
 import json
 import os
-from collections.abc import Iterator, Sequence
+from collections.abc import Sequence
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -51,34 +54,50 @@ DEFAULT_SCHEMA = "name string, age int, yearsofexp int, salary bigint"
 
 
 def _coerce(value, dt: str):
-    """Go-style silent coercion: wrong-typed values become null."""
-    try:
-        if value is None:
-            return None
-        if dt in ("int", "integer"):
-            return int(value)
-        if dt in ("bigint", "long"):
-            return int(value)
-        if dt == "double":
-            return float(value)
-        if dt == "string":
-            return str(value)
-        if dt == "boolean":
-            return bool(value)
-        return value
-    except (TypeError, ValueError):
+    """Go ``encoding/json`` typing: a wrong-typed value becomes null
+    (the reference errors the request; schema-on-read nulls the
+    field). Strict by TYPE, not by convertibility — Go does not parse
+    ``"12"`` into an int field, truncate ``3.9``, or truthify
+    ``"false"`` into a bool, and neither does this decoder. A whole
+    JSON number (``3.0``) does decode into an int field, as Go's
+    float64-backed decoder accepts it."""
+    if value is None:
         return None
+    # bool is an int subclass in Python: check it FIRST so JSON
+    # true/false never leaks into numeric fields.
+    if dt in ("int", "integer", "bigint", "long"):
+        if isinstance(value, bool):
+            return None
+        if isinstance(value, int):
+            return value
+        if isinstance(value, float) and value.is_integer():
+            return int(value)
+        return None
+    if dt == "double":
+        if isinstance(value, bool):
+            return None
+        return float(value) if isinstance(value, (int, float)) else None
+    if dt == "string":
+        return value if isinstance(value, str) else None
+    if dt == "boolean":
+        return value if isinstance(value, bool) else None
+    return value
+
+
+def _decode_obj(obj, fields: list[tuple[str, str]]):
+    """One parsed JSON value -> one row tuple (PERMISSIVE)."""
+    if not isinstance(obj, dict):
+        return tuple(None for _ in fields)
+    return tuple(_coerce(obj.get(name), dt) for name, dt in fields)
 
 
 def _decode_line(line: str, fields: list[tuple[str, str]]):
     """One JSON text -> one row tuple (PERMISSIVE)."""
     try:
         obj = json.loads(line)
-        if not isinstance(obj, dict):
-            return tuple(None for _ in fields)
     except (json.JSONDecodeError, UnicodeDecodeError):
         return tuple(None for _ in fields)
-    return tuple(_coerce(obj.get(name), dt) for name, dt in fields)
+    return _decode_obj(obj, fields)
 
 
 def _spool_files(spool: str) -> list[str]:
@@ -89,32 +108,25 @@ def _spool_files(spool: str) -> list[str]:
     )
 
 
-def _spool_lines(spool: str) -> Iterator[str]:
-    for path in _spool_files(spool):
-        with open(path, encoding="utf-8") as fh:
-            for line in fh:
-                if line.strip():
-                    yield line
-
-
-# Spool files are append-only and never rewritten (module contract),
-# so a file's record count is immutable once seen: cache it keyed by
-# (path, size) and skip whole files when a partition's range starts
-# past them — partition reads are O(range + one file) instead of
-# O(everything before it), and latestOffset() only recounts files it
-# hasn't seen.
-_COUNT_CACHE: dict[tuple[str, int], int] = {}
+# Spool files are append-only (module contract), so a file's record
+# count at a given size is immutable: cache per path as (size, count)
+# — an append replaces the entry instead of leaking one stale
+# (path, old_size) key per poll of a growing file — and latestOffset()
+# only recounts files whose size changed.
+_COUNT_CACHE: dict[str, tuple[int, int]] = {}
 
 
 def _file_record_counts(spool: str) -> list[tuple[str, int]]:
     out = []
     for path in _spool_files(spool):
-        key = (path, os.path.getsize(path))
-        n = _COUNT_CACHE.get(key)
-        if n is None:
+        size = os.path.getsize(path)
+        cached = _COUNT_CACHE.get(path)
+        if cached is not None and cached[0] == size:
+            n = cached[1]
+        else:
             with open(path, encoding="utf-8") as fh:
                 n = sum(1 for line in fh if line.strip())
-            _COUNT_CACHE[key] = n
+            _COUNT_CACHE[path] = (size, n)
         out.append((path, n))
     return out
 
@@ -156,7 +168,7 @@ class _UrlBatchReader(DataSourceReader):
             records = None
         if isinstance(records, list):  # JSON array body
             for obj in records:
-                yield _decode_line(json.dumps(obj), self._fields)
+                yield _decode_obj(obj, self._fields)
         else:  # JSON-lines body
             for line in body.splitlines():
                 if line.strip():
@@ -164,9 +176,13 @@ class _UrlBatchReader(DataSourceReader):
 
 
 class _SpoolStreamReader(DataSourceStreamReader):
-    """Offset = {"index": <records consumed so far>} over the sorted
-    spool. Replayable: partitions(start, end) re-reads any committed
-    range deterministically."""
+    """Offset = {"files": {basename: records consumed}} — PER FILE,
+    so a committed position never moves when a new file arrives at
+    any sort position or an existing file is appended (a single
+    global index over name-sorted files would re-emit committed
+    records and skip new ones on either event). Replayable:
+    partitions(start, end) re-reads any committed range
+    deterministically."""
 
     def __init__(self, schema: StructType, spool: str, split_size: int):
         self._fields = _fields(schema)
@@ -174,44 +190,53 @@ class _SpoolStreamReader(DataSourceStreamReader):
         self._split = split_size
 
     def initialOffset(self) -> dict:
-        return {"index": 0}
+        return {"files": {}}
 
     def latestOffset(self) -> dict:
-        n = sum(c for _, c in _file_record_counts(self._spool))
-        return {"index": n}
+        return {
+            "files": {
+                os.path.basename(p): n
+                for p, n in _file_record_counts(self._spool)
+            }
+        }
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         # The committed range [start, end) must be read in full (the
-        # engine commits `end` regardless) — so `split_size` shards it
-        # into parallel partitions rather than throttling it; ingest
-        # throttling is the trigger's job (T2: processingTime trigger).
-        lo, hi = start["index"], end["index"]
-        step = self._split if self._split > 0 else max(hi - lo, 1)
-        return [
-            InputPartition((i, min(i + step, hi))) for i in range(lo, hi, step)
-        ] or [InputPartition((lo, hi))]
+        # engine commits `end` regardless) — so `split_size` shards
+        # each file's delta into parallel partitions rather than
+        # throttling it; ingest throttling is the trigger's job
+        # (T2: processingTime trigger).
+        s, e = start.get("files", {}), end.get("files", {})
+        parts: list[InputPartition] = []
+        for name in sorted(e):
+            lo, hi = s.get(name, 0), e[name]
+            if hi <= lo:
+                continue
+            path = os.path.join(self._spool, name)
+            step = self._split if self._split > 0 else hi - lo
+            parts.extend(
+                InputPartition((path, i, min(i + step, hi)))
+                for i in range(lo, hi, step)
+            )
+        return parts or [InputPartition((None, 0, 0))]
 
     def read(self, partition: InputPartition):
-        lo, hi = partition.value
+        path, lo, hi = partition.value
+        if path is None or hi <= lo:
+            return
         pos = 0
-        for path, n in _file_record_counts(self._spool):
-            if pos + n <= lo:  # file wholly before the range: skip it
-                pos += n
-                continue
-            if pos >= hi:
-                break
-            with open(path, encoding="utf-8") as fh:
-                for line in fh:
-                    if not line.strip():
-                        continue
-                    if pos >= hi:
-                        break
-                    if pos >= lo:
-                        yield _decode_line(line, self._fields)
-                    pos += 1
+        with open(path, encoding="utf-8") as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                if pos >= hi:
+                    break
+                if pos >= lo:
+                    yield _decode_line(line, self._fields)
+                pos += 1
 
     def commit(self, end: dict) -> None:
-        pass  # spool files are immutable; nothing to clean up
+        pass  # spool files are append-only; nothing to clean up
 
 
 class HttpJsonDataSource(DataSource):
@@ -261,18 +286,25 @@ def stage_spool(tmp_root: str | None = None) -> str:
     Random client's records (seeded LCG, as ``generated_users``) with
     unknown fields on every record and a malformed line every 97th —
     exercising Go-decode parity (drop unknown, null on malformed)."""
+    import shutil
     import tempfile
 
     root = tmp_root or os.path.join(tempfile.gettempdir(), "httpjson_spool_v1")
     done = os.path.join(root, "_SUCCESS")
     if os.path.exists(done):
         return root
-    os.makedirs(root, exist_ok=True)
+    # Stage into a process-private directory, then rename into place:
+    # a bare check-then-write would let two processes (pytest workers,
+    # driver + tests) truncate each other's half-written files in 'w'
+    # mode. rename is atomic; the loser just discards its staging.
+    staging = tempfile.mkdtemp(
+        prefix="httpjson_stage_", dir=os.path.dirname(root) or None
+    )
     roles = ("intern", "developer", "manager", "analyst")
     # Two files so the batch reader gets two partitions.
     half = _N_GEN // 2
     for fi, lo in enumerate((0, half)):
-        with open(os.path.join(root, f"ingest_{fi}.jsonl"), "w") as fh:
+        with open(os.path.join(staging, f"ingest_{fi}.jsonl"), "w") as fh:
             for n in range(lo, lo + half):
                 if n % _BAD_EVERY == 0:
                     fh.write("not json at all\n")
@@ -285,8 +317,12 @@ def stage_spool(tmp_root: str | None = None) -> str:
                     "unknown_field": n,  # dropped by schema-on-read
                 }
                 fh.write(json.dumps(rec) + "\n")
-    with open(done, "w"):
+    with open(os.path.join(staging, "_SUCCESS"), "w"):
         pass
+    try:
+        os.rename(staging, root)
+    except OSError:  # another process won the race: its spool is complete
+        shutil.rmtree(staging, ignore_errors=True)
     return root
 
 

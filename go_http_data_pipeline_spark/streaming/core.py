@@ -138,13 +138,21 @@ def foreach_batch_merge(
     checkpoint_dir: str | None = None,
 ):
     """T5: keyed write-back sink. Each micro-batch MERGEs into the
-    parquet table at ``base_path`` (read → left-anti → union →
-    overwrite). The merge is idempotent for a replayed batch, so
-    checkpoint + replay gives effectively-once — the upgrade over the
-    reference's skip-on-failure loop (T4). The overwrite is not
-    atomic on plain parquet: a table format (Delta/Iceberg MERGE
-    INTO) is the production drop-in.
+    parquet table at ``base_path`` (read → left-anti → union → write
+    to a staging dir → two directory renames). The merge is
+    idempotent for a replayed batch, so checkpoint + replay gives
+    effectively-once — the upgrade over the reference's
+    skip-on-failure loop (T4). The swap is two ``os.rename`` calls,
+    not a second full Spark write of the table (which would double
+    the I/O and leave the base deleted for an entire parquet write);
+    the base is absent only between the two renames, and a crash
+    there leaves the merged copy intact in the staging dir. A table
+    format (Delta/Iceberg MERGE INTO) is the truly-atomic production
+    drop-in.
     """
+    import os
+    import shutil
+
     from ..pipelines.merge import merge_into
 
     checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="fbm_ckpt_")
@@ -154,12 +162,10 @@ def foreach_batch_merge(
         merged = merge_into(base, batch_df, key=key)
         tmp = base_path + f".tmp_{batch_id}"
         merged.write.mode("overwrite").parquet(tmp)
-        final = spark.read.parquet(tmp)
-        final.write.mode("overwrite").parquet(base_path)
-        # Best-effort cleanup of the staging dir.
-        import shutil
-
-        shutil.rmtree(tmp, ignore_errors=True)
+        old = base_path + f".old_{batch_id}"
+        os.rename(base_path, old)
+        os.rename(tmp, base_path)
+        shutil.rmtree(old, ignore_errors=True)
 
     return (
         stream_df.writeStream.foreachBatch(_merge)

@@ -202,3 +202,75 @@ def test_url_transport_json_lines(spark):
     finally:
         srv.close()
     assert rows == {("x", 5, 50), (None, None, None)}
+
+
+def test_stream_offsets_stable_under_adversarial_arrivals(spark, tmp_path):
+    """The two producer patterns that broke the old global-index
+    offsets: (1) a new file that sorts lexicographically FIRST, and
+    (2) an append to a non-last existing file. Per-file offsets must
+    emit exactly the new records — the global index would replay
+    committed rows and skip new ones."""
+    import json
+    import os
+
+    from go_http_data_pipeline_spark.sources.http_json import register
+
+    ckpt = os.path.join(str(tmp_path), "_ckpt")
+    spool = os.path.join(str(tmp_path), "spool")
+    os.makedirs(spool)
+
+    def land(fname, lo, hi, mode="w"):
+        with open(os.path.join(spool, fname), mode) as fh:
+            for i in range(lo, hi):
+                fh.write(json.dumps({"name": f"u{i}", "age": i}) + "\n")
+
+    register(spark)
+
+    def run_once():
+        got = []
+        sdf = (
+            spark.readStream.format("httpjson")
+            .schema("name string, age int")
+            .option("spool", spool)
+            .option("split_size", 7)
+            .load()
+        )
+
+        def collect(batch_df, batch_id):
+            got.extend(r.name for r in batch_df.collect())
+
+        q = (
+            sdf.writeStream.foreachBatch(collect)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return got
+
+    land("m_mid.jsonl", 0, 20)
+    assert sorted(run_once()) == sorted(f"u{i}" for i in range(20))
+    # (1) new file sorting BEFORE the committed one
+    land("a_early.jsonl", 20, 30)
+    assert sorted(run_once()) == sorted(f"u{i}" for i in range(20, 30))
+    # (2) append to the non-last committed file
+    land("m_mid.jsonl", 30, 35, mode="a")
+    assert sorted(run_once()) == sorted(f"u{i}" for i in range(30, 35))
+
+
+def test_coerce_is_type_strict_like_go():
+    """Go's decoder does not parse numeric strings into ints, truncate
+    fractional floats, or truthify strings into bools — wrong-typed
+    values null out instead of fabricating data."""
+    from go_http_data_pipeline_spark.sources.http_json import _decode_line
+
+    fields = [("age", "int"), ("ok", "boolean"), ("score", "double"),
+              ("name", "string")]
+    line = '{"age":"12","ok":"false","score":"3.5","name":7}'
+    assert _decode_line(line, fields) == (None, None, None, None)
+    # whole JSON numbers DO decode into int fields (Go float64 path);
+    # fractional ones do not; real bools/doubles/strings pass through.
+    line = '{"age":3.0,"ok":true,"score":2,"name":"x"}'
+    assert _decode_line(line, fields) == (3, True, 2.0, "x")
+    assert _decode_line('{"age":3.9}', fields) == (None, None, None, None)
+    assert _decode_line('{"age":true}', fields)[0] is None
