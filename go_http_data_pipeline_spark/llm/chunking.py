@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..determinism import MERSENNE31 as P
-from ..determinism import ngram_starts_sql
+from ..determinism import md5_int_sql, ngram_starts_sql
 from ..registry import query
 
 CHUNK = 32  # tokens per chunk
@@ -42,10 +42,14 @@ STRIDE = 24  # tokens between chunk starts (overlap = CHUNK - STRIDE = 8)
 
 _K = 4  # tokens per winnowing k-gram
 _W = 5  # winnowing window: consecutive k-gram hashes per window
-# Positions fit in 7 bits (documents are <= 99 tokens; at larger document
-# sizes widen the radix): key = h * 128 + (127 - pos) makes MIN(key)
-# select (min hash, rightmost position) in one integer comparison.
-_POS_RADIX = 128
+# key = h * RADIX + (RADIX-1 - pos) makes MIN(key) select (min hash,
+# rightmost position) in one integer comparison. The radix bounds the
+# representable gram position: past it, keys from different (h, pos)
+# pairs collide and decode to WRONG fingerprints with no error — so
+# it is sized for ~1M-token documents (2^20), not for the fixture's
+# 99 (the old 128 silently corrupted any real-corpus doc >= 131
+# tokens). Keys stay < P * 2^20 < 2^51, exact in BIGINT/double alike.
+_POS_RADIX = 1 << 20
 
 
 @query(
@@ -114,7 +118,7 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     keyed AS (
         SELECT doc_id, n_grams, i.i AS pos,
-               (CAST(('0x' || substr(md5(array_to_string(t[i.i : i.i + {_K - 1}], ' ')), 1, 8)) AS BIGINT)
+               ({md5_int_sql(f"array_to_string(t[i.i : i.i + {_K - 1}], ' ')")}
                 % {P}) * {_POS_RADIX} + ({_POS_RADIX - 1} - i.i) AS key
         FROM toks,
              LATERAL (SELECT unnest(generate_series(1, n_grams)) AS i) i
@@ -138,9 +142,10 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     minimum (rightmost position on hash ties), and emit the distinct
     selected (pos, fingerprint) pairs per document.
 
-    The rightmost-min tie-break is branchless: ``key = h * 128 +
-    (127 - pos)`` so ``array_min`` picks minimal hash, then maximal
-    position, in one integer comparison.
+    The rightmost-min tie-break is branchless: ``key = h * RADIX +
+    (RADIX-1 - pos)`` so ``array_min`` picks minimal hash, then
+    maximal position, in one integer comparison (see ``_POS_RADIX``
+    for the position bound this encodes).
 
     Physical shape: winnowing is a pure per-document function, so the
     whole pipeline — gram hashing, per-window minima, within-doc

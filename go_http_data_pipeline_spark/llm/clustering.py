@@ -59,10 +59,10 @@ _QVECS_SQL = f"""
 
 # Long-form (vec_id, d, qd) view; DuckDB's per-index unnest keeps the
 # oracle's arithmetic identical to Spark's zip_with fold.
-_QLONG_SQL = """
+_QLONG_SQL = f"""
     qlong AS (
         SELECT vec_id, d.d AS d, q[d.d] AS qd
-        FROM qvecs, LATERAL (SELECT unnest(generate_series(1, 64)) AS d) d
+        FROM qvecs, LATERAL (SELECT unnest(generate_series(1, {DIM})) AS d) d
     )
 """
 

@@ -49,7 +49,8 @@ MOD = 1_000_000
     pre AS (
         SELECT d.doc_id, d.lang, d.hkey, c.n_stratum
         FROM d JOIN c USING (lang)
-        WHERE d.hkey % {MOD} < ({QUOTA * OVERSAMPLE * MOD} // c.n_stratum)
+        WHERE d.hkey % {MOD} < GREATEST({QUOTA * OVERSAMPLE * MOD}
+                                        // c.n_stratum, 1)
     ),
     r AS (
         SELECT lang, doc_id, n_stratum,
@@ -64,7 +65,13 @@ def stratified_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly ``QUOTA`` documents per language, chosen by md5 rank —
     two-phase (count -> hash-threshold pre-filter -> rank survivors)
     so only ~OVERSAMPLE*quota rows per stratum ever reach the window.
-    """
+
+    The threshold is floored at 1 (GREATEST): for strata past
+    QUOTA*OVERSAMPLE*MOD = 80M docs the integer division floors to 0
+    and would silently drop the WHOLE stratum — with the floor, huge
+    strata instead pass ~n/MOD survivors (never below the quota; a
+    perf footnote, not a correctness cliff, and the oracle shares the
+    rule so the gate would be blind to the dropout otherwise)."""
     docs = table(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
@@ -72,7 +79,8 @@ def stratified_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_stratum"))
     pre = docs.join(F.broadcast(counts), "lang").filter(
-        F.col("hkey") % MOD < F.expr(f"{QUOTA * OVERSAMPLE * MOD} div n_stratum")
+        F.col("hkey") % MOD
+        < F.expr(f"GREATEST({QUOTA * OVERSAMPLE * MOD} div n_stratum, 1)")
     )
     w = Window.partitionBy("lang").orderBy("hkey", "doc_id")
     return (

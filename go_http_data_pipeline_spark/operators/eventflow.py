@@ -133,7 +133,11 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     cells AS (
         SELECT c.cohort_wk, w.wk - c.cohort_wk AS week_offset,
-               CAST(COUNT(DISTINCT w.user_id) AS BIGINT) AS n_active
+               -- weekly is DISTINCT (user_id, wk) and wk maps 1:1 to
+               -- week_offset per user, so each user is at most one
+               -- row per cell: plain COUNT(*) equals COUNT(DISTINCT)
+               -- without the two-phase dedup aggregate.
+               CAST(COUNT(*) AS BIGINT) AS n_active
         FROM weekly w JOIN cohorts c ON c.user_id = w.user_id
         GROUP BY c.cohort_wk, w.wk - c.cohort_wk
     )
@@ -181,7 +185,7 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cohort_wk"),
             (F.col("wk") - F.col("cohort_wk")).alias("week_offset"),
         )
-        .agg(F.count_distinct(F.col("user_id")).alias("n_active"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
     )
     w = Window.partitionBy("cohort_wk")
     size = F.max(F.when(F.col("week_offset") == 0, F.col("n_active"))).over(w)
@@ -214,13 +218,23 @@ MIN_BURST = 3
                rn_all - ROW_NUMBER() OVER (PARTITION BY user_id
                                            ORDER BY ts, event_id) AS grp
         FROM ordered WHERE event_type = 'error'
+    ),
+    runs AS (
+        SELECT user_id, grp, ts, event_id,
+               -- the id of the run's FIRST event in (ts, event_id)
+               -- run order, not the numerically smallest id (ids
+               -- need not be chronological in a real stream)
+               FIRST_VALUE(event_id) OVER (
+                   PARTITION BY user_id, grp ORDER BY ts, event_id
+               ) AS first_event_id
+        FROM errs
     )
     SELECT user_id,
            MIN(ts) AS start_ts,
            MAX(ts) AS end_ts,
            CAST(COUNT(*) AS BIGINT) AS n_errors,
-           MIN(event_id) AS first_event_id
-    FROM errs
+           MIN(first_event_id) AS first_event_id
+    FROM runs
     GROUP BY user_id, grp
     HAVING COUNT(*) >= {MIN_BURST}
     """,
@@ -252,7 +266,13 @@ def error_burst_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ts").alias("start_ts"),
             F.max("ts").alias("end_ts"),
             F.count(F.lit(1)).alias("n_errors"),
-            F.min("event_id").alias("first_event_id"),
+            # min over the (ts, event_id) struct = the run's first
+            # event in run order; MIN(event_id) would anchor on the
+            # smallest id, which is only the same thing when ids
+            # happen to be chronological.
+            F.min(F.struct("ts", "event_id"))["event_id"].alias(
+                "first_event_id"
+            ),
         )
         .filter(F.col("n_errors") >= MIN_BURST)
         .select("user_id", "start_ts", "end_ts", "n_errors", "first_event_id")
