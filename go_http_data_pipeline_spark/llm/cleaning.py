@@ -95,8 +95,13 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            len(t) AS n_tokens,
            len(list_filter(t, x -> x NOT IN ({_STOP_SQL}))) AS n_kept,
-           array_to_string(list_filter(t, x -> x NOT IN ({_STOP_SQL})), ' ')
-               AS clean_text
+           -- COALESCE: an all-stopword document filters to an EMPTY
+           -- list, which DuckDB's array_to_string renders as NULL
+           -- while Spark's array_join yields '' (same guard the
+           -- curation oracle in decontam.py documents).
+           COALESCE(
+               array_to_string(list_filter(t, x -> x NOT IN ({_STOP_SQL})), ' '),
+               '') AS clean_text
     FROM toks
     """,
 )

@@ -129,15 +129,11 @@ _REPETITION_ORACLE = """
     """
 
 
-@query("repetition_scores", oracle=_REPETITION_ORACLE)
-def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document repetition signals (Gopher quality-filter family):
-    duplicate-token ratio, most-frequent-token share, duplicate-bigram
-    ratio. Pure array lambdas inside codegen — zero shuffle; at 100 TB
-    this is a narrow map over the corpus scan, like ``doc_chunks``.
-    The O(distinct x tokens) top-share fold is trivial next to the
-    scan for ~100-token documents."""
-    docs = table(spark, sf_dir, "documents")
+def _repetition_projection(docs: DataFrame) -> DataFrame:
+    """The repetition-signal projection, shared by the batch query
+    and its streaming twin (they also share ``_REPETITION_ORACLE``):
+    one definition, so the hash-checked batch/streaming parity cannot
+    silently drift when a formula is tuned."""
     t = F.split("text", " ")
     base = docs.select("doc_id", t.alias("t")).select(
         "doc_id",
@@ -167,6 +163,17 @@ def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_bigram_ratio"
         ),
     )
+
+
+@query("repetition_scores", oracle=_REPETITION_ORACLE)
+def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals (Gopher quality-filter family):
+    duplicate-token ratio, most-frequent-token share, duplicate-bigram
+    ratio. Pure array lambdas inside codegen — zero shuffle; at 100 TB
+    this is a narrow map over the corpus scan, like ``doc_chunks``.
+    The O(distinct x tokens) top-share fold is trivial next to the
+    scan for ~100-token documents."""
+    return _repetition_projection(table(spark, sf_dir, "documents"))
 
 
 @query(
@@ -356,33 +363,5 @@ def streaming_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.readStream.schema(
         "doc_id long, text string, lang string, source string, n_chars long"
     ).parquet(_as_stream_dir(f"{sf_dir}/documents.parquet"))
-    t = F.split("text", " ")
-    base = docs.select("doc_id", t.alias("t")).select(
-        "doc_id",
-        "t",
-        F.expr(
-            f"transform({ngram_starts_sql('t', 2)},"
-            " i -> concat_ws(' ', t[i-1], t[i]))"
-        ).alias("b"),
-    )
-    n = F.size("t").cast("bigint")
-    nd = F.size(F.array_distinct("t")).cast("bigint")
-    nb = F.size("b").cast("bigint")
-    nbd = F.size(F.array_distinct("b")).cast("bigint")
-    top = F.expr(
-        "array_max(transform(array_distinct(t),"
-        " d -> size(filter(t, x -> x = d))))"
-    ).cast("double")
-    out = base.select(
-        "doc_id",
-        n.alias("n_tokens"),
-        nd.alias("n_distinct_tokens"),
-        ((n - nd).cast("double") / n).alias("dup_token_ratio"),
-        (top / n).alias("top_token_share"),
-        # NULL for <2-token docs (nb = 0): matches the oracle's
-        # DuckDB x/0 -> NULL and avoids an ANSI divide-by-zero.
-        F.when(nb > 0, (nb - nbd).cast("double") / nb).alias(
-            "dup_bigram_ratio"
-        ),
-    )
+    out = _repetition_projection(docs)
     return run_to_memory(spark, out, "stream_repetition", "append")

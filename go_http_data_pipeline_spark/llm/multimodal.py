@@ -37,9 +37,14 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media column + typed metadata, derived deterministically
     from ``documents`` (text bytes as the payload; fake dims from the
     content hash)."""
+    from ..determinism import md5_int
+
     docs = table(spark, sf_dir, "documents")
-    h = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long")
-    return docs.select(
+    # ONE shared hash column (_h): width and height must derive from
+    # the SAME md5 prefix — a second hand-inlined conv() copy could
+    # drift independently and break the metadata/resize oracles.
+    base = docs.select("doc_id", "text", md5_int("text").alias("_h"))
+    return base.select(
         "doc_id",
         F.when(F.col("doc_id") % 3 == 0, "image/png")
         .when(F.col("doc_id") % 3 == 1, "audio/wav")
@@ -48,10 +53,8 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode("text", "UTF-8").alias("content"),
         F.octet_length(F.encode("text", "UTF-8")).alias("n_bytes"),
         F.md5("text").alias("checksum"),
-        (64 + h % 1856).cast("int").alias("width"),
-        (64 + F.expr("(conv(substr(md5(text), 1, 8), 16, 10) div 2048)") % 1016)
-        .cast("int")
-        .alias("height"),
+        (64 + F.col("_h") % 1856).cast("int").alias("width"),
+        (64 + F.expr("_h div 2048") % 1016).cast("int").alias("height"),
     )
 
 
@@ -95,6 +98,14 @@ def decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         feats = []
         for content, mt in zip(pdf["content"], pdf["media_type"]):
             arr = _fake_decode(bytes(content), mt)
+            if arr.size == 0:
+                # Zero-length payload: stats are NULL, exactly like
+                # the oracle's empty list (list_min([]) -> NULL,
+                # sum/0 -> NULL). Without the guard np.min raises and
+                # the whole Arrow batch — the whole JOB — dies on one
+                # empty blob.
+                feats.append((0, None, None, None))
+                continue
             feats.append(
                 (
                     int(arr.size),
@@ -158,9 +169,15 @@ def frame_sample(df: DataFrame, every_n: int = 1000) -> DataFrame:
     return df.filter(F.col("media_type") == "video/mp4").select(
         "doc_id",
         n_frames.alias("n_frames"),
+        # A payload shorter than the stride has ZERO frames and an
+        # EMPTY array — greatest(n-1, 0) would emit one phantom frame
+        # that n_frames says does not exist (same guard discipline as
+        # determinism.ngram_starts_sql).
         F.expr(
-            f"transform(sequence(0, greatest(int(octet_length(content) div {every_n}) - 1, 0)),"
-            f" i -> substring(content, i * {every_n} + 1, 1))"
+            f"if(int(octet_length(content) div {every_n}) >= 1,"
+            f" transform(sequence(0, int(octet_length(content) div {every_n}) - 1),"
+            f" i -> substring(content, i * {every_n} + 1, 1)),"
+            f" cast(array() as array<binary>))"
         ).alias("frames"),
     )
 
@@ -170,11 +187,17 @@ def frame_sample(df: DataFrame, every_n: int = 1000) -> DataFrame:
     oracle="""
     SELECT doc_id,
            CAST(octet_length(encode(text)) // 100 AS INT) AS n_frames,
-           array_to_string(
-               list_transform(
-                   generate_series(0, greatest(CAST(octet_length(encode(text)) // 100 AS INT) - 1, 0)),
-                   i -> substr(hex(encode(text)), i * 200 + 1, 2)),
-               '') AS frames_hex
+           -- zero-frame payloads emit '' explicitly: DuckDB's
+           -- array_to_string of an EMPTY list is NULL (Spark's
+           -- array_join is ''), and greatest(n-1, 0) would fabricate
+           -- a phantom frame for sub-stride payloads.
+           CASE WHEN octet_length(encode(text)) >= 100
+                THEN array_to_string(
+                    list_transform(
+                        generate_series(0, CAST(octet_length(encode(text)) // 100 AS INT) - 1),
+                        i -> substr(hex(encode(text)), i * 200 + 1, 2)),
+                    '')
+                ELSE '' END AS frames_hex
     FROM documents
     WHERE doc_id % 3 = 2
     """,
@@ -192,9 +215,11 @@ def media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         n_frames.alias("n_frames"),
         F.expr(
-            "array_join(transform("
-            " sequence(0, greatest(int(octet_length(content) div 100) - 1, 0)),"
-            " i -> substring(hex(content), i * 200 + 1, 2)), '')"
+            "if(int(octet_length(content) div 100) >= 1,"
+            " array_join(transform("
+            " sequence(0, int(octet_length(content) div 100) - 1),"
+            " i -> substring(hex(content), i * 200 + 1, 2)), ''),"
+            " '')"
         ).alias("frames_hex"),
     )
 

@@ -51,7 +51,7 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     length, stopword ratio, short-token ratio — the standard cheap
     filters in LLM corpus curation."""
     docs = table(spark, sf_dir, "documents")
-    stop_arr = ", ".join(f"'{w}'" for w in STOPWORDS)
+    stop_arr = _STOP_SQL  # single-sourced quoted list (oracle twin)
     return docs.select(
         "doc_id",
         F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
@@ -147,7 +147,12 @@ _LANG_MARKERS = {
 
 
 def _score_lang(text: str) -> str:
-    toks = set(text.lower().split())
+    # Split on single spaces, exactly like the oracle's
+    # string_split(text, ' '): bare .split() breaks on ANY whitespace,
+    # so a tab-joined pair like "le\tla" would count as two marker
+    # hits here but one unmatched token in SQL — a silent
+    # tokenization divergence the fixture (space-only) never shows.
+    toks = set(text.lower().split(" "))
     best_lang, best = "und", 0
     for lang in sorted(_LANG_MARKERS):
         s = len(toks & _LANG_MARKERS[lang])
@@ -435,14 +440,21 @@ def doc_keywords_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = table(spark, sf_dir, "documents").count()
+    # N rides in-plan as a broadcast 1-row aggregate (the
+    # bm25/token_rarity pattern): an eager .count() here would run a
+    # full documents scan at CONSTRUCTION time — an extra job before
+    # any action, and a stale literal if the table changes.
+    n = table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).cast("double").alias("_n_docs")
+    )
     score = F.col("tf").cast("double") * (
-        (F.lit(float(n_docs)) - F.col("df").cast("double") + 0.5)
+        (F.col("_n_docs") - F.col("df").cast("double") + 0.5)
         / (F.col("df").cast("double") + 0.5)
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
     return (
         tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
         .select("doc_id", "term", "tf", "df", score.alias("score"))
         .withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rk") <= TOP_KEYWORDS)

@@ -165,7 +165,10 @@ def test_frame_sample_shape(spark, sf_dir):
     media = media_table(spark, sf_dir)
     frames = frame_sample(media, every_n=50)
     assert frames.columns == ["doc_id", "n_frames", "frames"]
-    bad = frames.filter(F.size("frames") != F.greatest(F.col("n_frames"), F.lit(1)))
+    # frames length == n_frames EXACTLY — including zero frames for
+    # sub-stride payloads (the old greatest(n, 1) tolerated a phantom
+    # frame that n_frames said did not exist).
+    bad = frames.filter(F.size("frames") != F.col("n_frames"))
     assert bad.count() == 0
     # Only video payloads are sampled.
     assert frames.join(media, "doc_id").filter(
