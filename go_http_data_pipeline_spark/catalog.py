@@ -24,8 +24,14 @@ TABLES = (
     "embeddings",
 )
 
-# Small dimension tables that should always be broadcast in joins.
-BROADCAST_DIMS = frozenset({"region", "nation", "supplier"})
+# Dimension tables that are CONSTANT-SIZE at every scale factor
+# (TPC-H: 5 regions, 25 nations — forever) and therefore safe to
+# broadcast-hint explicitly. SF-scaled tables (supplier grows x10 per
+# sf step, ~1e9 rows at the 100 TB north star) must NOT carry a
+# forced F.broadcast() hint: AQE auto-broadcasts them while they are
+# small, but an explicit hint can never be demoted and forces an OOM
+# at scale where the unhinted plan would shuffle-join.
+BROADCAST_DIMS = frozenset({"region", "nation"})
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -102,8 +102,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def market_share_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: NATION_3 suppliers' share of the ASIA PROMO
-    market per year — 7-table join with every dimension broadcast,
-    then conditional aggregation."""
+    market per year — 7-table join, then conditional aggregation.
+    Only the constant-size nation/region dims carry broadcast hints;
+    part and supplier are SF-scaled, so their joins are left to AQE
+    (auto-broadcast while small, shuffle-join at scale)."""
     l = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
     o = table(spark, sf_dir, "orders")
@@ -115,12 +117,12 @@ def market_share_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
     )
     sales = (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(cn), c.c_nationkey == cn.n_nationkey)
         .join(F.broadcast(r), cn.n_regionkey == r.r_regionkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
         .select(
             F.year("o_orderdate").cast("bigint").alias("o_year"),
@@ -243,7 +245,9 @@ def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     single row (the Q11 pattern) — NOT an unpartitioned window, which
     would funnel every per-supplier row through one task at scale.
     No second scan of lineitem: srev feeds both the max and the
-    filter."""
+    filter. The winner set ``best`` (a handful of rows) carries the
+    broadcast hint into the supplier name-lookup join — NOT supplier
+    itself, which is SF-scaled."""
     l = table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
     )
@@ -255,7 +259,7 @@ def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     best = srev.crossJoin(F.broadcast(mx)).filter(
         F.col("total_revenue") == F.col("mx")
     )
-    return best.join(F.broadcast(s), best.suppkey == s.s_suppkey).select(
+    return F.broadcast(best).join(s, best.suppkey == s.s_suppkey).select(
         "suppkey", F.col("s_name").alias("name"), "total_revenue"
     )
 
