@@ -64,12 +64,15 @@ def min_price_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     MIN-per-part subquery is a window over one self-aggregation —
     a single lineitem scan, no per-part re-execution.
 
-    The part predicate is pushed BELOW the aggregation as a broadcast
-    semi-join: each part's min is computed only from that part's own
-    rows, so pre-filtering the fact table to qualifying parts is
+    The part predicate is pushed BELOW the aggregation as a semi-join:
+    each part's min is computed only from that part's own rows, so
+    pre-filtering the fact table to qualifying parts is
     semantics-preserving and shrinks the agg + window input to the
     predicate's selectivity — the difference between shuffling every
-    (part, supplier) group and only the interesting ones at 100 TB."""
+    (part, supplier) group and only the interesting ones at 100 TB.
+    part/supplier are SF-scaled, so none of their joins carries a
+    forced broadcast hint — AQE auto-broadcasts them while small and
+    shuffle-joins at scale; only constant-size nation is hinted."""
     l = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part").filter(
         (F.col("p_type") == "STANDARD") & (F.col("p_size") < 10)
@@ -77,7 +80,7 @@ def min_price_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = table(spark, sf_dir, "supplier")
     n = table(spark, sf_dir, "nation")
     pk = p.select("p_partkey")
-    l = l.join(F.broadcast(pk), l.l_partkey == pk.p_partkey, "left_semi")
+    l = l.join(pk, l.l_partkey == pk.p_partkey, "left_semi")
     # Hash on l_partkey alone: satisfies the (partkey, suppkey)
     # groupBy and the per-part window with ONE exchange (same subset-
     # clustering trick as lone_late_supplier).
@@ -90,8 +93,8 @@ def min_price_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = unit.withColumn("min_price", F.min("unit_price").over(w))
     return (
         ranked.filter(F.col("unit_price") == F.col("min_price"))
-        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(p, F.col("l_partkey") == p.p_partkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select(
             F.col("p_partkey").alias("partkey"),
@@ -122,9 +125,9 @@ def min_price_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: bilateral trade volume between two nations by
-    ship year. Both nation joins broadcast; the disjunctive
-    nation-pair predicate filters after the (broadcast) dim joins,
-    so the only shuffles are lineitem⋈orders and the final agg."""
+    ship year. Both nation joins broadcast (constant 25 rows); the
+    SF-scaled supplier join is left unhinted for AQE. The disjunctive
+    nation-pair predicate filters after the dim joins."""
     l = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
@@ -142,7 +145,7 @@ def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
         .filter(pair)
         .groupBy(
@@ -168,16 +171,17 @@ def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 def nation_profit_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape: profit on 'widget' parts by supplier nation and
     ship year (supply cost adapted to 10% of retail price — the
-    fixture has no partsupp). LIKE filter pushes into the broadcast
-    part scan (StringContains)."""
+    fixture has no partsupp). LIKE filter pushes into the part scan
+    (StringContains); part/supplier are SF-scaled so their joins are
+    unhinted (AQE auto-broadcasts while small)."""
     l = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
     s = table(spark, sf_dir, "supplier")
     n = table(spark, sf_dir, "nation")
     profit = _rev_col() - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(
             F.col("n_name").alias("nation"), F.year("l_shipdate").cast("bigint").alias("l_year")
@@ -261,8 +265,9 @@ def ship_priority_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
 def disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape: OR-of-conjunctions over part attributes and
     line quantity. The brand/size legs of the disjunction push into
-    the broadcast part scan; the quantity legs stay as a codegen'd
-    post-join filter — one equi-join, no union-of-three-scans."""
+    the part scan; the quantity legs stay as a codegen'd post-join
+    filter — one equi-join, no union-of-three-scans. part is
+    SF-scaled so the join is unhinted (AQE decides)."""
     l = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part")
     cond = (
@@ -283,7 +288,7 @@ def disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(dsum(_rev_col()).alias("revenue"))
     )
@@ -312,13 +317,15 @@ def disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def significant_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 shape: suppliers moving >110% of the average PROMO
     part volume. Nested-subquery original rewritten as agg →
-    broadcast scalar threshold → broadcast dim joins."""
+    broadcast scalar threshold → dim joins. Only the single-row
+    threshold and constant-size nation carry broadcast hints;
+    part/supplier are SF-scaled and left to AQE."""
     l = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
     s = table(spark, sf_dir, "supplier")
     n = table(spark, sf_dir, "nation")
     per_supp = (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .groupBy("l_suppkey")
         .agg(dsum("l_quantity").alias("promo_qty"))
     )
@@ -328,7 +335,7 @@ def significant_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_supp.crossJoin(F.broadcast(avg_supp))
         .filter(F.col("promo_qty") > F.col("avg_qty") * 1.1)
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select(
             F.col("s_name").alias("supplier_name"),

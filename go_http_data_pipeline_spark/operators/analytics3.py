@@ -89,13 +89,15 @@ def supplier_count_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape: distinct-supplier counts per (brand, type,
     size) for selected sizes, excluding one brand and all
     negative-balance suppliers. The NOT IN subquery is rewritten as a
-    broadcast left-anti join; NOT IN and anti-join agree only when
+    left-anti join; NOT IN and anti-join agree only when
     BOTH sides are null-free — s_suppkey by schema on the build side,
     and an explicit isNotNull on the probe side (a NULL l_suppkey
     evaluates NOT IN to NULL and is dropped by SQL, while left_anti
     would keep it — the filter makes the Spark plan match the SQL
     semantics instead of assuming the fixture). Brand/size predicates
-    push into the broadcast part scan."""
+    push into the part scan. part/supplier are SF-scaled, so neither
+    join carries a forced broadcast hint — AQE auto-broadcasts them
+    while small and shuffle-joins at scale."""
     l = (
         table(spark, sf_dir, "lineitem")
         .select("l_partkey", "l_suppkey")
@@ -109,8 +111,8 @@ def supplier_count_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey"
     )
     return (
-        l.join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        l.join(bad, l.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, F.col("l_partkey") == p.p_partkey)
         .groupBy(
             F.col("p_brand").alias("brand"),
             F.col("p_type").alias("type"),
@@ -189,7 +191,7 @@ def lone_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("n_suppliers") > 1)
             & (F.col("n_late") == 1)
         )
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
         .groupBy(F.col("s_name").alias("supplier_name"))
         .agg(F.count(F.lit(1)).alias("numwait"))
     )

@@ -119,7 +119,10 @@ def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5-shaped: customer and supplier in the same nation."""
+    """TPC-H Q5-shaped: customer and supplier in the same nation.
+    Only constant-size nation/region carry broadcast hints; supplier
+    is SF-scaled so its join is left to AQE (auto-broadcast while
+    small, shuffle-join at scale)."""
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
@@ -130,7 +133,7 @@ def local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -293,18 +296,41 @@ def asof_join(
     always come from the SAME right row (per-column last-ignorenulls
     would forward-fill each column independently and could stitch a
     tuple no right row ever contained); rows tied on (key, timestamp)
-    order by that struct, so ties deterministically attach the
-    greatest-by-values row under any partitioning.
+    order by the ORDERABLE subset of the value columns, so ties
+    deterministically attach the greatest-by-values row under any
+    partitioning. Unorderable value columns (maps, or arrays/structs
+    containing maps) still ride in the transport struct — they just
+    can't serve as a tiebreak, so ties that differ ONLY in
+    unorderable columns attach an arbitrary (but single-row-
+    consistent) winner.
     ``value_cols=[]`` means "attach only the as-of timestamp";
     ``None`` (default) attaches every non-key right column.
     """
+
+    def _orderable(dt) -> bool:
+        from pyspark.sql import types as T
+
+        if isinstance(dt, T.MapType):
+            return False
+        if isinstance(dt, T.ArrayType):
+            return _orderable(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return all(_orderable(f.dataType) for f in dt.fields)
+        return True
+
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (on, right_ts)]
+    r_types = {f.name: f.dataType for f in right.schema.fields}
+    tie_cols = [c for c in value_cols if _orderable(r_types[c])]
     l_tagged = left.withColumn("_is_left", F.lit(1)).withColumn("_ts", F.col(left_ts))
     r_proj = [on, F.col(right_ts).alias("_r_ts")]
     if value_cols:
         r_proj.append(
             F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("_r_vals")
+        )
+    if tie_cols:
+        r_proj.append(
+            F.struct(*[F.col(c).alias(c) for c in tie_cols]).alias("_r_tie")
         )
     r_tagged = (
         right.filter(F.col(on).isNotNull() & F.col(right_ts).isNotNull())
@@ -314,8 +340,8 @@ def asof_join(
     )
     unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
     order = ["_ts", "_is_left"]
-    if value_cols:
-        order.append(F.col("_r_vals").asc_nulls_first())
+    if tie_cols:
+        order.append(F.col("_r_tie").asc_nulls_first())
     w = (
         Window.partitionBy(on)
         .orderBy(*order)

@@ -160,7 +160,7 @@ def daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sessionize_events",
     oracle="""
     WITH gaps AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, ts, event_id, value,
                CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                          > INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS new_session
@@ -170,7 +170,10 @@ def daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, ts, value,
                -- DuckDB widens SUM(int) to DECIMAL(38,0); Spark keeps
                -- BIGINT — cast so the hash compare sees one type.
-               CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               -- ORDER BY carries the same event_id tiebreak as gaps:
+               -- tied (user_id, ts) rows at a session boundary must
+               -- accumulate in one deterministic order in both engines.
+               CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         FROM gaps
     )

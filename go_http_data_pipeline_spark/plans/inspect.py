@@ -129,6 +129,64 @@ def _scan_lines_without_aggregate_ancestor(
     return out
 
 
+# Signature FIRST column of each SF-scaled base table's parquet
+# relation (grows linearly with scale factor; ~1e9+ rows at the
+# 100 TB north star). nation/region are constant-size (25 / 5 rows
+# forever) and deliberately absent.
+_SF_SCALED_FIRST_COL = {
+    "s_suppkey": "supplier",
+    "p_partkey": "part",
+    "c_custkey": "customer",
+    "o_orderkey": "orders",
+    "l_orderkey": "lineitem",
+    "event_id": "events",
+}
+
+
+def hinted_sf_scaled_broadcasts(df: DataFrame) -> list[str]:
+    """Forced ``F.broadcast()`` hints over SF-scaled base-table rows:
+    every ``ResolvedHint (strategy=broadcast)`` in the ANALYZED
+    logical plan whose subtree reaches a parquet relation of an
+    SF-scaled table with NO Aggregate on the path. An explicit hint
+    can never be demoted by AQE, so at scale it forces an OOM where
+    the unhinted plan would shuffle-join; AQE auto-broadcasts the
+    same tables while they are genuinely small, making the hint pure
+    downside (VERDICT r5 item 1). Hints over *derived* sides are
+    bounded and fine: an ``Aggregate`` on the path, or a SINGLE-key
+    ``Deduplicate`` (one attribute's value domain — e.g. distinct
+    calendar days — not row count; a multi-key dedup like distinct
+    (day, user) pairs is still corpus-sized and stays an offender).
+    Returns ``"table (hint-line)"`` strings; contract ``== []``.
+    """
+    qe = df._jdf.queryExecution()
+    lines = qe.analyzed().toString().splitlines()
+    depths = _node_depths(lines)
+    offenders: list[str] = []
+    for i, line in enumerate(lines):
+        if "ResolvedHint" not in line or "broadcast" not in line.lower():
+            continue
+        j = i + 1
+        while j < len(lines) and depths[j] > depths[i]:
+            m = re.search(r"Relation \[?(\w+)", lines[j])
+            if "parquet" in lines[j] and m and m.group(1) in _SF_SCALED_FIRST_COL:
+                cur, bounded = depths[j], False
+                for k in range(j - 1, i, -1):
+                    if depths[k] < cur:
+                        cur = depths[k]
+                        if "Aggregate" in lines[k] or re.search(
+                            r"Deduplicate \[[^,\]]+\]", lines[k]
+                        ):
+                            bounded = True
+                            break
+                if not bounded:
+                    offenders.append(
+                        f"{_SF_SCALED_FIRST_COL[m.group(1)]} "
+                        f"({lines[i].strip()})"
+                    )
+            j += 1
+    return offenders
+
+
 def unbounded_nested_loops(df: DataFrame) -> list[str]:
     """BroadcastNestedLoopJoin nodes whose BROADCAST side carries raw
     (un-aggregated) parquet-scan rows. A nested-loop join against a

@@ -198,22 +198,48 @@ _DRIVER_GREEN_R4 = frozenset(
     }
 )
 
-# Round-5 rewrites that MUST re-enter the driver window: the z-order
-# pair's global-ntile -> broadcast range-boundary rewrite, the
-# rolling-WAU pair-explosion rewrite (VERDICT r4 items 2 and 4), and
-# the session-2 review-fix queries whose OUTPUT changed after their
-# last green row (max-key CDC insert ids, non-vacuous EXCEPT, the
-# jwt chain's new at-expiry column + signature-segment tamper, the
-# upsert's max-key hire ids). Queries whose review fix left fixture
-# output bit-identical (sessionize_events' full-precision gap,
-# session_window_stats' oracle tiebreak) keep their existing green
-# rows and rotate normally — the window holds exactly 8 + the 42
-# r1-stale rows VERDICT item 1 requires.
-_REFRESH_R5 = frozenset(
+# Queries with a green driver row in CORRECTNESS_r05.json (a perfect
+# 50/50 window: the 42-query r1-stale backlog drained + the round-5
+# rewrites and review-fix refreshes + stateful_session_ttl).
+_DRIVER_GREEN_R5 = frozenset(
     {
-        "zorder_file_stats", "layout_skipping_eval",
-        "rolling_7day_active_users", "snapshot_diff", "except_nations",
-        "jwt_auth_chain", "employee_upsert",
+        "asof_purchase_signup", "count_distinct_segments",
+        "cube_order_totals", "customer_order_distribution",
+        "customers_with_urgent_orders", "customers_without_orders",
+        "deterministic_sample", "disjunctive_brand_revenue",
+        "distinct_values", "employee_upsert", "except_nations",
+        "existence_check", "grouping_sets_revenue", "having_filter",
+        "idle_rich_customers", "important_parts_value", "jwt_auth_chain",
+        "large_volume_orders", "late_order_priority",
+        "late_shipment_priority", "layout_skipping_eval",
+        "local_supplier_revenue", "market_share_evolution",
+        "min_price_supplier_per_part", "multi_key_sort_limit",
+        "nation_account_stats", "nation_pairs_same_region",
+        "nation_presence_reconciliation", "nation_profit_by_year",
+        "pivot_returnflag_status", "promo_revenue_ratio",
+        "q1_pricing_summary", "q3_shipping_priority", "range_join_ship_lag",
+        "returned_items_report", "revenue_by_nation", "revenue_percentiles",
+        "rolling_7day_active_users", "rollup_order_totals",
+        "scalar_agg_forecast", "significant_promo_suppliers",
+        "small_quantity_orders", "snapshot_diff", "stateful_session_ttl",
+        "stats_moments_profile", "top_orders_by_price", "top_revenue_orders",
+        "top_supplier", "volume_shipping", "zorder_file_stats",
+    }
+)
+
+# Round-6/7 refreshes that MUST re-enter the driver window: the ten
+# queries whose forced F.broadcast() hints on SF-scaled supplier/part
+# scans were removed (VERDICT r5 item 1 — round 6 was cut short after
+# catalog.py + 2 sites, round 7 finished the rest). Results are
+# bit-identical (hints never change output), but the driver record
+# must show green on the de-hinted code to clear their weak flags.
+_REFRESH_R7 = frozenset(
+    {
+        "market_share_evolution", "top_supplier",
+        "min_price_supplier_per_part", "volume_shipping",
+        "nation_profit_by_year", "disjunctive_brand_revenue",
+        "significant_promo_suppliers", "supplier_count_by_part",
+        "lone_late_supplier", "local_supplier_revenue",
     }
 )
 
@@ -224,25 +250,27 @@ _ROWS_ONLY = frozenset({"approx_distinct_parts", "approx_revenue_percentiles"})
 
 def _ordered(d: dict) -> dict:
     """Driver-window ordering (the driver checks ~the first 50 rows):
-    never-checked/new queries and this round's rewrites first, then
-    green queries by staleness (r1 oldest -> r4 freshest) so the
+    never-checked/new queries and this round's refreshes first, then
+    green queries by staleness (r2 oldest -> r5 freshest) so the
     spare window slots re-verify the rows whose last green is oldest
-    — VERDICT r4 item 1's rotation-over-growth directive (drain the
-    42-query r1-stale backlog before anything else)."""
+    — VERDICT r5 item 2: drain the 41-query r2-stale tranche (the
+    windows/setops/streaming/parity/SQL-API block) this round."""
     greens = (
         _DRIVER_GREEN_R1 | _DRIVER_GREEN_R2 | _DRIVER_GREEN_R3
-        | _DRIVER_GREEN_R4
+        | _DRIVER_GREEN_R4 | _DRIVER_GREEN_R5
     )
 
     def rank(k: str) -> int:
         if k in _ROWS_ONLY:
             return 9
-        if k in _REFRESH_R5 or k not in greens:
+        if k in _REFRESH_R7 or k not in greens:
             return 0
         # Staleness = LATEST green round, checked newest-first: a query
         # re-verified in a later round must not hog a rotation slot
         # meant for genuinely stale rows (ship_priority_classes is in
         # both the r2 and r3 sets).
+        if k in _DRIVER_GREEN_R5:
+            return 5
         if k in _DRIVER_GREEN_R4:
             return 4
         if k in _DRIVER_GREEN_R3:

@@ -56,11 +56,14 @@ DEFAULT_SCHEMA = "name string, age int, yearsofexp int, salary bigint"
 def _coerce(value, dt: str):
     """Go ``encoding/json`` typing: a wrong-typed value becomes null
     (the reference errors the request; schema-on-read nulls the
-    field). Strict by TYPE, not by convertibility — Go does not parse
-    ``"12"`` into an int field, truncate ``3.9``, or truthify
-    ``"false"`` into a bool, and neither does this decoder. A whole
-    JSON number (``3.0``) does decode into an int field, as Go's
-    float64-backed decoder accepts it."""
+    field). Strict by LITERAL, not by convertibility — Go's decoder
+    into a typed struct (``Server/main.go:34``) does not parse
+    ``"12"`` into an int field, truncate ``3.9``, truthify
+    ``"false"`` into a bool, or accept the non-integer literal
+    ``3.0`` for an int (strconv.ParseInt on the raw literal rejects
+    it). Python's json mirrors the literal split (``3`` -> int,
+    ``3.0`` -> float), so type-checking the parsed value reproduces
+    Go's rule exactly."""
     if value is None:
         return None
     # bool is an int subclass in Python: check it FIRST so JSON
@@ -68,11 +71,7 @@ def _coerce(value, dt: str):
     if dt in ("int", "integer", "bigint", "long"):
         if isinstance(value, bool):
             return None
-        if isinstance(value, int):
-            return value
-        if isinstance(value, float) and value.is_integer():
-            return int(value)
-        return None
+        return value if isinstance(value, int) else None
     if dt == "double":
         if isinstance(value, bool):
             return None
@@ -200,12 +199,39 @@ class _SpoolStreamReader(DataSourceStreamReader):
             }
         }
 
+    def _migrate(self, off: dict) -> dict:
+        """Accept a legacy ``{"index": n}`` offset (one global record
+        index over name-sorted files) from a checkpoint committed by
+        the pre-per-file reader. Without this, ``.get("files", {})``
+        resolves the legacy offset to "nothing consumed" and silently
+        re-emits the ENTIRE spool — duplicates for non-idempotent
+        sinks. Conversion walks the current name-sorted files and
+        allocates the first ``n`` records across them, which is
+        exactly what the legacy reader had consumed (its correctness
+        precondition — files only ever appended at the end of the
+        sort order — is the same one the legacy checkpoint was
+        written under)."""
+        if "files" in off:
+            return off
+        if "index" not in off:
+            raise ValueError(f"unsupported httpjson offset: {off!r}")
+        remaining = int(off["index"])
+        files: dict[str, int] = {}
+        for path, n in sorted(_file_record_counts(self._spool)):
+            take = min(remaining, n)
+            if take <= 0:
+                break
+            files[os.path.basename(path)] = take
+            remaining -= take
+        return {"files": files}
+
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         # The committed range [start, end) must be read in full (the
         # engine commits `end` regardless) — so `split_size` shards
         # each file's delta into parallel partitions rather than
         # throttling it; ingest throttling is the trigger's job
         # (T2: processingTime trigger).
+        start, end = self._migrate(start), self._migrate(end)
         s, e = start.get("files", {}), end.get("files", {})
         parts: list[InputPartition] = []
         for name in sorted(e):

@@ -158,11 +158,22 @@ def foreach_batch_merge(
     checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="fbm_ckpt_")
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        tmp = base_path + f".tmp_{batch_id}"
+        old = base_path + f".old_{batch_id}"
+        # Crash recovery on replay: a crash BETWEEN the two renames
+        # leaves base absent with the pre-merge copy in old (tmp may
+        # hold this batch's half-written merge — stale, rebuilt below);
+        # a crash AFTER the tmp->base rename leaves a non-empty old
+        # that would make this replay's os.rename(base, old) raise
+        # ENOTEMPTY. Both replay states are healed before merging, so
+        # the effectively-once claim survives a kill at any point.
+        if not os.path.exists(base_path) and os.path.exists(old):
+            os.rename(old, base_path)
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
         base = spark.read.parquet(base_path)
         merged = merge_into(base, batch_df, key=key)
-        tmp = base_path + f".tmp_{batch_id}"
         merged.write.mode("overwrite").parquet(tmp)
-        old = base_path + f".old_{batch_id}"
         os.rename(base_path, old)
         os.rename(tmp, base_path)
         shutil.rmtree(old, ignore_errors=True)

@@ -330,6 +330,18 @@ def _collect_sorted_events(pdfs) -> list:
     return events
 
 
+# Which stateful API actually executed the last run_stateful_session_ttl
+# call: "transformWithState" (4.x primary) or "applyInPandasWithState"
+# (fallback), plus the primary path's failure repr when it fell back.
+# VERDICT r5 item 4: the fallback engages on ANY primary failure, which
+# is robust but means a silently-permanent fallback would never be
+# noticed — this record makes the executed path observable and lets a
+# test fail when the primary silently stops working in an environment
+# that supports it.
+LAST_SESSION_TTL_PATH: str | None = None
+LAST_SESSION_TTL_FALLBACK_CAUSE: str | None = None
+
+
 def _session_ttl_processor():
     """Build the StatefulProcessor lazily so importing this module
     never depends on the Spark 4.x transformWithState surface."""
@@ -451,10 +463,13 @@ def run_stateful_session_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .core import events_stream, run_to_memory
 
+    global LAST_SESSION_TTL_PATH, LAST_SESSION_TTL_FALLBACK_CAUSE
     ev = events_stream(spark, sf_dir).select(
         "event_id", "user_id", "ts", "value"
     )
     out = None
+    LAST_SESSION_TTL_PATH = None
+    LAST_SESSION_TTL_FALLBACK_CAUSE = None
     try:
         import google.protobuf  # noqa: F401  (transformWithState worker dep)
 
@@ -478,18 +493,21 @@ def run_stateful_session_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
                 timeMode="none",
             )
             out = run_to_memory(spark, sdf, "session_ttl", "append")
+            LAST_SESSION_TTL_PATH = "transformWithState"
         finally:
             if prior is None:
                 spark.conf.unset(_PROV)
             else:
                 spark.conf.set(_PROV, prior)
-    except Exception:
+    except Exception as exc:
         # Fallback engages on ANY primary-path failure, not just a
         # missing driver-side protobuf: the worker can also die on a
         # proto version mismatch or a RocksDB init failure, and the
         # GroupState path runs the byte-identical kernel either way.
         out = None
+        LAST_SESSION_TTL_FALLBACK_CAUSE = repr(exc)
     if out is None:
+        LAST_SESSION_TTL_PATH = "applyInPandasWithState"
         sdf = ev.groupBy("user_id").applyInPandasWithState(
             _session_ttl_group_state,
             outputStructType=_SESS_OUT_SCHEMA,

@@ -258,6 +258,42 @@ def test_stream_offsets_stable_under_adversarial_arrivals(spark, tmp_path):
     assert sorted(run_once()) == sorted(f"u{i}" for i in range(30, 35))
 
 
+def test_legacy_global_index_offset_migrates(tmp_path):
+    """A checkpoint committed by the old reader stored one global
+    record index ({"index": n}); resolving it as an empty per-file
+    map would re-emit the ENTIRE spool. _migrate must allocate the
+    first n records across name-sorted files, so partitions() emits
+    only the genuinely-new range."""
+    from pyspark.sql.types import StructType
+
+    from go_http_data_pipeline_spark.sources.http_json import (
+        _SpoolStreamReader,
+    )
+
+    import json as _json
+
+    for fname, lo, hi in (("a.jsonl", 0, 10), ("b.jsonl", 10, 17)):
+        with open(tmp_path / fname, "w") as fh:
+            for i in range(lo, hi):
+                fh.write(_json.dumps({"name": f"u{i}", "age": i}) + "\n")
+    rdr = _SpoolStreamReader(
+        StructType.fromDDL("name string, age int"), str(tmp_path), 0
+    )
+    # Legacy start: 13 records consumed = all of a.jsonl + 3 of b.
+    assert rdr._migrate({"index": 13}) == {
+        "files": {"a.jsonl": 10, "b.jsonl": 3}
+    }
+    parts = rdr.partitions({"index": 13}, rdr.latestOffset())
+    ranges = sorted(p.value for p in parts)
+    assert ranges == [(str(tmp_path / "b.jsonl"), 3, 7)]
+    # New-format offsets pass through untouched; junk raises clearly.
+    assert rdr._migrate({"files": {"a.jsonl": 2}}) == {"files": {"a.jsonl": 2}}
+    import pytest
+
+    with pytest.raises(ValueError, match="unsupported httpjson offset"):
+        rdr._migrate({"what": 1})
+
+
 def test_coerce_is_type_strict_like_go():
     """Go's decoder does not parse numeric strings into ints, truncate
     fractional floats, or truthify strings into bools — wrong-typed
@@ -268,9 +304,11 @@ def test_coerce_is_type_strict_like_go():
               ("name", "string")]
     line = '{"age":"12","ok":"false","score":"3.5","name":7}'
     assert _decode_line(line, fields) == (None, None, None, None)
-    # whole JSON numbers DO decode into int fields (Go float64 path);
-    # fractional ones do not; real bools/doubles/strings pass through.
-    line = '{"age":3.0,"ok":true,"score":2,"name":"x"}'
+    # Go parses int fields from the raw LITERAL (strconv.ParseInt):
+    # 3.0 is rejected for an int just like 3.9 — only integer
+    # literals decode; real bools/doubles/strings pass through.
+    line = '{"age":3,"ok":true,"score":2,"name":"x"}'
     assert _decode_line(line, fields) == (3, True, 2.0, "x")
+    assert _decode_line('{"age":3.0}', fields) == (None, None, None, None)
     assert _decode_line('{"age":3.9}', fields) == (None, None, None, None)
     assert _decode_line('{"age":true}', fields)[0] is None

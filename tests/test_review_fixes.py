@@ -104,6 +104,34 @@ def test_asof_join_tie_null_and_row_semantics(spark):
     )
 
 
+def test_asof_join_carries_unorderable_map_values(spark):
+    """A map-typed right value column must ride the transport struct
+    without joining the tie-break ORDER BY (maps aren't orderable —
+    ordering by the full value struct used to raise AnalysisException).
+    Orderable columns still break (key, ts) ties deterministically."""
+    from pyspark.sql import functions as F
+
+    from go_http_data_pipeline_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([Row(k=1, lts=100)])
+    right = (
+        spark.createDataFrame(
+            [Row(k=1, rts=50, a=1), Row(k=1, rts=50, a=2)]
+        ).withColumn(
+            "meta", F.create_map(F.lit("src"), F.col("a").cast("string"))
+        )
+    )
+    out = asof_join(
+        left, right, on="k", left_ts="lts", right_ts="rts",
+        value_cols=["a", "meta"],
+    ).collect()[0]
+    # Ties break on the orderable column a -> the a=2 row wins, and
+    # its map arrives from the SAME row (no cross-row stitching).
+    assert out.asof_a == 2
+    assert out.asof_meta == {"src": "2"}
+    assert out.asof_rts == 50
+
+
 def test_asof_join_empty_value_cols_attaches_only_ts(spark):
     """value_cols=[] must mean 'timestamp only' even when the right
     table HAS extra columns (an explicit [] used to fall back to all

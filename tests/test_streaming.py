@@ -54,6 +54,65 @@ def test_foreach_batch_merge_writeback(spark):
         assert final == {(1, 100), (2, 999), (3, 300), (4, 400)}
 
 
+def test_foreach_batch_merge_recovers_from_mid_swap_crash(spark):
+    """Replay after a kill at the worst point of the two-rename swap:
+    base ABSENT, the pre-merge copy stranded in .old_0, a stale
+    (possibly half-written) .tmp_0 on disk. The replayed batch must
+    heal the directory state and produce the same merged result as an
+    uninterrupted run — the effectively-once claim includes crash
+    WINDOWS, not just whole-batch retries. Also covers the milder
+    crash-after-swap state (non-empty .old_0 beside a live base),
+    which used to fail os.rename with ENOTEMPTY on replay."""
+    import shutil
+
+    from go_http_data_pipeline_spark.streaming.core import foreach_batch_merge
+
+    with tempfile.TemporaryDirectory() as tmp:
+        base_path = os.path.join(tmp, "employee")
+        spark.createDataFrame(
+            [(1, 100), (2, 200)], "id long, salary long"
+        ).write.parquet(base_path)
+
+        upd_dir = os.path.join(tmp, "updates")
+        os.makedirs(upd_dir)
+        spark.createDataFrame(
+            [(2, 999), (3, 300)], "id long, salary long"
+        ).write.mode("overwrite").parquet(upd_dir)
+
+        # Simulate the crash-between-renames state for batch 0.
+        os.rename(base_path, base_path + ".old_0")
+        os.makedirs(base_path + ".tmp_0")
+        with open(os.path.join(base_path + ".tmp_0", "junk"), "w") as fh:
+            fh.write("half-written merge output")
+
+        updates = spark.readStream.schema("id long, salary long").parquet(upd_dir)
+        q = foreach_batch_merge(
+            spark, updates, base_path, key="id",
+            checkpoint_dir=os.path.join(tmp, "ckpt"),
+        )
+        q.awaitTermination()
+        final = {tuple(r) for r in spark.read.parquet(base_path).collect()}
+        assert final == {(1, 100), (2, 999), (3, 300)}
+        assert not os.path.exists(base_path + ".old_0")
+        assert not os.path.exists(base_path + ".tmp_0")
+
+        # Crash-after-swap replay: live base + leftover non-empty old
+        # for the SAME batch id (fresh checkpoint -> batch 0 again);
+        # un-healed, os.rename(base, old_0) raises ENOTEMPTY here.
+        shutil.copytree(base_path, base_path + ".old_0")
+        spark.createDataFrame(
+            [(4, 400)], "id long, salary long"
+        ).write.mode("append").parquet(upd_dir)
+        updates = spark.readStream.schema("id long, salary long").parquet(upd_dir)
+        q = foreach_batch_merge(
+            spark, updates, base_path, key="id",
+            checkpoint_dir=os.path.join(tmp, "ckpt2"),
+        )
+        q.awaitTermination()
+        final = {tuple(r) for r in spark.read.parquet(base_path).collect()}
+        assert final == {(1, 100), (2, 999), (3, 300), (4, 400)}
+
+
 def test_rate_user_stream_schema_and_determinism(spark):
     from go_http_data_pipeline_spark.streaming.core import rate_user_stream
 
@@ -299,3 +358,34 @@ def test_session_ttl_equals_batch_sessionization(spark, sf_dir):
         key = (r["user_id"], r["session_start"].isoformat())
         assert expected[key] == r["n_events"]
         assert r["session_end"] >= r["session_start"]
+
+
+def test_session_ttl_path_identity(spark, sf_dir):
+    """Pin WHICH stateful API executed: in an environment that can run
+    transformWithStateInPandas (protobuf importable), the primary path
+    must be what actually ran — the catch-all fallback is for
+    environments that genuinely can't, and this fails loudly if the
+    primary silently breaks while its prerequisites still hold
+    (VERDICT r5 item 4). Where protobuf is absent, the fallback is
+    asserted instead, with the captured primary-failure cause."""
+    from go_http_data_pipeline_spark.streaming import stateful
+
+    stateful.run_stateful_session_ttl(spark, sf_dir).collect()
+    try:
+        import google.protobuf  # noqa: F401
+
+        has_proto = True
+    except ImportError:
+        has_proto = False
+    if has_proto:
+        assert stateful.LAST_SESSION_TTL_PATH == "transformWithState", (
+            "primary stateful path silently stopped working: "
+            f"{stateful.LAST_SESSION_TTL_FALLBACK_CAUSE}"
+        )
+    else:
+        assert stateful.LAST_SESSION_TTL_PATH == "applyInPandasWithState"
+        # The recorded cause must be the protobuf import failing
+        # (ModuleNotFoundError on 'google' / 'google.protobuf'), not
+        # some unrelated primary-path defect hiding behind it.
+        cause = stateful.LAST_SESSION_TTL_FALLBACK_CAUSE or ""
+        assert "ModuleNotFoundError" in cause and "google" in cause, cause
