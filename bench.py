@@ -132,6 +132,46 @@ def _prev_bench(sf: float) -> dict:
     return {}
 
 
+REGRESSION_THRESH = 1.25  # flag at >25% over the recent-history median
+
+
+def _recent_benches(sf: float, k: int = 5) -> list[dict]:
+    """The last ``k`` same-sf records from BENCH_LOCAL.jsonl, oldest
+    first. Used for the regression baseline: the MEDIAN of a query's
+    recent history, so a single low-bounce record (this box jitters
+    1.12-1.56s on the same plan, VERDICT r5 item 5) can't make the
+    next normal run read as a regression the way a last-record-only
+    delta does."""
+    try:
+        with open(_LOCAL_LOG) as f:
+            lines = [ln for ln in f if ln.strip()]
+    except OSError:
+        return []
+    out: list[dict] = []
+    for ln in reversed(lines):
+        try:
+            data = json.loads(ln)
+        except ValueError:
+            continue
+        if isinstance(data.get("queries"), dict) and data.get("sf") == sf:
+            out.append(data)
+            if len(out) >= k:
+                break
+    return list(reversed(out))
+
+
+def _median_baseline(recent: list[dict]) -> dict[str, float]:
+    """Per-query median time across the recent same-sf records."""
+    hist: dict[str, list[float]] = {}
+    for rec in recent:
+        for name, t in rec["queries"].items():
+            if t:
+                hist.setdefault(name, []).append(t)
+    return {
+        n: sorted(ts)[len(ts) // 2] for n, ts in hist.items()
+    }
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -174,6 +214,8 @@ def main() -> int:
 
     prev = _prev_bench(sf)
     prev_times: dict = prev.get("queries", {})
+    recent = _recent_benches(sf)
+    baseline = _median_baseline(recent)
 
     times: dict[str, float] = {}
     medians: dict[str, float] = {}
@@ -216,6 +258,29 @@ def main() -> int:
             file=sys.stderr,
         )
 
+    # Regression discipline (VERDICT r5 item 5): a query is FLAGGED
+    # when its min exceeds REGRESSION_THRESH x its median over the
+    # last 5 same-sf records, and CONFIRMED only when the previous
+    # record flagged it too — one noisy record (or one low-bounce
+    # baseline) never surfaces as a headline regression, while a
+    # genuine plan regression confirms on its second consecutive run.
+    flagged = {
+        n: round(times[n] / baseline[n], 3)
+        for n in times
+        if baseline.get(n) and times[n] / baseline[n] > REGRESSION_THRESH
+    }
+    prev_flagged = (
+        recent[-1].get("flagged_vs_median", {}) if recent else {}
+    )
+    confirmed = sorted(set(flagged) & set(prev_flagged))
+    for n in sorted(flagged):
+        tag = "CONFIRMED" if n in confirmed else "unconfirmed (1st)"
+        print(
+            f"# regression {tag}: {n} {times[n]}s ="
+            f" {flagged[n]}x median({baseline[n]}s)",
+            file=sys.stderr,
+        )
+
     # Total includes the cache build: it is real work the suite needs
     # (it was previously inside the first dedup query's time), just
     # attributed to its own line now.
@@ -229,6 +294,8 @@ def main() -> int:
         "repeats": max(1, REPEATS),
         "queries_median": medians,
         "prev_deltas": deltas,
+        "flagged_vs_median": flagged,
+        "confirmed_regressions": confirmed,
         "dedup_cache_build_sec": cache_build,
         "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
     }
@@ -269,6 +336,7 @@ def main() -> int:
         "repeats": max(1, REPEATS),
         "n_queries": len(times),
         "deltas_vs_prev": delta_digest,
+        "confirmed_regressions": confirmed,
         "dedup_cache_build_sec": cache_build,
         "full_record": "BENCH_LOCAL.jsonl",
     }
