@@ -328,7 +328,16 @@ def asof_join(
         r_proj.append(
             F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("_r_vals")
         )
-    if tie_cols:
+    # Tie-ordering column: in the common all-orderable case the value
+    # struct itself is the tiebreak — projecting a second identical
+    # struct would ship the full value payload twice through the
+    # shuffle and window sort. Only when some value columns are
+    # unorderable (maps) does a separate orderable-subset struct exist.
+    tie_ref = None
+    if tie_cols == value_cols and value_cols:
+        tie_ref = "_r_vals"
+    elif tie_cols:
+        tie_ref = "_r_tie"
         r_proj.append(
             F.struct(*[F.col(c).alias(c) for c in tie_cols]).alias("_r_tie")
         )
@@ -340,8 +349,8 @@ def asof_join(
     )
     unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
     order = ["_ts", "_is_left"]
-    if tie_cols:
-        order.append(F.col("_r_tie").asc_nulls_first())
+    if tie_ref:
+        order.append(F.col(tie_ref).asc_nulls_first())
     w = (
         Window.partitionBy(on)
         .orderBy(*order)

@@ -263,8 +263,12 @@ def test_legacy_global_index_offset_migrates(tmp_path):
     record index ({"index": n}); resolving it as an empty per-file
     map would re-emit the ENTIRE spool. _migrate must allocate the
     first n records across name-sorted files, so partitions() emits
-    only the genuinely-new range."""
-    from pyspark.sql.types import StructType
+    only the genuinely-new range.
+
+    Builds the schema with StructType/StructField constructors (not
+    StructType.fromDDL, which needs an active SparkContext) so the
+    test also passes when run standalone."""
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
 
     from go_http_data_pipeline_spark.sources.http_json import (
         _SpoolStreamReader,
@@ -276,9 +280,10 @@ def test_legacy_global_index_offset_migrates(tmp_path):
         with open(tmp_path / fname, "w") as fh:
             for i in range(lo, hi):
                 fh.write(_json.dumps({"name": f"u{i}", "age": i}) + "\n")
-    rdr = _SpoolStreamReader(
-        StructType.fromDDL("name string, age int"), str(tmp_path), 0
+    schema = StructType(
+        [StructField("name", StringType()), StructField("age", IntegerType())]
     )
+    rdr = _SpoolStreamReader(schema, str(tmp_path), 0)
     # Legacy start: 13 records consumed = all of a.jsonl + 3 of b.
     assert rdr._migrate({"index": 13}) == {
         "files": {"a.jsonl": 10, "b.jsonl": 3}

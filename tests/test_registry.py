@@ -24,6 +24,55 @@ def test_every_oracle_has_a_query():
     assert set(oracles) <= set(qs)
 
 
+def test_newest_green_matches_files_on_disk():
+    """The driver-window ordering is derived from CORRECTNESS_r*.json
+    at import time (VERDICT r7 item 2: no more hand-copied frozensets).
+    Recompute newest-green independently here and pin the result."""
+    import json
+    import re
+    from pathlib import Path
+
+    from go_http_data_pipeline_spark import registry
+
+    newest = registry._newest_green_rounds()
+
+    expected: dict[str, int] = {}
+    for path in Path("/root/repo").glob("CORRECTNESS_r*.json"):
+        rnd = int(re.fullmatch(r"CORRECTNESS_r(\d+)\.json", path.name).group(1))
+        for name, rec in json.loads(path.read_text()).items():
+            full = rec.get("rows_match") and rec.get("schema_match") and rec.get("hash_match")
+            rows_only = rec.get("err") == "no_oracle" and rec.get("spark_rows") is not None
+            if full or rows_only:
+                expected[name] = max(expected.get(name, 0), rnd)
+    assert newest == expected
+    # Sanity anchors from the known driver history (r1..r7): the two
+    # approx sketches were last recorded in r1; the LLM tranche's
+    # stalest rows are r3; round 7 recorded a full 50-green window.
+    assert expected["approx_distinct_parts"] == 1
+    assert expected["minhash_lsh_pairs"] >= 3
+    assert sum(1 for v in expected.values() if v == 7) >= 50
+
+
+def test_window_order_never_checked_then_stalest_first():
+    """First-50 window = refreshes/new queries, then greens stalest-
+    first; rows-only sketches dead last."""
+    from go_http_data_pipeline_spark import registry
+
+    qs = list(registry.all_queries())
+    newest = registry._newest_green_rounds()
+
+    ranks = [
+        (9, 0) if k in registry._ROWS_ONLY
+        else (0, 0) if k in registry._REFRESH or k not in newest
+        else (1, newest[k])
+        for k in qs
+    ]
+    assert ranks == sorted(ranks), "registry order must be rank-sorted"
+    # Every rows-only sketch sorts after every checkable query.
+    for k in registry._ROWS_ONLY:
+        assert k in qs[-len(registry._ROWS_ONLY):]
+
+
 def test_entry_contract_surface():
     import __spark_entry__ as e
 
