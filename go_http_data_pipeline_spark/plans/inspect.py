@@ -49,6 +49,30 @@ def join_strategies(df: DataFrame) -> list[str]:
     )
 
 
+def join_strategies_for_key(df: DataFrame, key_substring: str) -> list[str]:
+    """Strategies of exactly the physical join node(s) whose join keys
+    mention ``key_substring`` (e.g. ``"s_suppkey"`` isolates the
+    lineitem-supplier join). Plan-wide ``join_strategies`` can't answer
+    "did THIS join demote?" — at scale several joins coexist and a
+    different join's demotion would pollute the signal (ADVICE r7).
+    Under finalized AQE the explain output repeats the initial plan
+    after the final one; only the final section is inspected."""
+    plan = plan_str(df, "simple")
+    cut = plan.find("== Initial Plan ==")
+    if cut != -1:
+        plan = plan[:cut]
+    out: list[str] = []
+    for line in plan.splitlines():
+        m = re.search(
+            r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin"
+            r"|BroadcastNestedLoopJoin)",
+            line,
+        )
+        if m and key_substring in line:
+            out.append(m.group(1))
+    return out
+
+
 def exchange_count(df: DataFrame) -> int:
     """Number of shuffle exchanges (excludes broadcast exchanges and
     AQE shuffle reads). Parsed from simple mode, where the node and

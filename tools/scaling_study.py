@@ -28,21 +28,25 @@ C. **Time-span stretch for the rolling-WAU pair**: the OLD
    NEW pair-explosion (O(7 x pairs), span-independent); both outputs
    are asserted equal first.
 
-D. **Amplified supplier x3000** for the de-hinted analytics queries
-   (VERDICT r5 items 1+3): supplier is SF-scaled, so the forced
-   ``F.broadcast(s)`` hints removed in rounds 6-7 were a latent OOM —
-   but the hazard only MANIFESTS once the dim outgrows the broadcast
-   threshold (at x10 both plans are literally identical, because AQE
-   auto-broadcasts too; that identity is asserted by
-   tests/test_plans.py, and is exactly why the hint was pure
-   downside). Here supplier is amplified x3000 (3M rows, past the
-   10 MB threshold) and the current unhinted ``volume_shipping`` is
-   raced against its old forced-broadcast formulation, outputs
-   asserted equal first. The structural check: AQE demotes the
-   unhinted supplier join to a shuffle join at x3000 while the hint
-   pins a 3M-row broadcast build that no statistics can override —
+D. **Amplified supplier x10000** for the de-hinted analytics queries
+   (VERDICT r5 items 1+3, r7 item 3): supplier is SF-scaled, so the
+   forced ``F.broadcast(s)`` hints removed in rounds 6-7 were a
+   latent OOM — but the hazard only MANIFESTS once the dim outgrows
+   the broadcast threshold. The threshold applies to the PRUNED
+   projection, not the file: volume_shipping reads only
+   (s_suppkey, s_nationkey), so x3000 (3M rows, 19 MB file) still
+   estimated 8.2 MB after column pruning and Spark — correctly —
+   kept broadcasting (the x1000 and x3000 runs of earlier rounds
+   demonstrated nothing for exactly this reason). At x10000 the
+   pruned side is ~27 MB and the cliff actually executes: the
+   unhinted supplier join demotes to SortMergeJoin while the hint
+   pins a 10M-row broadcast build that no statistics can override —
    on a real cluster that build is a driver collect + per-executor
-   ship, so the local-mode gap UNDERSTATES the cliff.
+   ship, so the local-mode gap UNDERSTATES the cliff. Outputs of
+   both formulations are asserted equal first, and the structural
+   check inspects the SUPPLIER join node specifically (matching the
+   join whose keys mention s_suppkey), not the whole plan — another
+   join's demotion must not pollute the signal.
 
 Usage: python tools/scaling_study.py [out_md]
 """
@@ -62,11 +66,13 @@ AMP_DIR = "/tmp/scale10_sf1"
 AMP_COPIES = 10
 SPAN_DIR = "/tmp/span100_sf1"
 SPAN_BLOCKS = 100  # events re-dated across 100 x 30-day blocks
-# supplier x3000 = 3M rows / ~21 MB parquet: past the 10 MB
-# autoBroadcastJoinThreshold (x1000 compressed to 7.1 MB and AQE —
-# correctly — still broadcast it, so the race showed nothing).
-SUP_DIR = "/tmp/sup3000_sf1"
-SUP_COPIES = 3000
+# supplier x10000 = 10M rows: the threshold is compared against the
+# column-PRUNED side (volume_shipping reads 2 of 4 columns), so x3000
+# still estimated 8.2 MB < 10 MB and AQE — correctly — kept
+# broadcasting; x10000's pruned estimate is ~27 MB and the unhinted
+# join demonstrably demotes to SortMergeJoin.
+SUP_DIR = "/tmp/sup10000_sf1"
+SUP_COPIES = 10000
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 
 # The study set: the most expensive headline queries (VERDICT r4 perf
@@ -361,7 +367,9 @@ def main() -> int:
     )
 
     # D. amplified-supplier race: unhinted vs forced-broadcast plan.
-    from go_http_data_pipeline_spark.plans.inspect import join_strategies
+    from go_http_data_pipeline_spark.plans.inspect import (
+        join_strategies_for_key,
+    )
 
     _build_amplified_supplier()
     uh = qs["volume_shipping"]
@@ -372,24 +380,28 @@ def main() -> int:
     vs_old_1 = _timed(_hinted_volume_shipping, spark, BIG)
     vs_new_1k = _timed(uh, spark, SUP_DIR)
     vs_old_1k = _timed(_hinted_volume_shipping, spark, SUP_DIR)
-    # Structural check: at x3000 AQE demotes the unhinted supplier
-    # join to a shuffle join; the hint pins the broadcast build.
+    # Structural check on the SUPPLIER join node specifically (the
+    # join whose keys mention s_suppkey — a different join's demotion
+    # must not pollute the signal): at x10000 the pruned supplier side
+    # crosses the broadcast threshold, AQE demotes the unhinted join
+    # to a shuffle join; the hint pins the broadcast build.
     df_new = uh(spark, SUP_DIR)
     df_old = _hinted_volume_shipping(spark, SUP_DIR)
     df_new.count(), df_old.count()  # finalize adaptive plans
-    new_has_smj = any(
-        s in ("SortMergeJoin", "ShuffledHashJoin")
-        for s in join_strategies(df_new)
+    sup_new = join_strategies_for_key(df_new, "s_suppkey")
+    sup_old = join_strategies_for_key(df_old, "s_suppkey")
+    new_demoted = sup_new and all(
+        s in ("SortMergeJoin", "ShuffledHashJoin") for s in sup_new
     )
-    old_all_bhj_sup = "SortMergeJoin" not in join_strategies(df_old)
+    old_pinned = sup_old and all(s == "BroadcastHashJoin" for s in sup_old)
     print(
         f"# supplier race: new {vs_new_1}s -> {vs_new_1k}s | "
         f"old(hinted) {vs_old_1}s -> {vs_old_1k}s | "
-        f"AQE demoted unhinted: {new_has_smj}"
+        f"unhinted supplier join: {sup_new} | hinted: {sup_old}"
     )
 
     lines = [
-        "# SCALING — measured scale-stress evidence (rounds 5-7)",
+        "# SCALING — measured scale-stress evidence (rounds 5-8)",
         "",
         "Method: every time is min-of-%d (the bench discipline: this"
         % max(1, REPEATS),
@@ -450,29 +462,44 @@ def main() -> int:
         "",
         "## D. Amplified supplier x%d: unhinted vs forced-broadcast"
         % SUP_COPIES,
-        "(the rounds-6/7 de-hinting, VERDICT r5 items 1+3)",
+        "(the rounds-6/7 de-hinting, VERDICT r5 items 1+3, r7 item 3)",
         "",
-        "supplier grows to 3M rows (disjoint keys -> outputs equal,",
+        "supplier grows to %dM rows (disjoint keys -> outputs equal,"
+        % (SUP_COPIES // 1000),
         "asserted); volume_shipping raced against its old formulation",
         "with the forced F.broadcast(s) hint.",
         "",
-        "| plan | supplier x1 (s) | x3000 (s) | growth |",
+        f"| plan | supplier x1 (s) | x{SUP_COPIES} (s) | growth |",
         "|---|---|---|---|",
         f"| volume_shipping UNHINTED (AQE decides) | {vs_new_1} |"
         f" {vs_new_1k} | {round(vs_new_1k / vs_new_1, 2)}x |",
         f"| volume_shipping OLD (forced broadcast) | {vs_old_1} |"
         f" {vs_old_1k} | {round(vs_old_1k / vs_old_1, 2)}x |",
         "",
-        f"AQE demoted the unhinted supplier join to a shuffle join at",
-        f"x3000: **{new_has_smj}** (the hinted plan cannot be demoted:",
-        f"SortMergeJoin absent = {old_all_bhj_sup}). At x10 both plans",
-        "are identical (AQE auto-broadcasts below the threshold; x1000",
-        "compresses to 7.1 MB and STILL broadcasts — correctly) —",
-        "asserted by tests/test_plans.py — which is exactly why the",
-        "hint bought nothing locally while pinning a broadcast build",
-        "that grows with scale factor. Local mode shares the broadcast",
-        "in one JVM; on a real cluster the build is a driver collect",
-        "plus a per-executor ship, so this gap UNDERSTATES the cliff.",
+        "Structural check on the supplier join node itself (the join",
+        "whose keys mention s_suppkey; inspecting the whole plan would",
+        "let some OTHER join's strategy pollute the signal):",
+        "",
+        f"- unhinted plan's supplier join at x{SUP_COPIES}: "
+        f"**{', '.join(sup_new)}** (demoted = {bool(new_demoted)})",
+        f"- hinted plan's supplier join at x{SUP_COPIES}: "
+        f"**{', '.join(sup_old)}** (pinned broadcast = {bool(old_pinned)})",
+        "",
+        "The demotion threshold applies to the column-PRUNED side:",
+        "volume_shipping reads (s_suppkey, s_nationkey) only, so x3000",
+        "(3M rows, 19 MB file) still estimated 8.2 MB and Spark —",
+        "correctly — kept broadcasting; earlier rounds' x1000/x3000",
+        "runs demonstrated nothing for exactly this reason. At",
+        f"x{SUP_COPIES} the pruned estimate is ~27 MB, the unhinted",
+        "join executes a real SortMergeJoin (outputs still equal), and",
+        "the hinted plan ships a 10M-row broadcast build that no",
+        "statistics can override. At x10 both plans are identical (AQE",
+        "auto-broadcasts below the threshold) — asserted by",
+        "tests/test_plans.py — which is exactly why the hint bought",
+        "nothing locally while pinning a broadcast build that grows",
+        "with scale factor. Local mode shares the broadcast in one",
+        "JVM; on a real cluster the build is a driver collect plus a",
+        "per-executor ship, so this gap UNDERSTATES the cliff.",
         "",
         "Generated by tools/scaling_study.py.",
         "",
