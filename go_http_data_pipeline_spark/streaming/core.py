@@ -343,6 +343,76 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(spark, agg, "stream_sessions")
 
 
+def _session_ttl_oracle() -> str:
+    from .stateful import SESSION_TTL_ORACLE
+
+    return SESSION_TTL_ORACLE
+
+
+@query("streaming_session_ttl_twin", oracle=_session_ttl_oracle())
+def streaming_session_ttl_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine-native twin of ``stateful_session_ttl`` (VERDICT r5
+    item 6 / r7 item 5): per-user sessions assembled by Spark's own
+    ``session_window`` operator, then restricted to CLOSED sessions
+    (each user's final, still-open session dropped) — exactly the rows
+    the custom stateful TTL kernel emits. Both queries share ONE
+    oracle (``stateful.SESSION_TTL_ORACLE``), so two independent
+    sessionization implementations — engine-built-in merge-on-gap
+    state vs the hand-written ``_fold_sessions`` kernel — cross-check
+    each other row-for-row on the same fixture.
+
+    Semantics bridge, twice: (1) ``session_window.end`` is
+    last-event-ts + gap, while the TTL kernel's ``session_end`` is the
+    last event itself, so the twin shifts the window end back by the
+    gap. (2) ``session_window`` starts a NEW session at gap >= its
+    duration, but the TTL kernel (and the shared oracle) split at
+    gap > TTL — an event at exactly TTL after its predecessor belongs
+    to the SAME session. Events are microsecond-granular, so a gap of
+    TTL + 1 microsecond makes ``>= gap`` equivalent to ``> TTL``
+    exactly, rather than relying on the fixture never containing an
+    exact-TTL gap. Both constants derive from ``SESSION_TTL_MIN`` —
+    locked together by import, not by convention.
+
+    Scale: session state partitions by user_id and the watermark
+    bounds open-session lifetime (state eviction); the closed-session
+    filter is one extra per-user window over the SESSION table
+    (users x sessions rows, not events), a second small shuffle."""
+    from pyspark.sql import Window
+
+    from .stateful import SESSION_TTL_MIN
+
+    gap_us = SESSION_TTL_MIN * 60 * 1_000_000 + 1
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (
+        ev.groupBy(
+            F.session_window("ts", f"{gap_us} microseconds").alias("w"),
+            "user_id",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", 4).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            (F.col("w.end") - F.expr(f"INTERVAL {gap_us} MICROSECONDS"))
+            .cast("timestamp_ntz")
+            .alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    sessions = run_to_memory(spark, agg, "stream_sessions_ttl_twin")
+    w = Window.partitionBy("user_id")
+    return (
+        sessions.withColumn("_last", F.max("session_start").over(w))
+        .filter(F.col("session_start") < F.col("_last"))
+        .select(
+            "user_id", "session_start", "session_end", "n_events", "total_value"
+        )
+    )
+
+
 @query(
     "streaming_enrich_nation_activity",
     oracle=f"""

@@ -398,9 +398,11 @@ def _session_ttl_group_state(
     yield _closed_sessions_pdf(user_id, closed)
 
 
-@_query(
-    "stateful_session_ttl",
-    oracle=f"""
+# Shared with streaming_session_ttl_twin (streaming/core.py): two
+# INDEPENDENT sessionization implementations — this module's custom
+# stateful kernel and the engine-native session_window — are pinned to
+# the one oracle, so they cross-check each other row-for-row.
+SESSION_TTL_ORACLE = f"""
     WITH gaps AS (
         SELECT user_id, ts, value, event_id,
                CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
@@ -430,8 +432,10 @@ def _session_ttl_group_state(
     )
     SELECT user_id, session_start, session_end, n_events, total_value
     FROM marked WHERE session_id < max_sid
-    """,
-)
+    """
+
+
+@_query("stateful_session_ttl", oracle=SESSION_TTL_ORACLE)
 def run_stateful_session_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TTL-evicted session profiles through Spark 4.x's
     ``transformWithStateInPandas`` (the successor stateful API to
