@@ -64,6 +64,14 @@ def shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
+    return shingles_of(docs)
+
+
+def shingles_of(docs: DataFrame) -> DataFrame:
+    """The shingle kernel over an arbitrary (doc_id, text, ...) frame
+    — shared by the batch corpus path above and the per-micro-batch
+    incremental LSH indexer (streaming/core.py), so the streaming
+    index can never drift from the batch definition."""
     return (
         docs.select("doc_id", F.split("text", " ").alias("toks"))
         .select(

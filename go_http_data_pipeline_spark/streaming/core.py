@@ -343,6 +343,71 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(spark, agg, "stream_sessions")
 
 
+@query(
+    "streaming_error_purchase_interval",
+    oracle="""
+    SELECT p.event_id AS purchase_id, e.event_id AS error_id, p.user_id,
+           CAST(date_diff('second', p.ts, e.ts) AS BIGINT) AS secs_offset
+    FROM events p
+    JOIN events e
+      ON e.user_id = p.user_id
+     AND e.ts >= p.ts - INTERVAL 15 MINUTE
+     AND e.ts <= p.ts + INTERVAL 15 MINUTE
+    WHERE p.event_type = 'purchase' AND e.event_type = 'error'
+    """,
+)
+def streaming_error_purchase_interval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream interval join with a BOTH-SIDED time band
+    (VERDICT r7 item 7): each purchase joined to the same user's
+    error events within +/-15 minutes — errors may precede OR follow
+    the purchase. The one-sided variant
+    (``streaming_click_purchase_join``) lets only the bounded side's
+    state expire from the band; a two-sided band plus watermarks on
+    BOTH streams is the shape where the engine can bound state on
+    each side symmetrically (neither stream waits indefinitely for
+    the other), which is what makes unbounded bi-temporal correlation
+    feasible at 100 TB/day rates.
+
+    Scale: state partitions by the equi-key (user_id); each side
+    keeps only rows within watermark + band of the other side's
+    clock. Append mode — matches emit once both watermarks pass."""
+    ev = events_stream(spark, sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "1 hour")
+    )
+    joined = purchases.join(
+        errors,
+        (F.col("e_user") == F.col("user_id"))
+        & (F.col("e_ts") >= F.col("p_ts") - F.expr("INTERVAL 15 MINUTES"))
+        & (F.col("e_ts") <= F.col("p_ts") + F.expr("INTERVAL 15 MINUTES")),
+    ).select(
+        "purchase_id",
+        "error_id",
+        "user_id",
+        (F.unix_timestamp("e_ts") - F.unix_timestamp("p_ts")).alias(
+            "secs_offset"
+        ),
+    )
+    return run_to_memory(spark, joined, "stream_error_purchase", "append")
+
+
 def _session_ttl_oracle() -> str:
     from .stateful import SESSION_TTL_ORACLE
 
@@ -515,6 +580,125 @@ def streaming_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("jcol", "mh", "").cast("bigint").alias("j"),
         "mh",
     )
+
+
+def _lsh_index_oracle() -> str:
+    from ..llm.dedup import _MINHASH_SQL, _SHINGLES_SQL
+
+    return f"""
+    WITH {_SHINGLES_SQL}, {_MINHASH_SQL}
+    SELECT doc_a, doc_b FROM candidates
+    """
+
+
+# Per-(app, sf_dir) memo of the multi-file staging of documents (the
+# fixture is ONE parquet file = one micro-batch; incremental indexing
+# needs several).
+_DOC_SHARDS: dict = {}
+
+
+def _docs_sharded_dir(spark: SparkSession, sf_dir: str, n: int = 4) -> str:
+    key = (spark.sparkContext.applicationId, sf_dir, n)
+    d = _DOC_SHARDS.get(key)
+    if d and os.path.isdir(d):
+        return d
+    d = tempfile.mkdtemp(prefix="docs_shards_")
+    (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .repartition(n, "doc_id")
+        .write.mode("overwrite")
+        .parquet(d)
+    )
+    _DOC_SHARDS[key] = d
+    return d
+
+
+@query("streaming_lsh_index_candidates", oracle=_lsh_index_oracle())
+def streaming_lsh_index_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash-LSH index maintenance (VERDICT r7 item 7):
+    documents arrive in micro-batches; each batch (1) computes its LSH
+    band signatures with the SAME shingle/minhash/banding kernel as
+    the batch dedup path (imported, not re-implemented), (2) probes
+    the accumulated band index for cross-batch collisions, (3) emits
+    candidate pairs (within-batch + batch-vs-index), and (4) appends
+    its bands to the index. On bounded replay the union of per-batch
+    candidates equals the batch LSH candidate set exactly — the oracle
+    is the batch `candidates` CTE.
+
+    Exactly-once: each batch writes its candidates and its index
+    contribution to a batch_id-named directory with overwrite, so a
+    replayed batch is idempotent. A pair is emitted in exactly one
+    batch: the arrival batch of its LATER document (probing happens
+    BEFORE the batch's own bands join the index).
+
+    Scale: the index is an append-only (band, sig, doc_id) table; the
+    probe is an equi-join on (band, sig) — at cluster scale, bucket
+    the index by those keys so per-batch probes co-locate with no
+    index-side shuffle. Per batch, only the NEW docs' bands shuffle;
+    nothing corpus-sized is recomputed as the corpus grows."""
+    import shutil
+
+    from ..llm.dedup import lsh_bands, shingles_of
+
+    work = tempfile.mkdtemp(prefix="lsh_inc_")
+    index_dir = os.path.join(work, "index")
+    cand_dir = os.path.join(work, "cands")
+
+    docs = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("maxFilesPerTrigger", 1)  # one shard per micro-batch
+        .parquet(_docs_sharded_dir(spark, sf_dir))
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        bands = lsh_bands(shingles_of(batch_df)).persist()
+        a, b = bands.alias("a"), bands.alias("b")
+        pairs = a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        if os.path.isdir(index_dir) and any(os.scandir(index_dir)):
+            idx = spark.read.option("recursiveFileLookup", "true").parquet(
+                index_dir
+            )
+            cross = bands.alias("n").join(
+                idx.alias("o"),
+                (F.col("n.band") == F.col("o.band"))
+                & (F.col("n.sig") == F.col("o.sig")),
+            ).select(
+                F.least("n.doc_id", "o.doc_id").alias("doc_a"),
+                F.greatest("n.doc_id", "o.doc_id").alias("doc_b"),
+            )
+            pairs = pairs.unionByName(cross)
+        pairs.distinct().write.mode("overwrite").parquet(
+            os.path.join(cand_dir, f"b{batch_id}")
+        )
+        bands.write.mode("overwrite").parquet(
+            os.path.join(index_dir, f"b{batch_id}")
+        )
+        bands.unpersist()
+
+    q = (
+        docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(work, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(cand_dir)
+        .distinct()
+        .localCheckpoint()  # sever lineage from the temp dirs
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return out
 
 
 @query(

@@ -360,6 +360,40 @@ def test_session_ttl_equals_batch_sessionization(spark, sf_dir):
         assert r["session_end"] >= r["session_start"]
 
 
+def test_incremental_lsh_index_equals_batch_candidates(spark, sf_dir):
+    """The incremental indexer's accumulated candidate pairs must
+    equal the single-shot batch LSH candidate set exactly — no pair
+    lost at a batch boundary (the cross-batch index probe), no pair
+    duplicated (probe-before-append + per-batch idempotent writes)."""
+    from go_http_data_pipeline_spark.llm.dedup import lsh_bands, shingles
+    from go_http_data_pipeline_spark.streaming.core import (
+        streaming_lsh_index_candidates,
+    )
+
+    inc = {
+        (r.doc_a, r.doc_b)
+        for r in streaming_lsh_index_candidates(spark, sf_dir).collect()
+    }
+    bands = lsh_bands(shingles(spark, sf_dir))
+    a, b = bands.alias("a"), bands.alias("b")
+    batch = {
+        (r.doc_a, r.doc_b)
+        for r in a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+        .collect()
+    }
+    assert inc == batch
+    assert len(inc) > 0
+
+
 def test_session_ttl_twin_row_for_row(spark, sf_dir):
     """The strongest cross-check two independent sessionization
     implementations can give each other (VERDICT r7 item 5): Spark's
