@@ -372,8 +372,23 @@ def streaming_error_purchase_interval(
 
     Scale: state partitions by the equi-key (user_id); each side
     keeps only rows within watermark + band of the other side's
-    clock. Append mode — matches emit once both watermarks pass."""
+    clock. Append mode — matches emit once both watermarks pass.
+    That state-eviction claim is OBSERVED, not asserted:
+    ``tests/test_streaming.py`` replays a multi-batch time-ordered
+    stream through the same builder and reads ``numRowsRemoved`` from
+    the join's stateOperators progress."""
     ev = events_stream(spark, sf_dir)
+    joined = error_purchase_interval_join(ev)
+    return run_to_memory(spark, joined, "stream_error_purchase", "append")
+
+
+def error_purchase_interval_join(
+    ev: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """The interval-join builder over any (event_id, user_id, ts,
+    event_type) stream — shared by the registered query above and the
+    state-eviction observation test, so the tested plan IS the shipped
+    plan."""
     purchases = (
         ev.filter(F.col("event_type") == "purchase")
         .select(
@@ -381,7 +396,7 @@ def streaming_error_purchase_interval(
             F.col("user_id").alias("user_id"),
             F.col("ts").alias("p_ts"),
         )
-        .withWatermark("p_ts", "1 hour")
+        .withWatermark("p_ts", watermark)
     )
     errors = (
         ev.filter(F.col("event_type") == "error")
@@ -390,9 +405,9 @@ def streaming_error_purchase_interval(
             F.col("user_id").alias("e_user"),
             F.col("ts").alias("e_ts"),
         )
-        .withWatermark("e_ts", "1 hour")
+        .withWatermark("e_ts", watermark)
     )
-    joined = purchases.join(
+    return purchases.join(
         errors,
         (F.col("e_user") == F.col("user_id"))
         & (F.col("e_ts") >= F.col("p_ts") - F.expr("INTERVAL 15 MINUTES"))
@@ -405,7 +420,6 @@ def streaming_error_purchase_interval(
             "secs_offset"
         ),
     )
-    return run_to_memory(spark, joined, "stream_error_purchase", "append")
 
 
 def _session_ttl_oracle() -> str:

@@ -360,6 +360,102 @@ def test_session_ttl_equals_batch_sessionization(spark, sf_dir):
         assert r["session_end"] >= r["session_start"]
 
 
+def test_interval_join_state_actually_evicts(spark, tmp_path):
+    """The 100 TB claim behind every watermarked stream-stream join —
+    'state stays bounded because the watermark evicts rows' — observed
+    rather than asserted. A time-ordered synthetic stream is replayed
+    in multiple micro-batches (one file per batch, mtimes ascending so
+    the file source processes them in event-time order); as the
+    watermark advances between batches, the symmetric hash join must
+    REMOVE state rows (numRowsRemoved > 0) and finish holding far
+    fewer rows than arrived. Without eviction, state grows with the
+    corpus and the join dies at scale; this test fails if a config or
+    plan change ever silently disables cleanup."""
+    import json as _json
+    import time
+
+    from go_http_data_pipeline_spark.streaming.core import (
+        error_purchase_interval_join,
+    )
+
+    src = os.path.join(str(tmp_path), "src")
+    os.makedirs(src)
+    # 6 shards x 200 events, each shard a distinct hour: every
+    # purchase/error pair within a shard is joinable (+/-15 min band),
+    # nothing across shards; a 20-minute watermark delay lets each
+    # batch's state be evicted once the next hour's batch arrives.
+    base = 1_700_000_000
+    n_rows = 0
+    for shard in range(6):
+        rows = []
+        for i in range(200):
+            ts = (base + shard * 3600 + (i % 30) * 60) * 1_000_000
+            rows.append(
+                (
+                    shard * 1000 + i,
+                    i % 7,
+                    ts,
+                    "purchase" if i % 2 == 0 else "error",
+                )
+            )
+        n_rows += len(rows)
+        pdf = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts_us long, event_type string"
+        ).select(
+            "event_id",
+            "user_id",
+            F.timestamp_micros(F.col("ts_us")).alias("ts"),
+            "event_type",
+        )
+        shard_path = os.path.join(src, f"shard{shard}")
+        pdf.coalesce(1).write.parquet(shard_path)
+        # File source orders batches by modification time: pin mtimes
+        # ascending so batch order == event-time order.
+        for f in os.listdir(shard_path):
+            os.utime(
+                os.path.join(shard_path, f), (base + shard, base + shard)
+            )
+        time.sleep(0.01)
+
+    ev = (
+        spark.readStream.schema(
+            "event_id long, user_id long, ts timestamp, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    joined = error_purchase_interval_join(ev, watermark="20 minutes")
+    spark.catalog.dropTempView("interval_evict_obs")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("interval_evict_obs")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progresses = [
+        _json.loads(p if isinstance(p, str) else p.json)
+        for p in q.recentProgress
+    ]
+    ops = [
+        op
+        for p in progresses
+        for op in p.get("stateOperators", [])
+        if "Join" in op.get("operatorName", "") or "join" in op.get("operatorName", "")
+    ]
+    assert ops, f"no join state operator in progress: {progresses}"
+    removed = sum(op["numRowsRemoved"] for op in ops)
+    final_total = ops[-1]["numRowsTotal"]
+    assert removed > 0, "watermark never evicted any join state"
+    # State at end holds at most the last couple of hours' rows, not
+    # the whole replayed corpus.
+    assert final_total < n_rows / 2, (removed, final_total, n_rows)
+    # And the join still produced the in-band matches.
+    assert spark.table("interval_evict_obs").count() > 0
+
+
 def test_incremental_lsh_index_equals_batch_candidates(spark, sf_dir):
     """The incremental indexer's accumulated candidate pairs must
     equal the single-shot batch LSH candidate set exactly — no pair
