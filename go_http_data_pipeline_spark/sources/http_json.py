@@ -152,27 +152,118 @@ class _SpoolBatchReader(DataSourceReader):
 
 
 class _UrlBatchReader(DataSourceReader):
-    def __init__(self, schema: StructType, url: str, timeout_s: float):
+    """Batch GET of a JSON endpoint. JSONL bodies are read in PARALLEL
+    byte-range splits when the server advertises Range support
+    (``Accept-Ranges: bytes`` + Content-Length on a HEAD probe): the
+    driver plans fixed-size byte splits WITHOUT fetching any data, and
+    each executor task applies the classic distributed-text-split rule
+    (the same contract Hadoop's TextInputFormat uses): a split skips
+    its first partial line (it belongs to the previous split, which
+    reads PAST its end to finish it), so every line is decoded exactly
+    once regardless of where split boundaries fall. A JSON-array body
+    or a Range-less server degrades to one full-body partition."""
+
+    # Bodies smaller than this aren't worth splitting (per-request
+    # overhead dominates); also the per-split size when splitting.
+    SPLIT_BYTES = 4 * 1024 * 1024
+
+    def __init__(
+        self,
+        schema: StructType,
+        url: str,
+        timeout_s: float,
+        split_bytes: int | None = None,
+    ):
         self._fields = _fields(schema)
         self._url = url
         self._timeout = timeout_s
+        self._split = split_bytes or self.SPLIT_BYTES
 
-    def read(self, partition):
+    def _probe(self) -> int | None:
+        """HEAD the endpoint; returns Content-Length if byte ranges
+        are usable, else None (no data fetched either way)."""
+        import urllib.error
         import urllib.request
 
-        with urllib.request.urlopen(self._url, timeout=self._timeout) as resp:
-            body = resp.read().decode("utf-8")
+        req = urllib.request.Request(self._url, method="HEAD")
         try:
-            records = json.loads(body)
-        except json.JSONDecodeError:
-            records = None
-        if isinstance(records, list):  # JSON array body
-            for obj in records:
-                yield _decode_obj(obj, self._fields)
-        else:  # JSON-lines body
-            for line in body.splitlines():
-                if line.strip():
-                    yield _decode_line(line, self._fields)
+            with urllib.request.urlopen(req, timeout=self._timeout) as resp:
+                if resp.headers.get("Accept-Ranges", "").lower() != "bytes":
+                    return None
+                length = resp.headers.get("Content-Length")
+                return int(length) if length else None
+        except (urllib.error.URLError, ValueError):
+            return None  # HEAD unsupported: single-partition fallback
+
+    def partitions(self) -> Sequence[InputPartition]:
+        total = self._probe()
+        if total is None or total <= self._split:
+            return [InputPartition((0, None))]  # whole body, one task
+        return [
+            InputPartition((lo, min(lo + self._split, total)))
+            for lo in range(0, total, self._split)
+        ]
+
+    def read(self, partition):
+        lo, hi = partition.value
+        if hi is None:
+            # Whole body: may be a JSON array or JSONL.
+            import urllib.request
+
+            with urllib.request.urlopen(
+                self._url, timeout=self._timeout
+            ) as resp:
+                body = resp.read().decode("utf-8")
+            try:
+                records = json.loads(body)
+            except json.JSONDecodeError:
+                records = None
+            if isinstance(records, list):  # JSON array body
+                for obj in records:
+                    yield _decode_obj(obj, self._fields)
+            else:  # JSON-lines body
+                for line in body.splitlines():
+                    if line.strip():
+                        yield _decode_line(line, self._fields)
+            return
+        # Ranged JSONL split [lo, hi): Hadoop text-split semantics.
+        # A non-first split fetches from lo-1 and discards through the
+        # FIRST newline: if byte lo-1 is itself a newline, only that
+        # byte is dropped and the line starting exactly at lo is kept
+        # (dropping to the first newline of [lo, hi) instead would
+        # lose every line that begins precisely on a boundary).
+        fetch_lo = lo - 1 if lo > 0 else 0
+        chunk = _http_range(self._url, fetch_lo, hi, self._timeout)
+        if lo > 0:
+            nl = chunk.find(b"\n")
+            if nl == -1:
+                # No newline at all: every byte belongs to a line the
+                # previous split owns (it overscans to finish it).
+                return
+            chunk = chunk[nl + 1 :]
+        if not chunk:
+            # The split held only the tail of a line owned by its
+            # predecessor: overscanning here would steal (and
+            # duplicate) the NEXT split's first line.
+            return
+        if not chunk.endswith(b"\n"):
+            # Overscan past hi to finish the last (cut) line.
+            pos = hi
+            while True:
+                more = _http_range(
+                    self._url, pos, pos + 65536, self._timeout
+                )
+                if not more:
+                    break
+                nl = more.find(b"\n")
+                if nl != -1:
+                    chunk += more[: nl + 1]
+                    break
+                chunk += more
+                pos += len(more)
+        for line in chunk.decode("utf-8").splitlines():
+            if line.strip():
+                yield _decode_line(line, self._fields)
 
 
 class _SpoolStreamReader(DataSourceStreamReader):
@@ -369,8 +460,12 @@ class HttpJsonDataSource(DataSource):
         if spool:
             return _SpoolBatchReader(schema, spool)
         if url:
+            split = self.options.get("split_bytes")
             return _UrlBatchReader(
-                schema, url, float(self.options.get("timeout_s", 10))
+                schema,
+                url,
+                float(self.options.get("timeout_s", 10)),
+                int(split) if split else None,
             )
         raise ValueError("httpjson: set option 'spool' (dir) or 'url'")
 

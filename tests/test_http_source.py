@@ -219,6 +219,13 @@ class _AppendLogServer:
         state = self._state = {"body": b"", "ranges": []}
 
         class H(http.server.BaseHTTPRequestHandler):
+            def do_HEAD(self):  # noqa: N802 (stdlib API name)
+                self.send_response(200)
+                if support_range:
+                    self.send_header("Accept-Ranges", "bytes")
+                self.send_header("Content-Length", str(len(state["body"])))
+                self.end_headers()
+
             def do_GET(self):  # noqa: N802 (stdlib API name)
                 body = state["body"]
                 rng = self.headers.get("Range")
@@ -372,6 +379,66 @@ def test_url_stream_mid_batch_kill_replays_identically(spark, tmp_path):
             for r in fresh.read(p)
         ]
         assert delta == [(f"u{i}", i) for i in range(15, 40)]
+    finally:
+        srv.close()
+
+
+def test_url_batch_parallel_splits_every_line_exactly_once(spark):
+    """The batch URL reader plans byte-range splits off a HEAD probe
+    and applies Hadoop text-split semantics (skip leading partial
+    line, overscan to finish the trailing one). Torture the boundary
+    rule with a tiny split size so MANY lines straddle splits: every
+    record must appear exactly once, at every split granularity."""
+    from go_http_data_pipeline_spark.sources.http_json import register
+
+    register(spark)
+    srv = _AppendLogServer()
+    try:
+        # Variable-length lines so boundaries fall mid-line often.
+        for i in range(200):
+            srv.append(json.dumps({"name": f"u{i}" + "x" * (i % 17), "age": i}) + "\n")
+        for split in (37, 256, 10**9):
+            df = (
+                spark.read.format("httpjson")
+                .schema("name string, age int")
+                .option("url", srv.url)
+                .option("split_bytes", str(split))
+                .load()
+            )
+            got = sorted(r.age for r in df.collect())
+            assert got == list(range(200)), f"split_bytes={split}"
+        # Small split genuinely parallelized the scan.
+        df = (
+            spark.read.format("httpjson")
+            .schema("name string, age int")
+            .option("url", srv.url)
+            .option("split_bytes", "256")
+            .load()
+        )
+        assert df.rdd.getNumPartitions() > 4
+    finally:
+        srv.close()
+
+
+def test_url_batch_rangeless_server_single_partition(spark):
+    """No Accept-Ranges on HEAD -> one full-body partition, same
+    rows."""
+    from go_http_data_pipeline_spark.sources.http_json import register
+
+    register(spark)
+    srv = _AppendLogServer(support_range=False)
+    try:
+        for i in range(50):
+            srv.append(json.dumps({"name": f"u{i}", "age": i}) + "\n")
+        df = (
+            spark.read.format("httpjson")
+            .schema("name string, age int")
+            .option("url", srv.url)
+            .option("split_bytes", "64")
+            .load()
+        )
+        assert df.rdd.getNumPartitions() == 1
+        assert sorted(r.age for r in df.collect()) == list(range(50))
     finally:
         srv.close()
 
