@@ -360,35 +360,19 @@ def test_session_ttl_equals_batch_sessionization(spark, sf_dir):
         assert r["session_end"] >= r["session_start"]
 
 
-def test_interval_join_state_actually_evicts(spark, tmp_path):
-    """The 100 TB claim behind every watermarked stream-stream join —
-    'state stays bounded because the watermark evicts rows' — observed
-    rather than asserted. A time-ordered synthetic stream is replayed
-    in multiple micro-batches (one file per batch, mtimes ascending so
-    the file source processes them in event-time order); as the
-    watermark advances between batches, the symmetric hash join must
-    REMOVE state rows (numRowsRemoved > 0) and finish holding far
-    fewer rows than arrived. Without eviction, state grows with the
-    corpus and the join dies at scale; this test fails if a config or
-    plan change ever silently disables cleanup."""
-    import json as _json
+def _time_ordered_shards(spark, root: str, n_shards: int = 6, per: int = 200):
+    """Write ``n_shards`` parquet shards, one hour of synthetic events
+    each, with ascending mtimes so the file stream source replays them
+    in event-time order (one file per micro-batch) — the fixture shape
+    that lets a watermark actually advance BETWEEN batches. Returns
+    total rows written."""
     import time
 
-    from go_http_data_pipeline_spark.streaming.core import (
-        error_purchase_interval_join,
-    )
-
-    src = os.path.join(str(tmp_path), "src")
-    os.makedirs(src)
-    # 6 shards x 200 events, each shard a distinct hour: every
-    # purchase/error pair within a shard is joinable (+/-15 min band),
-    # nothing across shards; a 20-minute watermark delay lets each
-    # batch's state be evicted once the next hour's batch arrives.
     base = 1_700_000_000
     n_rows = 0
-    for shard in range(6):
+    for shard in range(n_shards):
         rows = []
-        for i in range(200):
+        for i in range(per):
             ts = (base + shard * 3600 + (i % 30) * 60) * 1_000_000
             rows.append(
                 (
@@ -407,7 +391,7 @@ def test_interval_join_state_actually_evicts(spark, tmp_path):
             F.timestamp_micros(F.col("ts_us")).alias("ts"),
             "event_type",
         )
-        shard_path = os.path.join(src, f"shard{shard}")
+        shard_path = os.path.join(root, f"shard{shard}")
         pdf.coalesce(1).write.parquet(shard_path)
         # File source orders batches by modification time: pin mtimes
         # ascending so batch order == event-time order.
@@ -416,16 +400,93 @@ def test_interval_join_state_actually_evicts(spark, tmp_path):
                 os.path.join(shard_path, f), (base + shard, base + shard)
             )
         time.sleep(0.01)
+    return n_rows
 
-    ev = (
+
+def _read_shards(spark, root: str):
+    return (
         spark.readStream.schema(
             "event_id long, user_id long, ts timestamp, event_type string"
         )
         .option("maxFilesPerTrigger", 1)
         .option("recursiveFileLookup", "true")
-        .parquet(src)
+        .parquet(root)
     )
-    joined = error_purchase_interval_join(ev, watermark="20 minutes")
+
+
+def _state_ops(q, name_fragment: str) -> list[dict]:
+    import json as _json
+
+    progresses = [
+        _json.loads(p if isinstance(p, str) else p.json)
+        for p in q.recentProgress
+    ]
+    return [
+        op
+        for p in progresses
+        for op in p.get("stateOperators", [])
+        if name_fragment.lower() in op.get("operatorName", "").lower()
+    ]
+
+
+def test_session_window_state_actually_evicts(spark, tmp_path):
+    """Same observation as the interval-join eviction test, for the
+    session_window operator backing streaming_session_ttl_twin /
+    streaming_session_windows: as the watermark advances across
+    micro-batches, closed sessions must LEAVE the state store
+    (numRowsRemoved > 0) and the final state must be a per-user
+    handful of open sessions, not the replayed corpus."""
+    src = os.path.join(str(tmp_path), "src")
+    os.makedirs(src)
+    n_rows = _time_ordered_shards(spark, src)
+    ev = _read_shards(spark, src).withWatermark("ts", "20 minutes")
+    agg = ev.groupBy(
+        F.session_window("ts", "30 minutes").alias("w"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    spark.catalog.dropTempView("session_evict_obs")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("session_evict_obs")
+        .outputMode("append")  # append: emit + evict on watermark pass
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    ops = _state_ops(q, "session")
+    assert ops, "no session state operator in progress"
+    removed = sum(op["numRowsRemoved"] for op in ops)
+    final_total = ops[-1]["numRowsTotal"]
+    assert removed > 0, "watermark never evicted session state"
+    assert final_total < n_rows / 2, (removed, final_total, n_rows)
+    assert spark.table("session_evict_obs").count() > 0
+
+
+def test_interval_join_state_actually_evicts(spark, tmp_path):
+    """The 100 TB claim behind every watermarked stream-stream join —
+    'state stays bounded because the watermark evicts rows' — observed
+    rather than asserted. A time-ordered synthetic stream is replayed
+    in multiple micro-batches (one file per batch, mtimes ascending so
+    the file source processes them in event-time order); as the
+    watermark advances between batches, the symmetric hash join must
+    REMOVE state rows (numRowsRemoved > 0) and finish holding far
+    fewer rows than arrived. Without eviction, state grows with the
+    corpus and the join dies at scale; this test fails if a config or
+    plan change ever silently disables cleanup.
+
+    Fixture: 6 shards x 200 events, one hour apart — every
+    purchase/error pair within a shard is joinable (+/-15 min band),
+    nothing across shards; a 20-minute watermark delay lets each
+    batch's state be evicted once the next hour's batch arrives."""
+    from go_http_data_pipeline_spark.streaming.core import (
+        error_purchase_interval_join,
+    )
+
+    src = os.path.join(str(tmp_path), "src")
+    os.makedirs(src)
+    n_rows = _time_ordered_shards(spark, src)
+    joined = error_purchase_interval_join(
+        _read_shards(spark, src), watermark="20 minutes"
+    )
     spark.catalog.dropTempView("interval_evict_obs")
     q = (
         joined.writeStream.format("memory")
@@ -435,17 +496,8 @@ def test_interval_join_state_actually_evicts(spark, tmp_path):
         .start()
     )
     q.awaitTermination()
-    progresses = [
-        _json.loads(p if isinstance(p, str) else p.json)
-        for p in q.recentProgress
-    ]
-    ops = [
-        op
-        for p in progresses
-        for op in p.get("stateOperators", [])
-        if "Join" in op.get("operatorName", "") or "join" in op.get("operatorName", "")
-    ]
-    assert ops, f"no join state operator in progress: {progresses}"
+    ops = _state_ops(q, "join")
+    assert ops, "no join state operator in progress"
     removed = sum(op["numRowsRemoved"] for op in ops)
     final_total = ops[-1]["numRowsTotal"]
     assert removed > 0, "watermark never evicted any join state"
