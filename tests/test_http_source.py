@@ -420,6 +420,48 @@ def test_url_batch_parallel_splits_every_line_exactly_once(spark):
         srv.close()
 
 
+def test_url_batch_split_property_exactly_once():
+    """Property: for ANY line-length profile and ANY split size, the
+    byte-range split reader decodes every record exactly once. Drives
+    _UrlBatchReader directly (no Spark session) against the Range
+    double, so hypothesis can afford many examples."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    from go_http_data_pipeline_spark.sources.http_json import _UrlBatchReader
+
+    schema = StructType(
+        [StructField("name", StringType()), StructField("age", IntegerType())]
+    )
+
+    @settings(
+        max_examples=25,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        pads=st.lists(st.integers(0, 40), min_size=1, max_size=60),
+        split=st.integers(5, 400),
+    )
+    def check(pads, split):
+        srv = _AppendLogServer()
+        try:
+            for i, pad in enumerate(pads):
+                srv.append(
+                    json.dumps({"name": "u" + "x" * pad, "age": i}) + "\n"
+                )
+            rdr = _UrlBatchReader(schema, srv.url, 5.0, split)
+            got = sorted(
+                r[1] for p in rdr.partitions() for r in rdr.read(p)
+            )
+            assert got == list(range(len(pads))), (pads, split)
+        finally:
+            srv.close()
+
+    check()
+
+
 def test_url_batch_rangeless_server_single_partition(spark):
     """No Accept-Ranges on HEAD -> one full-body partition, same
     rows."""

@@ -789,3 +789,25 @@ def test_sibling_subtree_outside_root_is_not_walked():
         "   +- Scan parquet [k,v]",
     ]
     assert _walk(lines, 1) == []
+
+
+def test_join_strategies_for_key_isolates_one_join(spark, sf_dir):
+    """The scaling study's demotion check inspects the SUPPLIER join
+    node specifically; pin that the helper finds exactly that join
+    (by its s_suppkey key) in a multi-join plan, and that at test
+    scale it is the auto-broadcast AQE picks."""
+    import __spark_entry__ as e
+
+    from go_http_data_pipeline_spark.plans.inspect import (
+        join_strategies,
+        join_strategies_for_key,
+    )
+
+    df = e.queries()["volume_shipping"](spark, sf_dir)
+    df.count()  # finalize the adaptive plan
+    sup = join_strategies_for_key(df, "s_suppkey")
+    assert sup == ["BroadcastHashJoin"]
+    # The helper is a strict subset of the whole-plan listing.
+    assert len(sup) < len(join_strategies(df))
+    # A key that appears in no join condition matches nothing.
+    assert join_strategies_for_key(df, "no_such_key_anywhere") == []
