@@ -199,6 +199,13 @@ class _UrlBatchReader(DataSourceReader):
         total = self._probe()
         if total is None or total <= self._split:
             return [InputPartition((0, None))]  # whole body, one task
+        # Byte splits are only valid for JSONL. A JSON ARRAY body has
+        # no line structure — splitting it would shred the document —
+        # so peek at the first bytes (one tiny Range request): a body
+        # whose first non-whitespace char is '[' reads whole.
+        head = _http_range(self._url, 0, 64, self._timeout).lstrip()
+        if head.startswith(b"["):
+            return [InputPartition((0, None))]
         return [
             InputPartition((lo, min(lo + self._split, total)))
             for lo in range(0, total, self._split)

@@ -462,6 +462,32 @@ def test_url_batch_split_property_exactly_once():
     check()
 
 
+def test_url_batch_json_array_never_byte_split(spark):
+    """A large JSON ARRAY body has no line structure — byte-splitting
+    would shred the document. The reader must detect the '[' opener
+    via a tiny Range peek and fall back to one whole-body partition,
+    decoding every element, even when split_bytes is tiny."""
+    from go_http_data_pipeline_spark.sources.http_json import register
+
+    register(spark)
+    srv = _AppendLogServer()
+    try:
+        srv.append(
+            json.dumps([{"name": f"u{i}", "age": i} for i in range(300)])
+        )
+        df = (
+            spark.read.format("httpjson")
+            .schema("name string, age int")
+            .option("url", srv.url)
+            .option("split_bytes", "64")
+            .load()
+        )
+        assert df.rdd.getNumPartitions() == 1
+        assert sorted(r.age for r in df.collect()) == list(range(300))
+    finally:
+        srv.close()
+
+
 def test_url_batch_rangeless_server_single_partition(spark):
     """No Accept-Ranges on HEAD -> one full-body partition, same
     rows."""
