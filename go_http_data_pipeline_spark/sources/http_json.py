@@ -389,6 +389,36 @@ def _http_range(url: str, lo: int, hi: int | None, timeout_s: float):
         raise
 
 
+def _http_range_with_total(url: str, lo: int, timeout_s: float):
+    """Open-ended Range GET returning ``(data, total_length)``.
+    ``total_length`` comes from the Content-Range header — present on
+    both 206 (``bytes lo-hi/total``) and 416 (``bytes */total``)
+    responses — or Content-Length on a Range-ignoring 200; None when
+    the server reports neither. The total is what lets the stream
+    reader DETECT a truncated/rotated log instead of stalling."""
+    import re as _re
+    import urllib.error
+    import urllib.request
+
+    req = urllib.request.Request(url, headers={"Range": f"bytes={lo}-"})
+
+    def _total(headers) -> int | None:
+        cr = headers.get("Content-Range", "")
+        m = _re.search(r"/(\d+)\s*$", cr)
+        return int(m.group(1)) if m else None
+
+    try:
+        with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+            body = resp.read()
+            if resp.status == 206:
+                return body, _total(resp.headers)
+            return body[lo:], len(body)  # 200: full body, exact length
+    except urllib.error.HTTPError as e:
+        if e.code == 416:
+            return b"", _total(e.headers)
+        raise
+
+
 class _UrlStreamReader(DataSourceStreamReader):
     """Polling stream reader over an append-only JSONL log served at
     a URL — the streaming twin of ``_UrlBatchReader`` and the
@@ -422,7 +452,21 @@ class _UrlStreamReader(DataSourceStreamReader):
         return {"bytes": 0}
 
     def latestOffset(self) -> dict:
-        tail = _http_range(self._url, self._known, None, self._timeout)
+        tail, total = _http_range_with_total(
+            self._url, self._known, self._timeout
+        )
+        if total is not None and total < self._known:
+            # The log SHRANK: it was truncated or rotated, violating
+            # the append-only contract this source's offsets (and any
+            # committed checkpoint) are built on. Failing loudly beats
+            # the two silent alternatives — idling forever at a
+            # now-impossible offset, or replaying a rotated file's
+            # fresh content as if it continued the old byte space.
+            raise ValueError(
+                f"httpjson url log truncated: length {total} < committed "
+                f"offset {self._known} — the endpoint must be append-only "
+                "(rotate to a NEW url instead)"
+            )
         cut = tail.rfind(b"\n")
         if cut != -1:
             self._known += cut + 1

@@ -237,11 +237,18 @@ class _AppendLogServer:
                     hi = int(hi_s) + 1 if hi_s else len(body)
                     if lo >= len(body):
                         self.send_response(416)
+                        self.send_header(
+                            "Content-Range", f"bytes */{len(body)}"
+                        )
                         self.end_headers()
                         return
                     chunk = body[lo:hi]
                     self.send_response(206)
                     self.send_header("Content-Length", str(len(chunk)))
+                    self.send_header(
+                        "Content-Range",
+                        f"bytes {lo}-{lo + len(chunk) - 1}/{len(body)}",
+                    )
                     self.end_headers()
                     self.wfile.write(chunk)
                     return
@@ -262,6 +269,9 @@ class _AppendLogServer:
 
     def append(self, text: str) -> None:
         self._state["body"] += text.encode("utf-8")
+
+    def truncate(self, n: int) -> None:
+        self._state["body"] = self._state["body"][:n]
 
     @property
     def ranges(self):
@@ -379,6 +389,32 @@ def test_url_stream_mid_batch_kill_replays_identically(spark, tmp_path):
             for r in fresh.read(p)
         ]
         assert delta == [(f"u{i}", i) for i in range(15, 40)]
+    finally:
+        srv.close()
+
+
+def test_url_stream_truncated_log_fails_loudly(spark, tmp_path):
+    """A truncated/rotated remote log violates the append-only
+    contract the byte offsets are built on. The reader must raise a
+    clear error (via Content-Range totals) rather than silently idle
+    at a now-impossible offset or replay rotated content as a
+    continuation."""
+    import os
+
+    import pytest
+
+    from go_http_data_pipeline_spark.sources.http_json import register
+
+    register(spark)
+    srv = _AppendLogServer()
+    ckpt = os.path.join(str(tmp_path), "_ckpt")
+    try:
+        for i in range(10):
+            srv.append(json.dumps({"name": f"u{i}", "age": i}) + "\n")
+        assert len(_url_stream_run(spark, srv.url, ckpt)) == 10
+        srv.truncate(5)  # the log shrinks below the committed offset
+        with pytest.raises(Exception, match="truncated"):
+            _url_stream_run(spark, srv.url, ckpt)
     finally:
         srv.close()
 
