@@ -107,6 +107,16 @@ _ROWS_ONLY = frozenset({"approx_distinct_parts", "approx_revenue_percentiles"})
 # re-certify its query.
 _REFRESH = frozenset({"asof_purchase_signup"})
 
+# New queries whose first driver check is DEFERRED one round: ranked
+# after the stale-green tranche instead of at the front, because this
+# round's 50-slot window is exactly consumed by the r3-stale drain
+# (46) + 3 new streaming queries + 1 refresh (VERDICT r7 item 1) — a
+# fourth rank-0 row would push one stale row back out. The deferred
+# query still runs in the full local gate (tools/check.py, hash-green
+# at sf0.01+sf0.1); only the driver's independent record waits a
+# round. Clear this set in round 9.
+_DEFER = frozenset({"url_ingest_scan"})
+
 
 def _correctness_dir() -> "Path":
     from pathlib import Path
@@ -165,6 +175,8 @@ def _ordered(d: dict) -> dict:
     def rank(k: str) -> tuple[int, int]:
         if k in _ROWS_ONLY:
             return (9, 0)
+        if k in _DEFER and k not in newest:
+            return (2, 0)  # first-check deferred one round (see _DEFER)
         if k in _REFRESH or k not in newest:
             return (0, 0)
         return (1, newest[k])  # stalest (smallest round) first

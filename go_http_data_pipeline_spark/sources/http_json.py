@@ -593,9 +593,10 @@ def stage_spool(tmp_root: str | None = None) -> str:
     return root
 
 
-@query(
-    "http_ingest_scan",
-    oracle=f"""
+# One oracle for BOTH ingest transports (spool + url): the generated
+# records regenerated relationally, so each transport's decode path is
+# proven inside the correctness gate, not just in unit tests.
+_INGEST_ORACLE = f"""
     WITH gen AS (
         SELECT n, (1103515245 * (n + 42) + 12345) % 2147483648 AS x
         FROM range(0, {_N_GEN}) t(n)
@@ -608,8 +609,10 @@ def stage_spool(tmp_root: str | None = None) -> str:
            CASE WHEN n % {_BAD_EVERY} = 0 THEN NULL
                 ELSE CAST(18 + x % 40 AS INT) END AS age
     FROM gen
-    """,
-)
+    """
+
+
+@query("http_ingest_scan", oracle=_INGEST_ORACLE)
 def http_ingest_scan(spark, sf_dir: str):
     """S1/S8 through the custom DataSource: JSON records decoded with
     Go semantics (unknown fields dropped, malformed -> null row),
@@ -622,5 +625,99 @@ def http_ingest_scan(spark, sf_dir: str):
         spark.read.format("httpjson")
         .schema("name string, role string, age int")
         .option("spool", spool)
+        .load()
+    )
+
+
+# Process-lifetime localhost servers keyed by spool dir: the returned
+# DataFrame is lazy — the driver collects it AFTER the query fn
+# returns, so the server must outlive the call (same pattern as the
+# embedded-Derby memo in sources/jdbc.py). Daemon threads die with the
+# process; nothing to clean up.
+_LOG_SERVERS: dict = {}
+
+
+def serve_spool_log(spool: str) -> str:
+    """Serve the spool's jsonl files (name-sorted, concatenated) as ONE
+    append-only log at a localhost URL, with byte-Range support
+    (Accept-Ranges on HEAD; 206/416 on GET) — the contract the url
+    transport's parallel byte-splits and streaming delta polls need.
+    The in-process double stands in for the reference's remote HTTP
+    endpoint exactly as embedded Derby stands in for its MySQL."""
+    if spool in _LOG_SERVERS:
+        return _LOG_SERVERS[spool]
+    import http.server
+    import threading
+
+    chunks = []
+    for f in sorted(os.listdir(spool)):
+        if f.endswith(".jsonl"):
+            with open(os.path.join(spool, f), "rb") as fh:
+                chunks.append(fh.read())
+    body = b"".join(chunks)
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_HEAD(self):  # noqa: N802 (stdlib API name)
+            self.send_response(200)
+            self.send_header("Accept-Ranges", "bytes")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+
+        def do_GET(self):  # noqa: N802 (stdlib API name)
+            rng = self.headers.get("Range")
+            if rng:
+                spec = rng.split("=", 1)[1]
+                lo_s, hi_s = spec.split("-", 1)
+                lo = int(lo_s)
+                hi = int(hi_s) + 1 if hi_s else len(body)
+                if lo >= len(body):
+                    self.send_response(416)
+                    self.send_header("Content-Range", f"bytes */{len(body)}")
+                    self.end_headers()
+                    return
+                chunk = body[lo:hi]
+                self.send_response(206)
+                self.send_header("Content-Length", str(len(chunk)))
+                self.send_header(
+                    "Content-Range",
+                    f"bytes {lo}-{lo + len(chunk) - 1}/{len(body)}",
+                )
+                self.end_headers()
+                self.wfile.write(chunk)
+                return
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}/ingest.jsonl"
+    _LOG_SERVERS[spool] = url
+    return url
+
+
+@query("url_ingest_scan", oracle=_INGEST_ORACLE)
+def url_ingest_scan(spark, sf_dir: str):
+    """S1 through the url transport END-TO-END: the same generated
+    records served by a live localhost HTTP endpoint and read back
+    through ``option("url", ...)`` with ``split_bytes`` forced small
+    enough that the scan runs as PARALLEL byte-range requests (HEAD
+    probe -> fixed-size splits -> Hadoop text-split rule per task).
+    Hash-matching the relational oracle proves the whole network path
+    — Range negotiation, split-boundary line ownership, Go-strict
+    decode — inside the correctness gate. The spool twin
+    (``http_ingest_scan``) proves the decode kernel; this proves the
+    transport around it."""
+    register(spark)
+    url = serve_spool_log(stage_spool())
+    return (
+        spark.read.format("httpjson")
+        .schema("name string, role string, age int")
+        .option("url", url)
+        .option("split_bytes", 16384)  # ~70 KB body -> ~5 range splits
         .load()
     )

@@ -686,3 +686,42 @@ def test_coerce_is_type_strict_like_go():
     assert _decode_line('{"age":3.0}', fields) == (None, None, None, None)
     assert _decode_line('{"age":3.9}', fields) == (None, None, None, None)
     assert _decode_line('{"age":true}', fields)[0] is None
+
+
+def test_url_ingest_scan_matches_spool_transport(spark):
+    """Transport parity end-to-end: the generated ingest log served by
+    a live localhost endpoint and scanned through `option("url")` with
+    forced byte-range splits must yield EXACTLY the rows the spool
+    transport yields — same decode kernel, different transport — and
+    the scan must actually have run as multiple range splits (the
+    split path, not the whole-body fallback)."""
+    from go_http_data_pipeline_spark.sources.http_json import (
+        http_ingest_scan,
+        url_ingest_scan,
+    )
+
+    from collections import Counter
+
+    via_url = url_ingest_scan(spark, "")
+    via_spool = http_ingest_scan(spark, "")
+    assert via_url.rdd.getNumPartitions() > 1  # ranged splits engaged
+    assert Counter(map(tuple, via_url.collect())) == Counter(
+        map(tuple, via_spool.collect())
+    )
+
+
+def test_url_ingest_scan_against_oracle(spark):
+    """The registered oracle reproduces the url-transport rows (the
+    same gate the driver runs, in-process via DuckDB)."""
+    import duckdb
+
+    from go_http_data_pipeline_spark.sources.http_json import (
+        _INGEST_ORACLE,
+        url_ingest_scan,
+    )
+
+    from collections import Counter
+
+    got = Counter(map(tuple, url_ingest_scan(spark, "").collect()))
+    want = Counter(map(tuple, duckdb.sql(_INGEST_ORACLE).fetchall()))
+    assert got == want

@@ -63,6 +63,7 @@ def test_window_order_never_checked_then_stalest_first():
 
     ranks = [
         (9, 0) if k in registry._ROWS_ONLY
+        else (2, 0) if k in registry._DEFER and k not in newest
         else (0, 0) if k in registry._REFRESH or k not in newest
         else (1, newest[k])
         for k in qs

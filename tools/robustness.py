@@ -12,8 +12,14 @@ see because it runs one configuration once.
    ``TZ=America/New_York`` over the ts-heavy queries (the session tz
    is pinned UTC in catalog.table; this catches any path that leaks
    the host zone).
+4. **AQE invariance** — the representative slice with
+   ``spark.sql.adaptive.enabled=false``. Since the round-6/7
+   de-hinting, physical join strategy on SF-scaled sides is AQE's
+   runtime choice; this axis checks the choice can never leak into
+   VALUES (broadcast vs shuffle joins, coalesced vs fixed partitions
+   — same rows either way, bit-for-bit).
 
-Usage: python tools/robustness.py [sf_dir]   (axes 1+2; axis 3 is a
+Usage: python tools/robustness.py [sf_dir]   (axes 1+2+4; axis 3 is a
 check.py invocation under TZ, see docstring)
 """
 
@@ -39,13 +45,14 @@ REPRESENTATIVE = [
 ]
 
 
-def _session(master: str, shuffle: str):
+def _session(master: str, shuffle: str, aqe: bool = True):
     from pyspark.sql import SparkSession
 
     s = (
         SparkSession.builder.master(master)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.partitions", shuffle)
+        .config("spark.sql.adaptive.enabled", str(aqe).lower())
         .getOrCreate()
     )
     s.sparkContext.setLogLevel("ERROR")
@@ -79,10 +86,16 @@ def main() -> int:
     rc |= bool(flaky)
     spark.stop()
 
-    # Axis 2: partition invariance.
+    # Axis 2: partition invariance. Axis 4: AQE invariance (config C
+    # disables adaptive execution entirely — join strategies and
+    # partition coalescing revert to static planning).
     results = {}
-    for tag, master, sp in (("A", "local[3]", "5"), ("B", "local[8]", "32")):
-        spark = _session(master, sp)
+    for tag, master, sp, aqe in (
+        ("A", "local[3]", "5", True),
+        ("B", "local[8]", "32", True),
+        ("C", "local[8]", "32", False),
+    ):
+        spark = _session(master, sp, aqe)
         import importlib
 
         importlib.reload(e)
@@ -97,6 +110,12 @@ def main() -> int:
         f" mismatches={bad}"
     )
     rc |= bool(bad)
+    bad_aqe = [n for n in REPRESENTATIVE if results["B"][n] != results["C"][n]]
+    print(
+        f"AQE invariance (adaptive off): {len(REPRESENTATIVE)} queries,"
+        f" mismatches={bad_aqe}"
+    )
+    rc |= bool(bad_aqe)
     return rc
 
 
