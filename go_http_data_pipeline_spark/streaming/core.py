@@ -627,6 +627,62 @@ def _docs_sharded_dir(spark: SparkSession, sf_dir: str, n: int = 4) -> str:
     return d
 
 
+def lsh_index_step(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    index_dir: str,
+    cand_dir: str,
+) -> None:
+    """One arrival of the incremental LSH index: band the batch with
+    the SHARED shingle/minhash kernel, emit within-batch pairs plus
+    batch-vs-index collisions (probe BEFORE append, so each pair is
+    emitted in exactly one batch), then append the batch's bands to
+    the index. Module-level so the scaling study races exactly the
+    code the streaming query ships (docs/SCALING_MEASURED.md §F)."""
+    from ..llm.dedup import lsh_bands, shingles_of
+
+    bands = lsh_bands(shingles_of(batch_df)).persist()
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.sig") == F.col("b.sig"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    )
+    if os.path.isdir(index_dir) and any(os.scandir(index_dir)):
+        idx = spark.read.option("recursiveFileLookup", "true").parquet(
+            index_dir
+        )
+        # doc_id inequality makes a REPLAYED batch idempotent: after a
+        # crash between the index append and the engine's commit, the
+        # replay probes an index already holding this batch's own
+        # bands — without the guard each doc collides with itself
+        # (self-pairs the final distinct can't remove), and within-
+        # batch pairs re-emit as cross pairs (those the per-batch
+        # distinct DOES merge). Pinned by
+        # tests/test_streaming.py::test_lsh_index_step_emits_pair_in_exactly_one_batch.
+        cross = bands.alias("n").join(
+            idx.alias("o"),
+            (F.col("n.band") == F.col("o.band"))
+            & (F.col("n.sig") == F.col("o.sig"))
+            & (F.col("n.doc_id") != F.col("o.doc_id")),
+        ).select(
+            F.least("n.doc_id", "o.doc_id").alias("doc_a"),
+            F.greatest("n.doc_id", "o.doc_id").alias("doc_b"),
+        )
+        pairs = pairs.unionByName(cross)
+    pairs.distinct().write.mode("overwrite").parquet(
+        os.path.join(cand_dir, f"b{batch_id}")
+    )
+    bands.write.mode("overwrite").parquet(
+        os.path.join(index_dir, f"b{batch_id}")
+    )
+    bands.unpersist()
+
+
 @query("streaming_lsh_index_candidates", oracle=_lsh_index_oracle())
 def streaming_lsh_index_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental MinHash-LSH index maintenance (VERDICT r7 item 7):
@@ -652,8 +708,6 @@ def streaming_lsh_index_candidates(spark: SparkSession, sf_dir: str) -> DataFram
     nothing corpus-sized is recomputed as the corpus grows."""
     import shutil
 
-    from ..llm.dedup import lsh_bands, shingles_of
-
     work = tempfile.mkdtemp(prefix="lsh_inc_")
     index_dir = os.path.join(work, "index")
     cand_dir = os.path.join(work, "cands")
@@ -667,36 +721,7 @@ def streaming_lsh_index_candidates(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        bands = lsh_bands(shingles_of(batch_df)).persist()
-        a, b = bands.alias("a"), bands.alias("b")
-        pairs = a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        ).select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        if os.path.isdir(index_dir) and any(os.scandir(index_dir)):
-            idx = spark.read.option("recursiveFileLookup", "true").parquet(
-                index_dir
-            )
-            cross = bands.alias("n").join(
-                idx.alias("o"),
-                (F.col("n.band") == F.col("o.band"))
-                & (F.col("n.sig") == F.col("o.sig")),
-            ).select(
-                F.least("n.doc_id", "o.doc_id").alias("doc_a"),
-                F.greatest("n.doc_id", "o.doc_id").alias("doc_b"),
-            )
-            pairs = pairs.unionByName(cross)
-        pairs.distinct().write.mode("overwrite").parquet(
-            os.path.join(cand_dir, f"b{batch_id}")
-        )
-        bands.write.mode("overwrite").parquet(
-            os.path.join(index_dir, f"b{batch_id}")
-        )
-        bands.unpersist()
+        lsh_index_step(spark, batch_df, batch_id, index_dir, cand_dir)
 
     q = (
         docs.writeStream.foreachBatch(process)

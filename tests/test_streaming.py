@@ -614,3 +614,52 @@ def test_session_ttl_path_identity(spark, sf_dir):
         # some unrelated primary-path defect hiding behind it.
         cause = stateful.LAST_SESSION_TTL_FALLBACK_CAUSE or ""
         assert "ModuleNotFoundError" in cause and "google" in cause, cause
+
+
+def test_lsh_index_step_emits_pair_in_exactly_one_batch(spark, tmp_path):
+    """The probe-before-append contract at the PER-BATCH level: a
+    cross-batch near-dup pair appears in the LATER doc's batch output
+    and in no other (the aggregate set-equality test couldn't see a
+    cross-batch duplicate — its final distinct() would mask it), and a
+    replayed batch overwrites its own output rather than duplicating.
+    """
+    from go_http_data_pipeline_spark.streaming.core import lsh_index_step
+
+    text_dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    text_uniq = "one two three four five six seven eight nine ten eleven"
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    index_dir = str(tmp_path / "index")
+    cand_dir = str(tmp_path / "cands")
+
+    def cands(batch_id):
+        import os
+
+        path = f"{cand_dir}/b{batch_id}"
+        if not os.path.isdir(path):
+            return set()
+        return {(r.doc_a, r.doc_b) for r in spark.read.parquet(path).collect()}
+
+    # Batch 0: two identical docs (within-batch pair) + one unique.
+    lsh_index_step(
+        spark,
+        docs([(1, text_dup), (2, text_dup), (3, text_uniq)]),
+        0,
+        index_dir,
+        cand_dir,
+    )
+    assert cands(0) == {(1, 2)}
+    # Batch 1: a third copy arrives — its pairs against docs 1 and 2
+    # belong to THIS batch (probe against the index), nowhere else.
+    lsh_index_step(spark, docs([(4, text_dup)]), 1, index_dir, cand_dir)
+    assert cands(1) == {(1, 4), (2, 4)}
+    assert cands(0) == {(1, 2)}  # batch 0's output untouched
+    # Replay of batch 1 (same batch_id, e.g. post-crash): idempotent —
+    # same output, not doubled, and the index holds ONE copy of doc 4's
+    # bands so later batches don't see duplicates either.
+    lsh_index_step(spark, docs([(4, text_dup)]), 1, index_dir, cand_dir)
+    assert cands(1) == {(1, 4), (2, 4)}
+    lsh_index_step(spark, docs([(5, text_dup)]), 2, index_dir, cand_dir)
+    assert cands(2) == {(1, 5), (2, 5), (4, 5)}
