@@ -107,15 +107,21 @@ _ROWS_ONLY = frozenset({"approx_distinct_parts", "approx_revenue_percentiles"})
 # re-certify its query.
 _REFRESH = frozenset({"asof_purchase_signup"})
 
-# New queries whose first driver check is DEFERRED one round: ranked
-# after the stale-green tranche instead of at the front, because this
-# round's 50-slot window is exactly consumed by the r3-stale drain
-# (46) + 3 new streaming queries + 1 refresh (VERDICT r7 item 1) — a
-# fourth rank-0 row would push one stale row back out. The deferred
-# query still runs in the full local gate (tools/check.py, hash-green
-# at sf0.01+sf0.1); only the driver's independent record waits a
-# round. Clear this set in round 9.
+# New queries whose first driver check is DEFERRED while rounds up to
+# _DEFER_THROUGH_ROUND are being recorded: ranked after the
+# stale-green tranche instead of at the front, because the round-8
+# 50-slot window is exactly consumed by the r3-stale drain (46) + 3
+# new streaming queries + 1 refresh (VERDICT r7 item 1) — a fourth
+# rank-0 row would push one stale row back out. The deferred query
+# still runs in the full local gate (tools/check.py, hash-green at
+# sf0.01); only the driver's independent record waits a round. The
+# deferral expires BY ITSELF: once a CORRECTNESS file for a round >
+# _DEFER_THROUGH_ROUND exists on disk, the query ranks as a normal
+# never-checked row at the front of the next window — no round-9
+# hand-edit required (hand-maintained green-state was exactly the
+# hazard VERDICT r7 item 2 removed from this file).
 _DEFER = frozenset({"url_ingest_scan"})
+_DEFER_THROUGH_ROUND = 7  # newest CORRECTNESS round during round 8
 
 
 def _correctness_dir() -> "Path":
@@ -172,10 +178,14 @@ def _ordered(d: dict) -> dict:
     LLM/media/streaming block) through the round-8 window."""
     newest = _newest_green_rounds()
 
+    defer_active = (
+        max(newest.values(), default=0) <= _DEFER_THROUGH_ROUND
+    )
+
     def rank(k: str) -> tuple[int, int]:
         if k in _ROWS_ONLY:
             return (9, 0)
-        if k in _DEFER and k not in newest:
+        if defer_active and k in _DEFER and k not in newest:
             return (2, 0)  # first-check deferred one round (see _DEFER)
         if k in _REFRESH or k not in newest:
             return (0, 0)

@@ -61,9 +61,13 @@ def test_window_order_never_checked_then_stalest_first():
     qs = list(registry.all_queries())
     newest = registry._newest_green_rounds()
 
+    defer_active = (
+        max(newest.values(), default=0) <= registry._DEFER_THROUGH_ROUND
+    )
     ranks = [
         (9, 0) if k in registry._ROWS_ONLY
-        else (2, 0) if k in registry._DEFER and k not in newest
+        else (2, 0)
+        if defer_active and k in registry._DEFER and k not in newest
         else (0, 0) if k in registry._REFRESH or k not in newest
         else (1, newest[k])
         for k in qs
@@ -100,3 +104,32 @@ def test_results_invariant_under_partitioning(spark, sf_dir):
         }
 
     assert agg(l.repartition(1)) == agg(l.repartition(32))
+
+
+def test_deferral_expires_once_next_round_recorded(monkeypatch):
+    """_DEFER holds a new query's first driver check back ONLY while
+    the round it was added in is still being recorded; as soon as a
+    newer CORRECTNESS round exists on disk the query must rank at the
+    front as a normal never-checked row — no hand-edit in the next
+    round (hand-maintained green state was the VERDICT r7 item 2
+    hazard)."""
+    from go_http_data_pipeline_spark import registry
+
+    real = registry._newest_green_rounds()
+    name = next(iter(registry._DEFER))
+    assert name not in real, "deferred query must have no driver row yet"
+
+    probe = {name: None, "q1_pricing_summary": None}
+    # Current state (newest recorded round <= _DEFER_THROUGH_ROUND):
+    # the deferred query sorts AFTER green rows.
+    assert list(registry._ordered(probe)) == ["q1_pricing_summary", name]
+
+    # Simulate the next round's file having landed: one green row
+    # newer than the deferral horizon -> deferral expired, the
+    # never-checked query jumps to the front.
+    fake = dict(real)
+    fake["q1_pricing_summary"] = registry._DEFER_THROUGH_ROUND + 1
+    monkeypatch.setattr(
+        registry._newest_green_rounds, "_cache", fake, raising=False
+    )
+    assert list(registry._ordered(probe)) == [name, "q1_pricing_summary"]
