@@ -120,7 +120,7 @@ _REFRESH = frozenset({"asof_purchase_signup"})
 # never-checked row at the front of the next window — no round-9
 # hand-edit required (hand-maintained green-state was exactly the
 # hazard VERDICT r7 item 2 removed from this file).
-_DEFER = frozenset({"url_ingest_scan"})
+_DEFER = frozenset({"url_ingest_scan", "url_ingest_stream"})
 _DEFER_THROUGH_ROUND = 7  # newest CORRECTNESS round during round 8
 
 

@@ -721,3 +721,26 @@ def url_ingest_scan(spark, sf_dir: str):
         .option("split_bytes", 16384)  # ~70 KB body -> ~5 range splits
         .load()
     )
+
+
+@query("url_ingest_stream", oracle=_INGEST_ORACLE)
+def url_ingest_stream(spark, sf_dir: str):
+    """T1 through the url transport: the same served log consumed by
+    the POLLING stream reader (byte-offset Range deltas, offsets =
+    line boundaries) driven to completion with availableNow.
+    Completes the transport matrix — spool/url x batch/stream all
+    hash-checked against the one relational oracle. The reader's
+    crash-replay and truncation-detection behavior is covered by
+    tests/test_http_source.py; this registers the happy path in the
+    driver's independent gate."""
+    register(spark)
+    url = serve_spool_log(stage_spool())
+    sdf = (
+        spark.readStream.format("httpjson")
+        .schema("name string, role string, age int")
+        .option("url", url)
+        .load()
+    )
+    from ..streaming.core import run_to_memory
+
+    return run_to_memory(spark, sdf, "url_ingest_stream_sink", "append")

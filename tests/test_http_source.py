@@ -725,3 +725,20 @@ def test_url_ingest_scan_against_oracle(spark):
     got = Counter(map(tuple, url_ingest_scan(spark, "").collect()))
     want = Counter(map(tuple, duckdb.sql(_INGEST_ORACLE).fetchall()))
     assert got == want
+
+
+def test_url_ingest_stream_matches_batch_transport(spark):
+    """The polling stream over the served log must surface exactly the
+    batch scan's rows — the transport-matrix closure (spool/url x
+    batch/stream, one decode kernel, one oracle)."""
+    from collections import Counter
+
+    from go_http_data_pipeline_spark.sources.http_json import (
+        url_ingest_scan,
+        url_ingest_stream,
+    )
+
+    stream_rows = Counter(map(tuple, url_ingest_stream(spark, "").collect()))
+    batch_rows = Counter(map(tuple, url_ingest_scan(spark, "").collect()))
+    assert stream_rows == batch_rows
+    assert sum(stream_rows.values()) > 0
