@@ -198,21 +198,26 @@ class _UrlBatchReader(DataSourceReader):
     def partitions(self) -> Sequence[InputPartition]:
         total = self._probe()
         if total is None or total <= self._split:
-            return [InputPartition((0, None))]  # whole body, one task
+            return [InputPartition((0, None, None))]  # whole body, one task
         # Byte splits are only valid for JSONL. A JSON ARRAY body has
         # no line structure — splitting it would shred the document —
         # so peek at the first bytes (one tiny Range request): a body
         # whose first non-whitespace char is '[' reads whole.
         head = _http_range(self._url, 0, 64, self._timeout).lstrip()
         if head.startswith(b"["):
-            return [InputPartition((0, None))]
+            return [InputPartition((0, None, None))]
+        # `total` rides along in every split so read()'s overscan can
+        # stop at the PLANNED snapshot length: a log that grows between
+        # the HEAD probe and task execution must not leak post-snapshot
+        # lines into the last split (a batch read is a consistent
+        # snapshot of the probed byte range — ADVICE r8).
         return [
-            InputPartition((lo, min(lo + self._split, total)))
+            InputPartition((lo, min(lo + self._split, total), total))
             for lo in range(0, total, self._split)
         ]
 
     def read(self, partition):
-        lo, hi = partition.value
+        lo, hi, total = partition.value
         if hi is None:
             # Whole body: may be a JSON array or JSONL.
             import urllib.request
@@ -254,11 +259,14 @@ class _UrlBatchReader(DataSourceReader):
             # duplicate) the NEXT split's first line.
             return
         if not chunk.endswith(b"\n"):
-            # Overscan past hi to finish the last (cut) line.
+            # Overscan past hi to finish the last (cut) line — but
+            # never past the planned snapshot total: bytes appended
+            # after the planning probe are the NEXT read's data, not
+            # this one's (consistent-snapshot batch semantics).
             pos = hi
-            while True:
+            while pos < total:
                 more = _http_range(
-                    self._url, pos, pos + 65536, self._timeout
+                    self._url, pos, min(pos + 65536, total), self._timeout
                 )
                 if not more:
                     break

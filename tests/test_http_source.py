@@ -498,6 +498,34 @@ def test_url_batch_split_property_exactly_once():
     check()
 
 
+def test_url_batch_split_is_consistent_snapshot_of_planned_total():
+    """A batch read is a snapshot of the byte range planned at probe
+    time: a line appended between planning and task execution must NOT
+    leak into the last split's overscan (ADVICE r8 — the overscan loop
+    previously read past the planned total). Plan the splits, grow the
+    log, then execute the planned partitions."""
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    from go_http_data_pipeline_spark.sources.http_json import _UrlBatchReader
+
+    schema = StructType(
+        [StructField("name", StringType()), StructField("age", IntegerType())]
+    )
+    srv = _AppendLogServer()
+    try:
+        for i in range(40):
+            srv.append(json.dumps({"name": f"u{i}", "age": i}) + "\n")
+        rdr = _UrlBatchReader(schema, srv.url, 5.0, 64)
+        parts = rdr.partitions()  # snapshot planned here
+        assert len(parts) > 1
+        # The race: the log grows after planning, before reading.
+        srv.append(json.dumps({"name": "late", "age": 999}) + "\n")
+        got = sorted(r[1] for p in parts for r in rdr.read(p))
+        assert got == list(range(40)), "post-snapshot line leaked into batch"
+    finally:
+        srv.close()
+
+
 def test_url_batch_json_array_never_byte_split(spark):
     """A large JSON ARRAY body has no line structure — byte-splitting
     would shred the document. The reader must detect the '[' opener

@@ -27,17 +27,22 @@ def test_every_oracle_has_a_query():
 def test_newest_green_matches_files_on_disk():
     """The driver-window ordering is derived from CORRECTNESS_r*.json
     at import time (VERDICT r7 item 2: no more hand-copied frozensets).
-    Recompute newest-green independently here and pin the result."""
+    Recompute newest-green independently here and pin the result.
+
+    Anchors are STABLE invariants only (ADVICE r8): the rows-only
+    sketches were recorded in r1 and never re-hashed, so their
+    newest-green is pinned; anything keyed to "how many rows round N
+    recorded" decays as later rounds re-verify and is forbidden here.
+    """
     import json
     import re
-    from pathlib import Path
 
     from go_http_data_pipeline_spark import registry
 
     newest = registry._newest_green_rounds()
 
     expected: dict[str, int] = {}
-    for path in Path("/root/repo").glob("CORRECTNESS_r*.json"):
+    for path in registry._correctness_dir().glob("CORRECTNESS_r*.json"):
         rnd = int(re.fullmatch(r"CORRECTNESS_r(\d+)\.json", path.name).group(1))
         for name, rec in json.loads(path.read_text()).items():
             full = rec.get("rows_match") and rec.get("schema_match") and rec.get("hash_match")
@@ -45,12 +50,10 @@ def test_newest_green_matches_files_on_disk():
             if full or rows_only:
                 expected[name] = max(expected.get(name, 0), rnd)
     assert newest == expected
-    # Sanity anchors from the known driver history (r1..r7): the two
-    # approx sketches were last recorded in r1; the LLM tranche's
-    # stalest rows are r3; round 7 recorded a full 50-green window.
+    # Stable anchors: rows-only sketches recorded once in r1 and never
+    # re-hashed; the LLM tranche first went green in r3 or later.
     assert expected["approx_distinct_parts"] == 1
     assert expected["minhash_lsh_pairs"] >= 3
-    assert sum(1 for v in expected.values() if v == 7) >= 50
 
 
 def test_window_order_never_checked_then_stalest_first():
@@ -112,24 +115,89 @@ def test_deferral_expires_once_next_round_recorded(monkeypatch):
     newer CORRECTNESS round exists on disk the query must rank at the
     front as a normal never-checked row — no hand-edit in the next
     round (hand-maintained green state was the VERDICT r7 item 2
-    hazard)."""
+    hazard).
+
+    BOTH halves are hermetic (VERDICT r8 item 1 / ADVICE r8): each
+    simulates its disk state by monkeypatching the newest-green cache
+    instead of asserting live repo state, so the test stays green no
+    matter which CORRECTNESS_r*.json files exist on disk.
+    """
+    from go_http_data_pipeline_spark import registry
+
+    name = "some_new_query"  # synthetic: never in any CORRECTNESS file
+    probe = {name: None, "q1_pricing_summary": None}
+    monkeypatch.setattr(registry, "_DEFER", frozenset({name}))
+    horizon = registry._DEFER_THROUGH_ROUND
+
+    # Pre-expiry state (newest recorded round <= horizon): the
+    # deferred query sorts AFTER green rows.
+    monkeypatch.setattr(
+        registry._newest_green_rounds,
+        "_cache",
+        {"q1_pricing_summary": horizon},
+        raising=False,
+    )
+    assert list(registry._ordered(probe)) == ["q1_pricing_summary", name]
+
+    # Post-landing state: one green row newer than the deferral
+    # horizon -> deferral expired, the never-checked query jumps to
+    # the front.
+    monkeypatch.setattr(
+        registry._newest_green_rounds,
+        "_cache",
+        {"q1_pricing_summary": horizon + 1},
+        raising=False,
+    )
+    assert list(registry._ordered(probe)) == [name, "q1_pricing_summary"]
+
+
+def test_ordering_invariants_hold_for_any_correctness_file_set(monkeypatch, tmp_path):
+    """Meta-guard (VERDICT r8 item 1): the registry must produce a
+    valid ordering under ANY set of CORRECTNESS_r*.json files —
+    including rounds that do not exist yet. Simulate a future round's
+    file landing (plus an empty dir, a partial file, and a far-future
+    round) and assert the ordering invariants hold in every state."""
+    import json
+
     from go_http_data_pipeline_spark import registry
 
     real = registry._newest_green_rounds()
-    name = next(iter(registry._DEFER))
-    assert name not in real, "deferred query must have no driver row yet"
+    green_row = {"rows_match": True, "schema_match": True, "hash_match": True,
+                 "spark_rows": 1, "oracle_rows": 1, "err": None}
 
-    probe = {name: None, "q1_pricing_summary": None}
-    # Current state (newest recorded round <= _DEFER_THROUGH_ROUND):
-    # the deferred query sorts AFTER green rows.
-    assert list(registry._ordered(probe)) == ["q1_pricing_summary", name]
+    scenarios = {
+        "empty": {},
+        "future_round_landed": {
+            "CORRECTNESS_r01.json": {"approx_distinct_parts": {
+                "rows_match": True, "schema_match": False, "hash_match": False,
+                "spark_rows": 5, "err": "no_oracle"}},
+            "CORRECTNESS_r99.json": {k: green_row for k in list(real)[:5]},
+        },
+        "partial_garbage": {"CORRECTNESS_r42.json": None},  # non-dict body
+    }
+    for label, files in scenarios.items():
+        d = tmp_path / label
+        d.mkdir()
+        for fname, body in files.items():
+            (d / fname).write_text(json.dumps(body))
+        monkeypatch.setattr(registry, "_correctness_dir", lambda d=d: d)
+        monkeypatch.delattr(registry._newest_green_rounds, "_cache", raising=False)
 
-    # Simulate the next round's file having landed: one green row
-    # newer than the deferral horizon -> deferral expired, the
-    # never-checked query jumps to the front.
-    fake = dict(real)
-    fake["q1_pricing_summary"] = registry._DEFER_THROUGH_ROUND + 1
-    monkeypatch.setattr(
-        registry._newest_green_rounds, "_cache", fake, raising=False
-    )
-    assert list(registry._ordered(probe)) == [name, "q1_pricing_summary"]
+        qs = list(registry.all_queries())
+        newest = registry._newest_green_rounds()
+        defer_active = max(newest.values(), default=0) <= registry._DEFER_THROUGH_ROUND
+        ranks = [
+            (9, 0) if k in registry._ROWS_ONLY
+            else (2, 0)
+            if defer_active and k in registry._DEFER and k not in newest
+            else (0, 0) if k in registry._REFRESH or k not in newest
+            else (1, newest[k])
+            for k in qs
+        ]
+        assert ranks == sorted(ranks), f"order must be rank-sorted under {label!r}"
+        for k in registry._ROWS_ONLY:
+            assert k in qs[-len(registry._ROWS_ONLY):], label
+
+    # Restore the real cache for later tests in this process.
+    monkeypatch.undo()
+    registry._newest_green_rounds._cache = real
