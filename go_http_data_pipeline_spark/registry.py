@@ -102,10 +102,10 @@ _ROWS_ONLY = frozenset({"approx_distinct_parts", "approx_revenue_percentiles"})
 
 # Queries whose implementation changed this round and therefore need a
 # fresh driver row on the new code (results expected identical, but the
-# driver record is the hard signal). Round 8: as-of join tie-ordering
-# was de-duplicated for the all-orderable case (ADVICE r7 item 5) —
-# re-certify its query.
-_REFRESH = frozenset({"asof_purchase_signup"})
+# driver record is the hard signal). Round 9: the incremental LSH
+# index gained compaction (VERDICT r8 item 6) — re-certify its query
+# on the compacting code path.
+_REFRESH = frozenset({"streaming_lsh_index_candidates"})
 
 # New queries whose first driver check is DEFERRED while rounds up to
 # _DEFER_THROUGH_ROUND are being recorded: ranked after the

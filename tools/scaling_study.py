@@ -470,16 +470,18 @@ def _build_inc_docs(spark) -> None:
 
 
 def _lsh_incremental_race(spark):
-    """Section F measurement: returns (n_docs, inc_times, naive_times)
-    — per-arrival seconds for the incremental index step vs the naive
-    full-corpus recompute, final candidate sets asserted equal."""
+    """Section F measurement: per-arrival seconds for the incremental
+    index step (compaction ON and OFF) vs the naive full-corpus
+    recompute, plus the parquet file count each arrival's probe reads
+    (the compaction payoff — VERDICT r8 item 6). Final candidate sets
+    asserted equal across all three legs."""
     import shutil
     import tempfile
 
     from pyspark.sql import functions as F
 
     from go_http_data_pipeline_spark.llm.dedup import lsh_bands, shingles_of
-    from go_http_data_pipeline_spark.streaming.core import lsh_index_step
+    from go_http_data_pipeline_spark.streaming import core
 
     _build_inc_docs(spark)
     shards = [os.path.join(INC_DIR, f"shard_{s}") for s in range(INC_SHARDS)]
@@ -505,19 +507,44 @@ def _lsh_incremental_race(spark):
     # measure the plan, not first-use compilation.
     full_candidates(shards[:1]).count()
 
+    def probe_files(index_dir):
+        """Parquet files the NEXT probe will list/open (the read view)."""
+        return sum(
+            sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+            for d in core.lsh_visible_dirs(index_dir)
+        )
+
     # Incremental: one lsh_index_step per arrival (single-shot times —
     # multi-second batches, and the index state makes repeats unequal
-    # work by construction).
-    work = tempfile.mkdtemp(prefix="lsh_race_")
-    index_dir = os.path.join(work, "index")
-    cand_dir = os.path.join(work, "cands")
-    inc_times = []
-    for s, path in enumerate(shards):
-        t0 = time.perf_counter()
-        lsh_index_step(
-            spark, spark.read.parquet(path), s, index_dir, cand_dir
+    # work by construction). Two legs: compaction disabled (the round-8
+    # design, one b-dir per arrival forever) vs enabled (fold every
+    # _LSH_COMPACT_EVERY arrivals into one generation).
+    def run_inc(compact_every):
+        prev = core._LSH_COMPACT_EVERY
+        core._LSH_COMPACT_EVERY = compact_every
+        work = tempfile.mkdtemp(prefix="lsh_race_")
+        index_dir = os.path.join(work, "index")
+        cand_dir = os.path.join(work, "cands")
+        times, files = [], []
+        try:
+            for s, path in enumerate(shards):
+                files.append(probe_files(index_dir))
+                t0 = time.perf_counter()
+                core.lsh_index_step(
+                    spark, spark.read.parquet(path), s, index_dir, cand_dir
+                )
+                times.append(round(time.perf_counter() - t0, 2))
+        finally:
+            core._LSH_COMPACT_EVERY = prev
+        cands = (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(cand_dir)
+            .distinct()
         )
-        inc_times.append(round(time.perf_counter() - t0, 2))
+        return work, times, files, cands
+
+    work_off, inc_off_times, files_off, inc_off = run_inc(10**9)
+    work, inc_times, files_on, inc = run_inc(core._LSH_COMPACT_EVERY)
 
     # Naive baseline: each arrival recomputes candidates over the
     # whole corpus so far (count() forces the full build each time).
@@ -528,20 +555,32 @@ def _lsh_incremental_race(spark):
         naive_times.append(round(time.perf_counter() - t0, 2))
 
     # Equality: union of per-arrival incremental candidates == the
-    # full-corpus batch candidate set.
-    inc = (
-        spark.read.option("recursiveFileLookup", "true")
-        .parquet(cand_dir)
-        .distinct()
-    )
+    # full-corpus batch candidate set, for BOTH incremental legs.
     full = full_candidates(shards)
-    n_inc, n_full = inc.count(), full.count()
-    assert n_inc == n_full and inc.exceptAll(full).count() == 0, (
-        f"incremental {n_inc} != full {n_full}"
-    )
+    n_full = full.count()
+    for label, leg in (("compact", inc), ("no-compact", inc_off)):
+        n_leg = leg.count()
+        assert n_leg == n_full and leg.exceptAll(full).count() == 0, (
+            f"incremental[{label}] {n_leg} != full {n_full}"
+        )
     n_docs = spark.read.parquet(*shards).count()
     shutil.rmtree(work, ignore_errors=True)
-    return n_docs, n_inc, inc_times, naive_times
+    shutil.rmtree(work_off, ignore_errors=True)
+    return (
+        n_docs,
+        n_full,
+        inc_times,
+        naive_times,
+        inc_off_times,
+        files_on,
+        files_off,
+    )
+
+
+def _compact_every() -> int:
+    from go_http_data_pipeline_spark.streaming import core
+
+    return core._LSH_COMPACT_EVERY
 
 
 def main() -> int:
@@ -666,12 +705,22 @@ def main() -> int:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    f_docs, f_cands, f_inc, f_naive = _lsh_incremental_race(spark)
+    (
+        f_docs,
+        f_cands,
+        f_inc,
+        f_naive,
+        f_inc_off,
+        f_files_on,
+        f_files_off,
+    ) = _lsh_incremental_race(spark)
     print(
         f"# lsh incremental race: {f_docs} docs / {f_cands} candidate "
         f"pairs | inc per-arrival {f_inc} (total "
-        f"{round(sum(f_inc), 1)}s) | naive per-arrival {f_naive} "
-        f"(total {round(sum(f_naive), 1)}s)"
+        f"{round(sum(f_inc), 1)}s) | inc-nocompact {f_inc_off} (total "
+        f"{round(sum(f_inc_off), 1)}s) | naive per-arrival {f_naive} "
+        f"(total {round(sum(f_naive), 1)}s) | probe files on/off "
+        f"{f_files_on} vs {f_files_off}"
     )
 
     lines = [
@@ -794,41 +843,53 @@ def main() -> int:
         "never touches data), and the serving side would be object",
         "storage rather than one localhost socket.",
         "",
-        "## F. Incremental LSH index vs per-arrival recompute (round 8)",
+        "## F. Incremental LSH index vs per-arrival recompute (rounds 8-9)",
         "",
         f"{f_docs} docs (sf0.01 x{INC_COPIES}, per-copy token-rehashed",
         "so copies don't near-collide) arriving in"
         f" {INC_SHARDS} batches; {f_cands}",
-        "candidate pairs either way (final sets asserted EQUAL).",
-        "Incremental = one lsh_index_step per arrival (the exact code",
-        "streaming_lsh_index_candidates ships: probe the accumulated",
-        "index, then append). Naive = re-run the full batch LSH build",
-        "over the whole corpus-so-far at each arrival. Single-shot",
-        "times (the index state makes repeats unequal work), measured",
-        "on a PINNED local[4] session: at local[32] the growth term",
-        "hid below cluster saturation (the small runs left most cores",
-        "idle, so an 8x corpus recomputed in the same wall time);",
-        "fixed compute + growing data is the question a real cluster",
-        "faces, since its size is fixed while the corpus compounds.",
+        "candidate pairs every way (final sets asserted EQUAL across",
+        "all three legs). Incremental = one lsh_index_step per arrival",
+        "(the exact code streaming_lsh_index_candidates ships: probe",
+        "the accumulated index, then append, folding the index into",
+        "one (band, sig)-partitioned generation every"
+        f" {_compact_every()} arrivals —",
+        "round 9; the no-compaction column is the round-8 design that",
+        "kept one directory per arrival forever). Naive = re-run the",
+        "full batch LSH build over the whole corpus-so-far at each",
+        "arrival. 'Probe files' = parquet files the arrival's index",
+        "probe lists/opens. Single-shot times (the index state makes",
+        "repeats unequal work), measured on a PINNED local[4] session:",
+        "at local[32] the growth term hid below cluster saturation",
+        "(the small runs left most cores idle, so an 8x corpus",
+        "recomputed in the same wall time); fixed compute + growing",
+        "data is the question a real cluster faces, since its size is",
+        "fixed while the corpus compounds.",
         "",
-        "| arrival | incremental (s) | naive recompute (s) |",
-        "|---|---|---|",
+        "| arrival | incremental (s) | probe files | no-compaction (s)"
+        " | probe files | naive recompute (s) |",
+        "|---|---|---|---|---|---|",
     ] + [
-        f"| {i + 1} | {f_inc[i]} | {f_naive[i]} |"
+        f"| {i + 1} | {f_inc[i]} | {f_files_on[i]} | {f_inc_off[i]} |"
+        f" {f_files_off[i]} | {f_naive[i]} |"
         for i in range(INC_SHARDS)
     ] + [
-        f"| **total** | **{round(sum(f_inc), 1)}** |"
+        f"| **total** | **{round(sum(f_inc), 1)}** | |"
+        f" **{round(sum(f_inc_off), 1)}** | |"
         f" **{round(sum(f_naive), 1)}** |",
         "",
         "Per-arrival incremental cost stays ~flat — the shingle/",
         "minhash/banding work is batch-sized, and the index probe is",
-        "an equi-join whose index side (locally a growing parquet",
+        "an equi-join whose index side (locally a bounded parquet",
         "scan) is at cluster scale a bucketed co-located join with no",
-        "index-side shuffle. Naive per-arrival cost grows with the",
-        "corpus — quadratic total, and the gap widens with every",
-        "arrival: at 100 TB with hourly arrivals the naive form is",
-        "simply not runnable, which is the case for maintaining the",
-        "index.",
+        "index-side shuffle. Compaction bounds what a probe reads:",
+        "without it the file count grows one directory per arrival",
+        "forever (hourly arrivals for a year = ~9k dirs of small",
+        "files), with it the count re-anchors at one generation every",
+        "fold. Naive per-arrival cost grows with the corpus —",
+        "quadratic total, and the gap widens with every arrival: at",
+        "100 TB with hourly arrivals the naive form is simply not",
+        "runnable, which is the case for maintaining the index.",
         "",
         "Generated by tools/scaling_study.py.",
         "",
