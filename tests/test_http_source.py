@@ -788,3 +788,58 @@ def test_url_ingest_multipoll_runs_twice_per_session(spark):
         rows = df.collect()
         assert len(rows) == 1000
         assert sum(1 for r in rows if r.name is None) == 11  # malformed lines
+
+
+def test_url_fanin_resumes_each_source_independently(spark, tmp_path):
+    """The fan-in shape behind url_fanin_union: ONE streaming query
+    over a union of N httpjson url sources keeps PER-SOURCE offsets in
+    the shared checkpoint — appends to one endpoint must surface only
+    that endpoint's new records on restart, with every other source
+    resuming from its own committed position (no replays, no gaps)."""
+    import os
+
+    from go_http_data_pipeline_spark.sources.http_json import register
+
+    register(spark)
+    ckpt = os.path.join(str(tmp_path), "_ckpt")
+    srv_a, srv_b = _AppendLogServer(), _AppendLogServer()
+    try:
+        for i in range(5):
+            srv_a.append(json.dumps({"name": f"a{i}", "age": i}) + "\n")
+            srv_b.append(json.dumps({"name": f"b{i}", "age": i}) + "\n")
+
+        def run_once():
+            got = []
+            streams = [
+                spark.readStream.format("httpjson")
+                .schema("name string, age int")
+                .option("url", u)
+                .load()
+                for u in (srv_a.url, srv_b.url)
+            ]
+            sdf = streams[0].unionByName(streams[1])
+            q = (
+                sdf.writeStream.foreachBatch(
+                    lambda df, _id: got.extend(r.name for r in df.collect())
+                )
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return sorted(got)
+
+        assert run_once() == sorted(
+            [f"a{i}" for i in range(5)] + [f"b{i}" for i in range(5)]
+        )
+        # Grow ONLY endpoint B: the restart must emit exactly B's new
+        # records — A resumes silently from its own offset.
+        for i in range(5, 8):
+            srv_b.append(json.dumps({"name": f"b{i}", "age": i}) + "\n")
+        assert run_once() == [f"b{i}" for i in range(5, 8)]
+        # Now ONLY endpoint A grows.
+        srv_a.append(json.dumps({"name": "a5", "age": 5}) + "\n")
+        assert run_once() == ["a5"]
+    finally:
+        srv_a.close()
+        srv_b.close()
