@@ -172,6 +172,52 @@ def _median_baseline(recent: list[dict]) -> dict[str, float]:
     }
 
 
+# A run whose MEDIAN per-query delta vs the history baseline exceeds
+# this is globally slow (host CPU steal hitting every query), and its
+# per-query flags describe the weather, not any plan: such a run can
+# neither confirm a regression nor seed confirmation for the next run.
+# The r8 digest confirmed a "regression" on a query untouched since
+# round 6 because BOTH flagging runs had uniform ~1.1x median drift
+# across 57 queries (VERDICT r8 item 4).
+ENV_SLOW_MEDIAN = 1.05
+
+
+def _run_median_delta(
+    times: dict[str, float], baseline: dict[str, float]
+) -> float | None:
+    """Median of per-query time/baseline ratios — the run-level drift.
+    ~1.0 means the box was comparable to recent history; >>1 means the
+    whole run was slow regardless of plan."""
+    ds = sorted(
+        times[n] / baseline[n] for n in times if baseline.get(n) and times[n]
+    )
+    return round(ds[len(ds) // 2], 3) if ds else None
+
+
+def _confirmed_regressions(
+    flagged: dict[str, float],
+    run_med: float | None,
+    prev_rec: dict | None,
+    baseline: dict[str, float],
+) -> list[str]:
+    """The 2-consecutive-flags rule, with the environmental guard: a
+    flag confirms only when BOTH flagging runs were themselves normal
+    (run-level median delta <= ENV_SLOW_MEDIAN). Either run globally
+    slow -> its flags describe the box, not the plan, and nothing
+    confirms."""
+    if run_med is not None and run_med > ENV_SLOW_MEDIAN:
+        return []
+    if not prev_rec:
+        return []
+    pm = prev_rec.get("run_median_vs_baseline")
+    if pm is None:
+        pm = _run_median_delta(prev_rec.get("queries", {}), baseline)
+    if pm is not None and pm > ENV_SLOW_MEDIAN:
+        return []
+    prev_flagged = prev_rec.get("flagged_vs_median", {}) or {}
+    return sorted(set(flagged) & set(prev_flagged))
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -269,10 +315,16 @@ def main() -> int:
         for n in times
         if baseline.get(n) and times[n] / baseline[n] > REGRESSION_THRESH
     }
-    prev_flagged = (
-        recent[-1].get("flagged_vs_median", {}) if recent else {}
+    run_med = _run_median_delta(times, baseline)
+    if run_med is not None and run_med > ENV_SLOW_MEDIAN:
+        print(
+            f"# run globally slow: median delta {run_med}x vs history —"
+            " per-query flags are environmental, confirmation withheld",
+            file=sys.stderr,
+        )
+    confirmed = _confirmed_regressions(
+        flagged, run_med, recent[-1] if recent else None, baseline
     )
-    confirmed = sorted(set(flagged) & set(prev_flagged))
     for n in sorted(flagged):
         tag = "CONFIRMED" if n in confirmed else "unconfirmed (1st)"
         print(
@@ -295,6 +347,7 @@ def main() -> int:
         "queries_median": medians,
         "prev_deltas": deltas,
         "flagged_vs_median": flagged,
+        "run_median_vs_baseline": run_med,
         "confirmed_regressions": confirmed,
         "dedup_cache_build_sec": cache_build,
         "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),

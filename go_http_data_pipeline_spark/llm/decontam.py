@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 from ..catalog import table
 from ..registry import query
 from ..determinism import ngram_starts_sql
-from .dedup import _SHINGLES_SQL, shingles_cached
+from .dedup import _SHINGLES_SQL, shingles_cached, shingles_of
 
 # Deterministic evaluation-set stand-in: every 10th document. A real
 # pipeline loads the benchmark suite as its own table; the dataflow
@@ -365,3 +365,113 @@ def streaming_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).parquet(_as_stream_dir(f"{sf_dir}/documents.parquet"))
     out = _repetition_projection(docs)
     return run_to_memory(spark, out, "stream_repetition", "append")
+
+
+@query(
+    "streaming_contamination_gate",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    pairs AS (
+        SELECT c.doc_id, b.doc_id AS bench_id, COUNT(*) AS n_shared
+        FROM shingles c
+        JOIN shingles b ON c.shingle = b.shingle
+        WHERE b.doc_id % {BENCH_MOD} = 0 AND c.doc_id % {BENCH_MOD} != 0
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {MIN_SHARED}
+    ),
+    hits AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bench_hits
+        FROM pairs GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(h.n_bench_hits, 0) AS BIGINT) AS n_bench_hits,
+           h.doc_id IS NULL AS keep
+    FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+    WHERE d.doc_id % {BENCH_MOD} != 0
+    """,
+)
+def streaming_contamination_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``benchmark_contamination`` as an INGEST-TIME gate (VERDICT r8
+    item 7c): documents arrive in micro-batches and each batch is
+    scanned against the static benchmark gram set inside
+    ``foreachBatch`` — the decontamination decision is made before a
+    document ever lands in the corpus, pairing with
+    ``streaming_repetition_filter`` to complete the streaming curation
+    pipeline (quality + leakage in one pass shape).
+
+    Per batch: shingle the arriving documents with the SHARED kernel
+    (``shingles_of`` — the same code as the batch scan, so the gate
+    can never drift from the audit), probe the broadcast benchmark
+    grams, and emit one verdict row per document (``n_bench_hits``
+    benchmark docs sharing >= {MIN_SHARED} grams; ``keep`` when none).
+    A document's grams are derived per-row, and the benchmark side is
+    static, so the verdict is batch-local — bounded replay equals the
+    batch left join exactly, and the oracle is the batch SQL verbatim.
+
+    Exactly-once: verdicts write to a batch_id-keyed directory with
+    overwrite (idempotent replay), the ``lsh_index_step`` discipline.
+    Scale: the benchmark set is eval-suite-sized by nature, so the
+    probe broadcasts it and the arriving batch never shuffles for the
+    scan; per-batch cost is one pass over the batch regardless of
+    corpus size."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.core import _docs_sharded_dir
+
+    bench = (
+        shingles_cached(spark, sf_dir)
+        .filter(F.col("doc_id") % BENCH_MOD == 0)
+        .select(F.col("doc_id").alias("bench_id"), "sh_h")
+    )
+    work = tempfile.mkdtemp(prefix="contam_gate_")
+    out_dir = os.path.join(work, "verdicts")
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        corpus = batch_df.filter(F.col("doc_id") % BENCH_MOD != 0)
+        sh = shingles_of(corpus).select("doc_id", "sh_h")
+        hits = (
+            sh.join(F.broadcast(bench), "sh_h")
+            .groupBy("doc_id", "bench_id")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .filter(F.col("n_shared") >= MIN_SHARED)
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_bench_hits"))
+        )
+        verdicts = (
+            corpus.select("doc_id")
+            .join(hits, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("n_bench_hits", F.lit(0).cast("long")).alias(
+                    "n_bench_hits"
+                ),
+                F.col("n_bench_hits").isNull().alias("keep"),
+            )
+        )
+        verdicts.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"b{batch_id}")
+        )
+
+    docs = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("maxFilesPerTrigger", 1)  # one shard per micro-batch
+        .parquet(_docs_sharded_dir(spark, sf_dir))
+    )
+    q = (
+        docs.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", os.path.join(work, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(out_dir)
+        .localCheckpoint()  # sever lineage from the temp dirs
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return out

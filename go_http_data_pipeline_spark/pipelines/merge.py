@@ -30,3 +30,30 @@ def merge_into(base: DataFrame, updates: DataFrame, key: str) -> DataFrame:
     """
     kept = base.join(updates.select(key), on=key, how="left_anti")
     return kept.unionByName(updates)
+
+
+def apply_cdc(
+    base: DataFrame, cdc: DataFrame, key: str, op_col: str = "op"
+) -> DataFrame:
+    """Apply one CDC batch to ``base``: rows with ``op_col`` = ``'D'``
+    delete their key, every other op upserts the row (MERGE WHEN
+    MATCHED THEN UPDATE/DELETE, WHEN NOT MATCHED THEN INSERT), **with
+    schema evolution**: columns the CDC feed carries that ``base``
+    lacks are added to the target, NULL for rows the batch didn't
+    touch — the ``mergeSchema``/auto-evolution behavior of a real
+    table format, expressed relationally.
+
+    The relational form is the same single pass as :func:`merge_into`
+    (left-anti on touched keys, then union), so it inherits the same
+    scale shape: co-partitioned by ``key`` it is shuffle-free, and
+    under ``foreachBatch`` against a partitioned table only the
+    partitions holding touched keys rewrite. Delete-by-anti-join means
+    a delete costs the same as an update — no tombstone scan.
+
+    The CDC feed must hold at most one row per key (standard MERGE
+    precondition; a multi-row feed is compacted upstream to its latest
+    image per key before the merge).
+    """
+    kept = base.join(cdc.select(key), on=key, how="left_anti")
+    upserts = cdc.filter(cdc[op_col] != "D").drop(op_col)
+    return kept.unionByName(upserts, allowMissingColumns=True)

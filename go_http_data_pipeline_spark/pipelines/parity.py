@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..registry import query
-from .merge import merge_into
+from .merge import apply_cdc, merge_into
 
 # ---------------------------------------------------------------- employees
 # Derived employee table (FIXTURES.md §B): id/name from customer,
@@ -168,6 +168,59 @@ def employee_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(30000).cast("bigint").alias("salary"),
     )
     return merge_into(emp, raises.unionByName(hires), key="id")
+
+
+@query(
+    "cdc_merge_schema_evolution",
+    oracle=f"""
+    WITH {_EMP_SQL},
+    cdc AS (
+        SELECT id, name, age, yearsofexp,
+               CAST(salary + 5000 AS BIGINT) AS salary,
+               'emp' || CAST(id AS VARCHAR) || '@corp.example' AS email,
+               CASE WHEN id % 13 = 0 THEN 'D' ELSE 'U' END AS op
+        FROM employee WHERE id % 13 = 0 OR id % 7 = 0
+    )
+    SELECT e.id, e.name, e.age, e.yearsofexp, e.salary,
+           CAST(NULL AS VARCHAR) AS email
+    FROM employee e ANTI JOIN cdc c ON c.id = e.id
+    UNION ALL
+    SELECT id, name, age, yearsofexp, salary, email
+    FROM cdc WHERE op != 'D'
+    """,
+)
+def cdc_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 extended: a CDC batch (ops ``U``/``D``) merged into the
+    employee table **with schema evolution** — the feed carries an
+    ``email`` column the target never had. Deletes (ids % 13) remove
+    the key, updates (ids % 7) take the CDC image, and every untouched
+    row survives with ``email`` NULL: the evolved schema is the old
+    schema plus the feed's new columns, exactly what a table format's
+    auto-merge does on MERGE INTO.
+
+    The writeback shape is the reference's ``UPDATE employee``
+    (``Server/main.go:279-282``) grown to the real CDC contract
+    (insert/update/delete + schema drift) that an upstream Debezium/
+    binlog feed delivers. One relational pass (:func:`apply_cdc`); at
+    100 TB this runs per micro-batch inside ``foreachBatch`` against a
+    key-partitioned table, rewriting only partitions holding touched
+    keys."""
+    emp = employees(spark, sf_dir)
+    touched = emp.filter((F.col("id") % 13 == 0) | (F.col("id") % 7 == 0))
+    cdc = touched.select(
+        "id",
+        "name",
+        "age",
+        "yearsofexp",
+        (F.col("salary") + 5000).cast("bigint").alias("salary"),
+        F.concat(
+            F.lit("emp"), F.col("id").cast("string"), F.lit("@corp.example")
+        ).alias("email"),
+        F.when(F.col("id") % 13 == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    return apply_cdc(emp, cdc, key="id")
 
 
 # ------------------------------------------------------------- login flow

@@ -109,19 +109,25 @@ _REFRESH = frozenset({"streaming_lsh_index_candidates"})
 
 # New queries whose first driver check is DEFERRED while rounds up to
 # _DEFER_THROUGH_ROUND are being recorded: ranked after the
-# stale-green tranche instead of at the front, because the round-8
-# 50-slot window is exactly consumed by the r3-stale drain (46) + 3
-# new streaming queries + 1 refresh (VERDICT r7 item 1) — a fourth
-# rank-0 row would push one stale row back out. The deferred query
-# still runs in the full local gate (tools/check.py, hash-green at
-# sf0.01); only the driver's independent record waits a round. The
+# stale-green tranche instead of at the front, because the current
+# round's 50-slot window is exactly consumed by the stale drain —
+# another rank-0 row would push one stale row back out. The deferred
+# query still runs in the full local gate (tools/check.py, hash-green
+# at sf0.01); only the driver's independent record waits a round. The
 # deferral expires BY ITSELF: once a CORRECTNESS file for a round >
 # _DEFER_THROUGH_ROUND exists on disk, the query ranks as a normal
-# never-checked row at the front of the next window — no round-9
-# hand-edit required (hand-maintained green-state was exactly the
-# hazard VERDICT r7 item 2 removed from this file).
-_DEFER = frozenset({"url_ingest_scan", "url_ingest_stream"})
-_DEFER_THROUGH_ROUND = 7  # newest CORRECTNESS round during round 8
+# never-checked row at the front of the next window — no hand-edit
+# required (hand-maintained green-state was exactly the hazard
+# VERDICT r7 item 2 removed from this file).
+#
+# Round 9: the window is exactly 1 refresh + 4 never-checked url
+# queries + the whole 45-row r4-stale tranche (VERDICT r8 items 2+3),
+# so the two round-9 additions (the CDC schema-evolution merge and
+# the streaming decontamination gate) wait for round 10.
+_DEFER = frozenset(
+    {"cdc_merge_schema_evolution", "streaming_contamination_gate"}
+)
+_DEFER_THROUGH_ROUND = 8  # newest CORRECTNESS round during round 9
 
 
 def _correctness_dir() -> "Path":
