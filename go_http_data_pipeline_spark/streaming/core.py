@@ -633,11 +633,35 @@ def _docs_sharded_dir(spark: SparkSession, sf_dir: str, n: int = 4) -> str:
 # tiny files — VERDICT r8 item 6), and every probe pays the listing +
 # per-file open cost of all of them.
 _LSH_COMPACT_EVERY = 4
-# Compacted generations are hash-partitioned by the probe key so a
-# probe join co-locates by (band, sig). Sized for the local fixtures;
-# at cluster scale size by index bytes / target file size (and use
-# bucketBy on a real table so the index side never shuffles at all).
+# Compacted generations are BUCKETED catalog tables keyed by the
+# probe key, so the probe join co-locates by (band, sig) with no
+# exchange on the index side at all (pinned by
+# tests/test_streaming.py::test_lsh_compacted_probe_has_no_index_side_exchange).
+# Sized for the local fixtures; at cluster scale size by index bytes /
+# target file size.
 _LSH_INDEX_BUCKETS = 8
+
+
+def _lsh_gen_table(index_dir: str, batch_id: int) -> str:
+    """Deterministic catalog name for the compacted generation — keyed
+    by (index location, high-water batch id) so a replayed compaction
+    recreates the SAME table over the SAME path (idempotent), and two
+    concurrent indexes can never collide."""
+    import hashlib
+
+    h = hashlib.md5(index_dir.encode()).hexdigest()[:10]
+    return f"lsh_gen_{h}_b{batch_id}"
+
+
+def lsh_drop_generations(spark: SparkSession, index_dir: str) -> None:
+    """Drop every catalog entry this index registered (cleanup when
+    the index itself is discarded; the data dirs are the caller's)."""
+    import hashlib
+
+    h = hashlib.md5(index_dir.encode()).hexdigest()[:10]
+    for t in spark.catalog.listTables():
+        if t.name.startswith(f"lsh_gen_{h}_"):
+            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
 
 
 def lsh_visible_dirs(index_dir: str) -> list[str]:
@@ -673,11 +697,38 @@ def lsh_visible_dirs(index_dir: str) -> list[str]:
     ]
 
 
+def _lsh_probe_sides(spark: SparkSession, index_dir: str) -> list[DataFrame]:
+    """The read view as join-ready sides: the compacted generation via
+    its BUCKETED catalog table (probe joins consume its (band, sig)
+    distribution — zero index-side exchange), the newer delta dirs as
+    one plain parquet read. Falls back to a plain read of the c-dir
+    when the catalog entry is gone (a fresh session inheriting an
+    index directory) — same rows, the join just shuffles both sides.
+    """
+    sides: list[DataFrame] = []
+    deltas: list[str] = []
+    for p in lsh_visible_dirs(index_dir):
+        name = os.path.basename(p)
+        if name.startswith("c"):
+            tbl = _lsh_gen_table(index_dir, int(name[1:]))
+            sides.append(
+                spark.table(tbl)
+                if spark.catalog.tableExists(tbl)
+                else spark.read.parquet(p)
+            )
+        else:
+            deltas.append(p)
+    if deltas:
+        sides.append(spark.read.parquet(*deltas))
+    return sides
+
+
 def lsh_compact(spark: SparkSession, index_dir: str, batch_id: int) -> None:
     """Fold the current read view into ONE generation ``c{batch_id}``
     (keyed by the high-water batch id, so a replayed compaction
-    overwrites the same dir — idempotent), hash-partitioned by the
-    probe key. Ordering is what makes this crash-safe: the new
+    overwrites the same dir and table — idempotent), written as an
+    external table BUCKETED by the probe key. Ordering is what makes
+    this crash-safe: the new
     generation becomes the read view the moment its ``_SUCCESS`` lands
     (lsh_visible_dirs switches to it atomically), and only THEN are
     superseded dirs deleted — a crash anywhere leaves either the old
@@ -689,11 +740,22 @@ def lsh_compact(spark: SparkSession, index_dir: str, batch_id: int) -> None:
     if not vis:
         return
     out = os.path.join(index_dir, f"c{batch_id}")
+    # The generation is an EXTERNAL BUCKETED table (path = the c-dir,
+    # bucketed+sorted by the probe keys): the probe join then reads it
+    # with its bucketing as the output partitioning, so only the
+    # batch's own bands shuffle — the index side, the one that grows
+    # with the corpus, never does. The repartition puts each bucket's
+    # rows in one task so each bucket is ONE file (SMJ can also skip
+    # the index-side sort).
     (
         spark.read.parquet(*vis)
         .repartition(_LSH_INDEX_BUCKETS, "band", "sig")
         .write.mode("overwrite")
-        .parquet(out)
+        .format("parquet")
+        .bucketBy(_LSH_INDEX_BUCKETS, "band", "sig")
+        .sortBy("band", "sig")
+        .option("path", out)
+        .saveAsTable(_lsh_gen_table(index_dir, batch_id))
     )
     # GC: everything at or below the new high-water mark is superseded
     # (read view already ignores it); best-effort, self-healing — a
@@ -701,6 +763,11 @@ def lsh_compact(spark: SparkSession, index_dir: str, batch_id: int) -> None:
     for e in os.scandir(index_dir):
         m = re.fullmatch(r"([bc])(\d+)", e.name)
         if m and e.path != out and int(m.group(2)) <= batch_id:
+            if m.group(1) == "c":
+                spark.sql(
+                    "DROP TABLE IF EXISTS "
+                    + _lsh_gen_table(index_dir, int(m.group(2)))
+                )
             shutil.rmtree(e.path, ignore_errors=True)
 
 
@@ -731,9 +798,13 @@ def lsh_index_step(
     ).select(
         F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
     )
-    visible = lsh_visible_dirs(index_dir)
-    if visible:
-        idx = spark.read.parquet(*visible)
+    # The read view is probed in (up to) two joins, not one union: the
+    # compacted generation is a bucketed table whose (band, sig)
+    # distribution the join consumes directly — no exchange on the
+    # index side — and a union with the unbucketed delta dirs would
+    # erase that partitioning. Union-of-joins == join-of-unions here
+    # (the join is a plain equi-collision probe).
+    for side in _lsh_probe_sides(spark, index_dir):
         # doc_id inequality makes a REPLAYED batch idempotent: after a
         # crash between the index append and the engine's commit, the
         # replay probes an index already holding this batch's own
@@ -743,7 +814,7 @@ def lsh_index_step(
         # distinct DOES merge). Pinned by
         # tests/test_streaming.py::test_lsh_index_step_emits_pair_in_exactly_one_batch.
         cross = bands.alias("n").join(
-            idx.alias("o"),
+            side.alias("o"),
             (F.col("n.band") == F.col("o.band"))
             & (F.col("n.sig") == F.col("o.sig"))
             & (F.col("n.doc_id") != F.col("o.doc_id")),
@@ -793,12 +864,14 @@ def streaming_lsh_index_candidates(spark: SparkSession, sf_dir: str) -> DataFram
     probe is an equi-join on (band, sig). Per batch, only the NEW
     docs' bands shuffle; nothing corpus-sized is recomputed as the
     corpus grows. Every ``_LSH_COMPACT_EVERY`` appends the per-batch
-    dirs fold into one generation hash-partitioned by (band, sig)
-    (``lsh_compact``), so the file count a probe lists/opens stays
-    bounded instead of growing one dir per micro-batch forever
-    (measured in docs/SCALING_MEASURED.md §F); at cluster scale the
-    generation is a bucketBy table so the index side of the probe
-    never shuffles at all."""
+    dirs fold into one generation (``lsh_compact``) — a BUCKETED
+    catalog table keyed by (band, sig) — so the file count a probe
+    lists/opens stays bounded instead of growing one dir per
+    micro-batch forever (measured in docs/SCALING_MEASURED.md §F),
+    and the probe join consumes the generation's bucketing directly:
+    the index side — the one that grows with the corpus — never
+    shuffles (plan-pinned by
+    test_lsh_compacted_probe_has_no_index_side_exchange)."""
     import shutil
 
     work = tempfile.mkdtemp(prefix="lsh_inc_")
@@ -829,6 +902,7 @@ def streaming_lsh_index_candidates(spark: SparkSession, sf_dir: str) -> DataFram
         .distinct()
         .localCheckpoint()  # sever lineage from the temp dirs
     )
+    lsh_drop_generations(spark, index_dir)
     shutil.rmtree(work, ignore_errors=True)
     return out
 

@@ -816,3 +816,70 @@ def test_lsh_visible_dirs_ignores_incomplete_generation(tmp_path):
     (index / "c4" / "_SUCCESS").touch()
     got = [p.rsplit("/", 1)[1] for p in lsh_visible_dirs(str(index))]
     assert got == ["c4"]
+
+
+def test_lsh_compacted_probe_has_no_index_side_exchange(
+    spark, tmp_path, monkeypatch
+):
+    """The compacted generation is a BUCKETED catalog table and the
+    probe join consumes its (band, sig) bucketing directly: vs the
+    same probe against a plain parquet read of the same directory,
+    the bucketed plan has exactly ONE FEWER exchange (the index
+    side's) and reads the generation as a bucketed scan. The index
+    side is the one that grows with the corpus — at 100 TB it is the
+    side that must never shuffle."""
+    from pyspark.sql import functions as F
+
+    from go_http_data_pipeline_spark.llm.dedup import lsh_bands, shingles_of
+    from go_http_data_pipeline_spark.plans.inspect import (
+        exchange_count,
+        plan_str,
+    )
+    from go_http_data_pipeline_spark.streaming import core
+
+    monkeypatch.setattr(core, "_LSH_COMPACT_EVERY", 2)
+    dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    index_dir = str(tmp_path / "index")
+    cand_dir = str(tmp_path / "cands")
+    core.lsh_index_step(spark, docs([(1, dup)]), 0, index_dir, cand_dir)
+    core.lsh_index_step(spark, docs([(2, dup)]), 1, index_dir, cand_dir)
+
+    sides = core._lsh_probe_sides(spark, index_dir)
+    assert len(sides) == 1, "one compacted generation, no delta dirs"
+    [c_dir] = core.lsh_visible_dirs(index_dir)
+
+    bands = lsh_bands(shingles_of(docs([(3, dup)])))
+
+    def probe(index_side):
+        return bands.alias("n").join(
+            index_side.alias("o"),
+            (F.col("n.band") == F.col("o.band"))
+            & (F.col("n.sig") == F.col("o.sig"))
+            & (F.col("n.doc_id") != F.col("o.doc_id")),
+        )
+
+    # Disable broadcast: at test scale the index is broadcast-sized
+    # and Spark (correctly) broadcasts it; the claim under pin is the
+    # 100 TB shape, where the index side is shuffle-joined unless its
+    # bucketing already satisfies the join's distribution.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bucketed = probe(sides[0])
+        plain = probe(spark.read.parquet(c_dir))
+        assert "SelectedBucketsCount" in plan_str(bucketed)
+        assert "SelectedBucketsCount" not in plan_str(plain)
+        assert exchange_count(bucketed) == exchange_count(plain) - 1, (
+            plan_str(bucketed)
+        )
+        # Same rows either way (the fallback path is correctness-equal).
+        assert sorted(map(tuple, bucketed.collect())) == sorted(
+            map(tuple, plain.collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    core.lsh_drop_generations(spark, index_dir)

@@ -72,6 +72,21 @@ F. **Incremental LSH index vs per-arrival recompute** (round 8): the
    i.e. quadratic total — the difference IS the case for maintaining
    the index.
 
+G. **Hot-key join race** (round 9): the skew story executed — the
+   sf0.1 events fact re-shaped so ONE user_id holds ~half the rows,
+   joined to a per-user dimension with broadcast disabled (the
+   dimension-too-big-to-broadcast scenario where a hot key pins a
+   stage). Three legs, digests asserted equal: unsalted SortMergeJoin
+   with AQE skew-splitting off (the straggler), with AQE
+   skew-splitting on (runtime mitigation; the split is detected
+   structurally — "SortMergeJoin(skew=true)" in the FINAL adaptive
+   plan, never by substring, which the fixture path can spoof), and
+   the explicit ``salted_join`` (planned mitigation — the form that
+   also covers aggregation skew and non-SMJ joins AQE can't touch).
+   Each leg also records the join stage's max/median task duration
+   (UI REST taskSummary): local wall-clock is core-bounded, the task
+   distribution is the cluster-predictive number.
+
 Usage: python tools/scaling_study.py [out_md]
 """
 
@@ -583,6 +598,231 @@ def _compact_every() -> int:
     return core._LSH_COMPACT_EVERY
 
 
+SKEW_HOT_USER = 7  # every hot row remaps to this single user_id
+SKEW_SALTS = 8
+# sf0.1 events is ~100k rows; the straggler only shows once the hot
+# partition's sort dominates task dispatch, so the fact amplifies to
+# ~8M rows with ~half of them on the one hot key.
+SKEW_HOT_COPIES = 8000
+SKEW_BASE_COPIES = 160
+# Written as 16 files: a single-file fixture gives the map side only
+# ~2 input splits on local[4], and the shared scan+shuffle-write cost
+# then swamps the reduce-side straggler the section exists to show.
+SKEW_FILES = 16
+SKEW_DIR = (
+    f"/tmp/skew_events_{SKEW_HOT_COPIES}x{SKEW_BASE_COPIES}_p{SKEW_FILES}"
+)
+
+
+def _build_skew_events(spark) -> None:
+    """A deliberately skewed fact table from sf0.1 events: rows of
+    every 50th user replicate x SKEW_HOT_COPIES and all remap to ONE
+    user_id, the rest replicate x SKEW_BASE_COPIES — one viral key
+    holding ~half of a ~32M-row fact. The disjoint-copy trick of
+    sections B/D keeps values honest; the uniquifier keeps replicated
+    rows distinct so dedup can't hide the skew."""
+    from pyspark.sql import functions as F
+
+    from go_http_data_pipeline_spark.catalog import table
+
+    if os.path.exists(os.path.join(SKEW_DIR, "_SUCCESS")):
+        return
+    ev = table(spark, BIG, "events").select("event_id", "user_id", "value")
+    hot = F.col("user_id") % 50 == 0
+    fact = (
+        ev.withColumn(
+            "copy",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.when(hot, SKEW_HOT_COPIES - 1).otherwise(
+                        SKEW_BASE_COPIES - 1
+                    ),
+                )
+            ),
+        )
+        .select(
+            F.when(hot, F.lit(SKEW_HOT_USER))
+            .otherwise(F.col("user_id"))
+            .alias("user_id"),
+            F.xxhash64("event_id", "copy").alias("uniq"),
+            "value",
+        )
+    )
+    fact.repartition(SKEW_FILES).write.mode("overwrite").parquet(SKEW_DIR)
+
+
+def _skew_race(spark):
+    """Section G: the hot-key join, three ways — unsalted SortMergeJoin
+    with AQE skew-splitting OFF (the straggler), AQE skew-splitting ON
+    (runtime mitigation), and the explicit ``salted_join`` (planned
+    mitigation, the form that also covers aggregations AQE can't
+    touch). Broadcast is disabled: the scenario is a dimension too big
+    to broadcast, which is exactly when a hot fact key pins a stage.
+    AQE's skew thresholds are scaled to the local data size the same
+    way a cluster scales them to executor memory (defaults are 256 MB
+    partitions — nothing local ever crosses them)."""
+    from pyspark.sql import functions as F
+
+    from go_http_data_pipeline_spark.operators.skew import salted_join
+
+    _build_skew_events(spark)
+    fact = spark.read.parquet(SKEW_DIR)
+    n_rows = fact.count()
+    n_hot = fact.filter(F.col("user_id") == SKEW_HOT_USER).count()
+    # The dimension is MATERIALIZED as its own table, not derived from
+    # fact in the same query: OptimizeSkewedJoin only matches
+    # SMJ(Sort(shuffle), Sort(shuffle)) — an aggregate between the
+    # sort and the shuffle (e.g. a distinct() building the dim
+    # inline) silently disqualifies the whole join from splitting,
+    # which is itself worth knowing at scale.
+    dim_dir = SKEW_DIR + "_dim"
+    if not os.path.exists(os.path.join(dim_dir, "_SUCCESS")):
+        fact.select("user_id").distinct().select(
+            "user_id",
+            F.concat(
+                F.lit("tier_"), (F.col("user_id") % 3).cast("string")
+            ).alias("tier"),
+        ).write.mode("overwrite").parquet(dim_dir)
+    dim = spark.read.parquet(dim_dir)
+
+    def digest(joined):
+        """Cheap full-equality surrogate: per-tier count + exact sum."""
+        return sorted(
+            map(
+                tuple,
+                joined.groupBy("tier")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.col("value").cast("decimal(18,4)")).alias("s"),
+                )
+                .collect(),
+            )
+        )
+
+    # Per-task time distribution via the UI REST API: on local[4] the
+    # wall-clock gap is bounded by the core count (a key holding half
+    # the rows caps the win at 2x on 4 cores), but on a wide cluster
+    # the slowest task IS the wall-clock — so the max-vs-median task
+    # duration of the join stage is the number that predicts cluster
+    # behavior, and it is measured, not asserted.
+    ui = spark.sparkContext.uiWebUrl
+    app_id = spark.sparkContext.applicationId
+
+    def _rest(path):
+        import json as _json
+        import urllib.request
+
+        with urllib.request.urlopen(
+            f"{ui}/api/v1/applications/{app_id}{path}", timeout=10
+        ) as r:
+            return _json.load(r)
+
+    def _completed_stages():
+        if not ui:
+            return []
+        try:
+            return _rest("/stages?status=COMPLETE")
+        except Exception:
+            return []
+
+    def _task_skew(before_ids):
+        """(max task s, median task s) of the new stage whose slowest
+        task is slowest overall — the join/reduce stage."""
+        worst = (None, None)
+        for s in _completed_stages():
+            if s["stageId"] in before_ids:
+                continue
+            try:
+                q = _rest(
+                    f"/stages/{s['stageId']}/{s['attemptId']}"
+                    "/taskSummary?quantiles=0.0,0.5,1.0"
+                )
+            except Exception:
+                continue
+            dur = q.get("duration") or []
+            if len(dur) == 3 and (
+                worst[0] is None or dur[2] / 1000.0 > worst[0]
+            ):
+                worst = (round(dur[2] / 1000.0, 2), round(dur[1] / 1000.0, 2))
+        return worst
+
+    def leg(salted: bool, skew_on: bool):
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.enabled", str(skew_on).lower()
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0"
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "2m",
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m"
+        )
+        try:
+            join = (
+                (lambda: salted_join(fact, dim, key="user_id", n_salts=SKEW_SALTS))
+                if salted
+                else (lambda: fact.join(dim, "user_id"))
+            )
+            samples, plans, tasks = [], [], []
+            for _ in range(3):
+                # Execute THIS df's own query execution (toRdd), not a
+                # count() on top: AQE finalizes per-execution, and the
+                # skew-split marker only exists in the FINAL plan of
+                # the execution that ran — a separate count() QE would
+                # leave this one unfinalized and the check would read
+                # the static plan.
+                jdf = join()
+                qe = jdf._jdf.queryExecution()
+                before = {s["stageId"] for s in _completed_stages()}
+                t0 = time.perf_counter()
+                qe.toRdd().count()
+                samples.append(round(time.perf_counter() - t0, 2))
+                plans.append(qe.executedPlan().toString().lower())
+                tasks.append(_task_skew(before))
+            d = digest(join())
+            best = samples.index(min(samples))
+            # Structural split detection: the optimized join prints
+            # "SortMergeJoin(skew=true)" and its shuffle read prints
+            # "AQEShuffleRead skewed". A bare substring like "skew"
+            # is a trap — it matches the fixture's own file PATH in
+            # the FileScan node (found the hard way).
+            split = any(
+                "sortmergejoin(skew=true)" in p or "aqeshuffleread skewed" in p
+                for p in plans
+            )
+            return samples[best], d, split, tasks[best]
+        finally:
+            for k in (
+                "spark.sql.autoBroadcastJoinThreshold",
+                "spark.sql.adaptive.skewJoin.enabled",
+                "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+                "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            ):
+                spark.conf.unset(k)
+
+    t_plain, d_plain, _, k_plain = leg(salted=False, skew_on=False)
+    t_aqe, d_aqe, aqe_split, k_aqe = leg(salted=False, skew_on=True)
+    t_salt, d_salt, _, k_salt = leg(salted=True, skew_on=False)
+    assert d_plain == d_aqe == d_salt, "skew race legs diverge"
+    return (
+        n_rows,
+        n_hot,
+        t_plain,
+        t_aqe,
+        aqe_split,
+        t_salt,
+        k_plain,
+        k_aqe,
+        k_salt,
+    )
+
+
 def main() -> int:
     out_md = sys.argv[1] if len(sys.argv) > 1 else "docs/SCALING_MEASURED.md"
 
@@ -700,7 +940,13 @@ def main() -> int:
 
     spark = (
         SparkSession.builder.master("local[4]")
-        .config("spark.ui.enabled", "false")
+        # UI explicitly ON: §G reads per-task durations from the UI
+        # REST taskSummary endpoint. get_spark() disables the UI and
+        # that conf SURVIVES spark.stop() into the next getOrCreate()
+        # in the same JVM (builder options accumulate), so relying on
+        # the default silently yields uiWebUrl=None and n/a task
+        # columns — it must be forced back on here.
+        .config("spark.ui.enabled", "true")
         .config("spark.sql.shuffle.partitions", "8")
         .getOrCreate()
     )
@@ -721,6 +967,28 @@ def main() -> int:
         f"{round(sum(f_inc_off), 1)}s) | naive per-arrival {f_naive} "
         f"(total {round(sum(f_naive), 1)}s) | probe files on/off "
         f"{f_files_on} vs {f_files_off}"
+    )
+
+    # G. hot-key join race on the same pinned small session (the
+    # straggler question is also a fixed-compute question: one hot
+    # partition pins one of FEW cores).
+    (
+        g_rows,
+        g_hot,
+        g_plain,
+        g_aqe,
+        g_split,
+        g_salt,
+        g_k_plain,
+        g_k_aqe,
+        g_k_salt,
+    ) = _skew_race(spark)
+    print(
+        f"# skew race: {g_rows} rows ({g_hot} on one key) | unsalted "
+        f"{g_plain}s (max/med task {g_k_plain[0]}/{g_k_plain[1]}s) | "
+        f"aqe-split {g_aqe}s (max/med task {g_k_aqe[0]}/{g_k_aqe[1]}s, "
+        f"split fired={g_split}) | salted(x{SKEW_SALTS}) {g_salt}s "
+        f"(max/med task {g_k_salt[0]}/{g_k_salt[1]}s)"
     )
 
     lines = [
@@ -890,6 +1158,45 @@ def main() -> int:
         "quadratic total, and the gap widens with every arrival: at",
         "100 TB with hourly arrivals the naive form is simply not",
         "runnable, which is the case for maintaining the index.",
+        "",
+        "## G. Hot-key join: straggler vs AQE skew-split vs salting (round 9)",
+        "",
+        f"{g_rows} fact rows with {g_hot}",
+        f"({round(100 * g_hot / g_rows)}%) on ONE user_id (sf0.1 events,",
+        "hot users' rows x200 remapped to a single key, written as",
+        f"{SKEW_FILES} files so the shared map side parallelizes),",
+        "joined to a per-user dimension with broadcast DISABLED — the",
+        "scenario is a dimension too big to broadcast, exactly when a",
+        "hot fact key pins a stage. Same pinned small session as F;",
+        "per-tier count+exact-sum digests asserted equal across all",
+        "three legs. AQE skew thresholds scaled to local partition",
+        "sizes (2 MB advisory/threshold, factor 2) the way a cluster",
+        "scales them to executor memory — the 256 MB defaults never",
+        "trigger on local data. Max/median task durations come from",
+        "the join stage via the UI REST taskSummary endpoint.",
+        "",
+        "| leg | wall (s) | max task (s) | median task (s) |",
+        "|---|---|---|---|",
+        f"| unsalted SMJ, skew-split OFF | {g_plain} |"
+        f" {g_k_plain[0]} | {g_k_plain[1]} |",
+        f"| unsalted SMJ, AQE skew-split ON (split in final plan:"
+        f" {g_split}) | {g_aqe} | {g_k_aqe[0]} | {g_k_aqe[1]} |",
+        f"| salted_join (x{SKEW_SALTS} salts), skew-split OFF |"
+        f" {g_salt} | {g_k_salt[0]} | {g_k_salt[1]} |",
+        "",
+        "The wall-clock gap on local[4] is bounded by the core count:",
+        f"a key holding {round(100 * g_hot / g_rows)}% of the rows caps",
+        "the possible win at ~2x on 4 cores, because the balanced legs",
+        "still execute the same total work on the same 4 cores. The",
+        "cluster-predictive number is the TASK distribution: on a wide",
+        "cluster the slowest task IS the stage wall-clock, and the",
+        "straggler leg's max task is the whole hot key on one core",
+        "while both mitigations break it apart (max/median ratio",
+        "above). The explicit pattern (operators/skew.py) still",
+        "matters at scale for what AQE cannot touch: aggregation skew",
+        "and non-SMJ joins; AQE covers the plain SMJ case",
+        "automatically, which is why the engine leaves it ON and",
+        "reserves salting for those shapes.",
         "",
         "Generated by tools/scaling_study.py.",
         "",
