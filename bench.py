@@ -90,7 +90,40 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 _LOCAL_LOG = os.path.join(_HERE, "BENCH_LOCAL.jsonl")
 
 
-def _prev_bench(sf: float) -> dict:
+def _fixture_sig(sf_dir: str) -> str:
+    """Content fingerprint of the fixture generation: md5 over the
+    sorted (name, size) of the parquet files. The driver regenerates
+    /root/testdata between rounds; when the generator's output
+    actually changes, per-query costs legitimately move with the data
+    (round 9: regenerated documents shifted the MinHash shingle
+    volume and minhash_lsh_pairs stepped 0.87 -> 1.23 s with the code
+    untouched — the digest "confirmed" a regression that was really a
+    new corpus). Records from a different generation are a different
+    workload: they can serve as neither baseline nor confirmation
+    seed. Size-based (not mtime) so a byte-identical regeneration
+    keeps history continuity."""
+    import hashlib
+
+    try:
+        entries = sorted(
+            (e.name, e.stat().st_size)
+            for e in os.scandir(sf_dir)
+            if e.name.endswith(".parquet")
+        )
+    except OSError:
+        return "unknown"
+    return hashlib.md5(repr(entries).encode()).hexdigest()[:12]
+
+
+def _same_generation(rec: dict, sig: str) -> bool:
+    """A record is baseline-eligible unless it PROVABLY belongs to a
+    different fixture generation. Sig-less records (pre-round-9) are
+    grandfathered — BENCH_LOCAL.jsonl backfills the known split."""
+    rs = rec.get("fixture_sig")
+    return rs is None or rs == sig
+
+
+def _prev_bench(sf: float, sig: str = "") -> dict:
     """The reference point for per-query deltas: the last full record
     in BENCH_LOCAL.jsonl **at the same scale factor** (a dev run at
     sf0.01 must not become the baseline for a driver run at sf0.1 —
@@ -111,7 +144,11 @@ def _prev_bench(sf: float) -> dict:
             data = json.loads(ln)
         except ValueError:
             continue
-        if isinstance(data.get("queries"), dict) and data.get("sf") == sf:
+        if (
+            isinstance(data.get("queries"), dict)
+            and data.get("sf") == sf
+            and (not sig or _same_generation(data, sig))
+        ):
             data["_path"] = os.path.basename(_LOCAL_LOG)
             return data
     import glob
@@ -135,13 +172,15 @@ def _prev_bench(sf: float) -> dict:
 REGRESSION_THRESH = 1.25  # flag at >25% over the recent-history median
 
 
-def _recent_benches(sf: float, k: int = 5) -> list[dict]:
-    """The last ``k`` same-sf records from BENCH_LOCAL.jsonl, oldest
-    first. Used for the regression baseline: the MEDIAN of a query's
-    recent history, so a single low-bounce record (this box jitters
-    1.12-1.56s on the same plan, VERDICT r5 item 5) can't make the
-    next normal run read as a regression the way a last-record-only
-    delta does."""
+def _recent_benches(sf: float, k: int = 5, sig: str = "") -> list[dict]:
+    """The last ``k`` same-sf, same-fixture-generation records from
+    BENCH_LOCAL.jsonl, oldest first. Used for the regression baseline:
+    the MEDIAN of a query's recent history, so a single low-bounce
+    record (this box jitters 1.12-1.56s on the same plan, VERDICT r5
+    item 5) can't make the next normal run read as a regression the
+    way a last-record-only delta does. Records from a different
+    fixture generation measure a different corpus and are excluded
+    (see _fixture_sig)."""
     try:
         with open(_LOCAL_LOG) as f:
             lines = [ln for ln in f if ln.strip()]
@@ -153,22 +192,42 @@ def _recent_benches(sf: float, k: int = 5) -> list[dict]:
             data = json.loads(ln)
         except ValueError:
             continue
-        if isinstance(data.get("queries"), dict) and data.get("sf") == sf:
+        if (
+            isinstance(data.get("queries"), dict)
+            and data.get("sf") == sf
+            and (not sig or _same_generation(data, sig))
+        ):
             out.append(data)
             if len(out) >= k:
                 break
     return list(reversed(out))
 
 
-def _median_baseline(recent: list[dict]) -> dict[str, float]:
-    """Per-query median time across the recent same-sf records."""
+# A query's flags are meaningless until its same-generation history is
+# deep enough for the median to absorb this box's documented jitter
+# (1.12-1.56x bounces on an unchanged plan): with 2-3 samples, two low
+# bounces ARE the median and a normal run reads as a 1.28x "step"
+# (round 9: lone_late_supplier "confirmed" off a 3-sample baseline
+# whose first two records were 0.64/0.70 in a 0.64-1.0 scatter). After
+# a fixture regeneration resets the history, the digest goes quiet for
+# the first few runs instead of spraying small-sample flags.
+MIN_BASELINE_SAMPLES = 4
+
+
+def _median_baseline(
+    recent: list[dict], min_n: int = 1
+) -> dict[str, float]:
+    """Per-query median time across the recent same-sf records,
+    restricted to queries with at least ``min_n`` history samples."""
     hist: dict[str, list[float]] = {}
     for rec in recent:
         for name, t in rec["queries"].items():
             if t:
                 hist.setdefault(name, []).append(t)
     return {
-        n: sorted(ts)[len(ts) // 2] for n, ts in hist.items()
+        n: sorted(ts)[len(ts) // 2]
+        for n, ts in hist.items()
+        if len(ts) >= min_n
     }
 
 
@@ -258,10 +317,11 @@ def main() -> int:
     cache_build = round(time.perf_counter() - t0, 3)
     print(f"# dedup_cache_build: {cache_build}s", file=sys.stderr)
 
-    prev = _prev_bench(sf)
+    fixture_sig = _fixture_sig(sf_dir)
+    prev = _prev_bench(sf, fixture_sig)
     prev_times: dict = prev.get("queries", {})
-    recent = _recent_benches(sf)
-    baseline = _median_baseline(recent)
+    recent = _recent_benches(sf, sig=fixture_sig)
+    baseline = _median_baseline(recent, MIN_BASELINE_SAMPLES)
 
     times: dict[str, float] = {}
     medians: dict[str, float] = {}
@@ -349,6 +409,7 @@ def main() -> int:
         "flagged_vs_median": flagged,
         "run_median_vs_baseline": run_med,
         "confirmed_regressions": confirmed,
+        "fixture_sig": fixture_sig,
         "dedup_cache_build_sec": cache_build,
         "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
     }

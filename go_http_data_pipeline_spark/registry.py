@@ -40,6 +40,7 @@ _MODULES = (
     "go_http_data_pipeline_spark.functions.extensions",
     "go_http_data_pipeline_spark.pipelines.parity",
     "go_http_data_pipeline_spark.streaming.core",
+    "go_http_data_pipeline_spark.streaming.annindex",
     "go_http_data_pipeline_spark.sources.http_json",
     "go_http_data_pipeline_spark.sources.jdbc",
     "go_http_data_pipeline_spark.llm.dedup",
@@ -122,10 +123,15 @@ _REFRESH = frozenset({"streaming_lsh_index_candidates"})
 #
 # Round 9: the window is exactly 1 refresh + 4 never-checked url
 # queries + the whole 45-row r4-stale tranche (VERDICT r8 items 2+3),
-# so the two round-9 additions (the CDC schema-evolution merge and
-# the streaming decontamination gate) wait for round 10.
+# so the three round-9 additions (the CDC schema-evolution merge, the
+# streaming decontamination gate, and the incremental IVF ANN index)
+# wait for round 10.
 _DEFER = frozenset(
-    {"cdc_merge_schema_evolution", "streaming_contamination_gate"}
+    {
+        "cdc_merge_schema_evolution",
+        "streaming_contamination_gate",
+        "streaming_ivf_index_top1",
+    }
 )
 _DEFER_THROUGH_ROUND = 8  # newest CORRECTNESS round during round 9
 

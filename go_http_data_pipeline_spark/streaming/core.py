@@ -642,133 +642,49 @@ _LSH_COMPACT_EVERY = 4
 _LSH_INDEX_BUCKETS = 8
 
 
-def _lsh_gen_table(index_dir: str, batch_id: int) -> str:
-    """Deterministic catalog name for the compacted generation — keyed
-    by (index location, high-water batch id) so a replayed compaction
-    recreates the SAME table over the SAME path (idempotent), and two
-    concurrent indexes can never collide."""
-    import hashlib
+def _lsh_index(index_dir: str) -> "GenIndex":
+    from .genindex import GenIndex
 
-    h = hashlib.md5(index_dir.encode()).hexdigest()[:10]
-    return f"lsh_gen_{h}_b{batch_id}"
+    return GenIndex(
+        index_dir,
+        bucket_cols=("band", "sig"),
+        n_buckets=_LSH_INDEX_BUCKETS,
+        prefix="lsh_gen",
+    )
+
+
+def _lsh_gen_table(index_dir: str, batch_id: int) -> str:
+    """Catalog name for a compacted generation (see GenIndex.gen_table)."""
+    return _lsh_index(index_dir).gen_table(batch_id)
 
 
 def lsh_drop_generations(spark: SparkSession, index_dir: str) -> None:
     """Drop every catalog entry this index registered (cleanup when
     the index itself is discarded; the data dirs are the caller's)."""
-    import hashlib
-
-    h = hashlib.md5(index_dir.encode()).hexdigest()[:10]
-    for t in spark.catalog.listTables():
-        if t.name.startswith(f"lsh_gen_{h}_"):
-            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+    _lsh_index(index_dir).drop_generations(spark)
 
 
 def lsh_visible_dirs(index_dir: str) -> list[str]:
     """The read view of the band index: the newest COMPLETE compacted
-    generation ``c{HW}`` (``_SUCCESS`` present) plus every per-batch
-    dir ``b{N}`` with ``N > HW``. Everything at or below the
-    high-water mark is superseded — including a ``b{N}`` recreated by
-    a replayed batch after its compaction already folded it, so a
-    replay can never double rows into the view. Superseded dirs are
-    garbage, GC'd by the next compaction; readers never depend on the
-    deletes having happened, which is what makes compaction crash-safe
-    at every step."""
-    import re
-
-    if not os.path.isdir(index_dir):
-        return []
-    c_dirs: dict[int, str] = {}
-    b_dirs: dict[int, str] = {}
-    for e in os.scandir(index_dir):
-        if not e.is_dir():
-            continue
-        m = re.fullmatch(r"([bc])(\d+)", e.name)
-        if not m:
-            continue
-        if m.group(1) == "c":
-            if os.path.exists(os.path.join(e.path, "_SUCCESS")):
-                c_dirs[int(m.group(2))] = e.path
-        else:
-            b_dirs[int(m.group(2))] = e.path
-    hw = max(c_dirs, default=-1)
-    return ([c_dirs[hw]] if hw >= 0 else []) + [
-        p for n, p in sorted(b_dirs.items()) if n > hw
-    ]
+    generation plus newer per-batch dirs (see GenIndex.visible_dirs
+    for the crash-safety argument)."""
+    return _lsh_index(index_dir).visible_dirs()
 
 
 def _lsh_probe_sides(spark: SparkSession, index_dir: str) -> list[DataFrame]:
     """The read view as join-ready sides: the compacted generation via
     its BUCKETED catalog table (probe joins consume its (band, sig)
     distribution — zero index-side exchange), the newer delta dirs as
-    one plain parquet read. Falls back to a plain read of the c-dir
-    when the catalog entry is gone (a fresh session inheriting an
-    index directory) — same rows, the join just shuffles both sides.
-    """
-    sides: list[DataFrame] = []
-    deltas: list[str] = []
-    for p in lsh_visible_dirs(index_dir):
-        name = os.path.basename(p)
-        if name.startswith("c"):
-            tbl = _lsh_gen_table(index_dir, int(name[1:]))
-            sides.append(
-                spark.table(tbl)
-                if spark.catalog.tableExists(tbl)
-                else spark.read.parquet(p)
-            )
-        else:
-            deltas.append(p)
-    if deltas:
-        sides.append(spark.read.parquet(*deltas))
-    return sides
+    one plain parquet read (see GenIndex.probe_sides)."""
+    return _lsh_index(index_dir).probe_sides(spark)
 
 
 def lsh_compact(spark: SparkSession, index_dir: str, batch_id: int) -> None:
-    """Fold the current read view into ONE generation ``c{batch_id}``
-    (keyed by the high-water batch id, so a replayed compaction
-    overwrites the same dir and table — idempotent), written as an
-    external table BUCKETED by the probe key. Ordering is what makes
-    this crash-safe: the new
-    generation becomes the read view the moment its ``_SUCCESS`` lands
-    (lsh_visible_dirs switches to it atomically), and only THEN are
-    superseded dirs deleted — a crash anywhere leaves either the old
-    complete view or the new complete view, never a partial one."""
-    import re
-    import shutil
-
-    vis = lsh_visible_dirs(index_dir)
-    if not vis:
-        return
-    out = os.path.join(index_dir, f"c{batch_id}")
-    # The generation is an EXTERNAL BUCKETED table (path = the c-dir,
-    # bucketed+sorted by the probe keys): the probe join then reads it
-    # with its bucketing as the output partitioning, so only the
-    # batch's own bands shuffle — the index side, the one that grows
-    # with the corpus, never does. The repartition puts each bucket's
-    # rows in one task so each bucket is ONE file (SMJ can also skip
-    # the index-side sort).
-    (
-        spark.read.parquet(*vis)
-        .repartition(_LSH_INDEX_BUCKETS, "band", "sig")
-        .write.mode("overwrite")
-        .format("parquet")
-        .bucketBy(_LSH_INDEX_BUCKETS, "band", "sig")
-        .sortBy("band", "sig")
-        .option("path", out)
-        .saveAsTable(_lsh_gen_table(index_dir, batch_id))
-    )
-    # GC: everything at or below the new high-water mark is superseded
-    # (read view already ignores it); best-effort, self-healing — a
-    # straggler left by a crash is swept by the next compaction.
-    for e in os.scandir(index_dir):
-        m = re.fullmatch(r"([bc])(\d+)", e.name)
-        if m and e.path != out and int(m.group(2)) <= batch_id:
-            if m.group(1) == "c":
-                spark.sql(
-                    "DROP TABLE IF EXISTS "
-                    + _lsh_gen_table(index_dir, int(m.group(2)))
-                )
-            shutil.rmtree(e.path, ignore_errors=True)
+    """Fold the read view into ONE bucketed generation keyed by the
+    high-water batch id (see GenIndex.compact for the crash-safety
+    ordering). The generational machinery is shared with the IVF ANN
+    cell index (streaming/annindex.py) via streaming/genindex.py."""
+    _lsh_index(index_dir).compact(spark, batch_id)
 
 
 def lsh_index_step(

@@ -1,0 +1,183 @@
+"""Incremental IVF ANN index (streaming/annindex.py): the top-1 state
+after N arrivals equals the batch within-cell nearest-neighbor answer,
+later arrivals improve earlier vectors' neighbors, replays are
+idempotent (including the crash-between-state-and-commit skip path),
+and the gate query matches its DuckDB oracle end-to-end (covered by
+tools/check.py; here we pin the step semantics on synthetic geometry).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_http_data_pipeline_spark.streaming import annindex
+
+
+def _cents(spark):
+    """Two orthogonal unit centroids: cell 0 along e1, cell 1 along
+    e2. Vectors [x, y, 0, 0] with x > y land in cell 0."""
+    rows = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "cid long, c_emb array<float>")
+    return df.select(
+        "cid",
+        "c_emb",
+        F.sqrt(
+            F.expr(annindex._DOT.format(a="c_emb", b="c_emb"))
+        ).alias("c_nrm"),
+    )
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _state(spark, state_dir):
+    df = annindex._newest_state(spark, state_dir)
+    return (
+        sorted(map(tuple, df.select("vec_id", "cid", "neighbor_id").collect()))
+        if df is not None
+        else []
+    )
+
+
+def _expected_batch_answer(spark, cents, all_rows):
+    """The batch formulation: per vector, the best same-cell neighbor
+    (max cosine, ties to smaller vec_id) over ALL rows."""
+    feats = annindex.ivf_batch_feats(_batch(spark, all_rows), cents)
+    a, b = feats.alias("n"), feats.alias("o")
+    dot = F.expr(annindex._DOT.format(a="n.embedding", b="o.embedding"))
+    scored = (
+        a.join(
+            b,
+            (F.col("n.cid") == F.col("o.cid"))
+            & (F.col("n.vec_id") != F.col("o.vec_id")),
+        )
+        .select(
+            F.col("n.vec_id").alias("vec_id"),
+            F.col("n.cid").alias("cid"),
+            F.col("o.vec_id").alias("neighbor_id"),
+            (dot / (F.col("n.nrm") * F.col("o.nrm"))).alias("cosine"),
+        )
+    )
+    return sorted(
+        map(
+            tuple,
+            annindex._merge_top1(scored)
+            .select("vec_id", "cid", "neighbor_id")
+            .collect(),
+        )
+    )
+
+
+BATCH0 = [
+    (1, [1.0, 0.1, 0.0, 0.0]),   # cell 0
+    (2, [1.0, 0.4, 0.0, 0.0]),   # cell 0
+    (3, [0.1, 1.0, 0.0, 0.0]),   # cell 1
+]
+BATCH1 = [
+    (4, [1.0, 0.12, 0.0, 0.0]),  # cell 0: nearly parallel to vec 1
+    (5, [0.1, 1.0, 0.01, 0.0]),  # cell 1: nearly parallel to vec 3
+]
+
+
+def _run(spark, tmp_path, batches, monkeypatch=None, every=None):
+    if monkeypatch is not None and every is not None:
+        monkeypatch.setattr(annindex, "_IVF_COMPACT_EVERY", every)
+    index_dir = str(tmp_path / "index")
+    state_dir = str(tmp_path / "state")
+    os.makedirs(state_dir, exist_ok=True)
+    cents = _cents(spark)
+    for i, rows in enumerate(batches):
+        annindex.ivf_index_step(
+            spark,
+            annindex.ivf_batch_feats(_batch(spark, rows), cents),
+            i,
+            index_dir,
+            state_dir,
+        )
+    return index_dir, state_dir, cents
+
+
+def test_state_equals_batch_answer_and_improves_old_vectors(
+    spark, tmp_path, monkeypatch
+):
+    """After two arrivals the state equals the batch answer over the
+    union — which REQUIRES that batch-1 vectors replaced batch-0
+    vectors' neighbors where closer (vec 1's best neighbor becomes 4,
+    vec 3's becomes 5)."""
+    index_dir, state_dir, cents = _run(
+        spark, tmp_path, [BATCH0, BATCH1], monkeypatch, every=2
+    )
+    got = _state(spark, state_dir)
+    assert got == _expected_batch_answer(spark, cents, BATCH0 + BATCH1)
+    by_vec = {v: n for v, _, n in got}
+    assert by_vec[1] == 4 and by_vec[4] == 1  # cross-batch improvement
+    assert by_vec[3] == 5 and by_vec[5] == 3
+    annindex._ivf_index(index_dir).drop_generations(spark)
+
+
+def test_compaction_folds_index_and_preserves_answer(
+    spark, tmp_path, monkeypatch
+):
+    """With _IVF_COMPACT_EVERY=2 the two appends fold into one
+    bucketed generation; the read view is exactly [c1] and a third
+    arrival probed against the compacted index still yields the batch
+    answer."""
+    index_dir, state_dir, cents = _run(
+        spark, tmp_path, [BATCH0, BATCH1], monkeypatch, every=2
+    )
+    idx = annindex._ivf_index(index_dir)
+    vis = [os.path.basename(p) for p in idx.visible_dirs()]
+    assert vis == ["c1"]
+    extra = [(6, [1.0, 0.11, 0.0, 0.0])]  # cell 0, between vecs 1 and 4
+    annindex.ivf_index_step(
+        spark,
+        annindex.ivf_batch_feats(_batch(spark, extra), cents),
+        2,
+        index_dir,
+        state_dir,
+    )
+    got = _state(spark, state_dir)
+    assert got == _expected_batch_answer(
+        spark, cents, BATCH0 + BATCH1 + extra
+    )
+    idx.drop_generations(spark)
+
+
+@pytest.mark.parametrize("crash_point", ["after_commit", "after_state"])
+def test_replay_is_idempotent(spark, tmp_path, monkeypatch, crash_point):
+    """Replaying batch 1 leaves the state byte-identical — both when
+    the whole step completed before the crash (idempotent max absorbs
+    duplicate challengers) and when the crash hit between the state
+    write and the index append (the step detects its own complete
+    state generation and skips straight to the append, never
+    overwriting a directory it is reading)."""
+    index_dir, state_dir, cents = _run(spark, tmp_path, [BATCH0, BATCH1])
+    before = _state(spark, state_dir)
+    if crash_point == "after_state":
+        # Simulate the torn step: the index append never happened.
+        import shutil
+
+        shutil.rmtree(os.path.join(index_dir, "b1"))
+    annindex.ivf_index_step(
+        spark,
+        annindex.ivf_batch_feats(_batch(spark, BATCH1), cents),
+        1,
+        index_dir,
+        state_dir,
+    )
+    assert _state(spark, state_dir) == before
+    assert os.path.exists(os.path.join(index_dir, "b1", "_SUCCESS"))
+    annindex._ivf_index(index_dir).drop_generations(spark)
+
+
+def test_singleton_cell_has_no_neighbor_row(spark, tmp_path):
+    """A vector alone in its cell never receives a state row — same
+    semantics as the oracle's inner join."""
+    lone = [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])]
+    index_dir, state_dir, _ = _run(spark, tmp_path, [lone])
+    assert _state(spark, state_dir) == []
+    annindex._ivf_index(index_dir).drop_generations(spark)

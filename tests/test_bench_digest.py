@@ -76,3 +76,66 @@ def test_one_noisy_record_never_confirms():
     assert base["q"] == 1.0
     flagged_next = 1.05 / base["q"] > bench.REGRESSION_THRESH
     assert not flagged_next  # normal run: no flag, so no confirmation
+
+
+def test_fixture_sig_tracks_content_not_mtime(tmp_path):
+    """Same parquet names+sizes -> same sig (a byte-identical
+    regeneration keeps history continuity); a size change -> new sig."""
+    d = tmp_path / "sf"
+    d.mkdir()
+    (d / "a.parquet").write_bytes(b"x" * 10)
+    (d / "b.parquet").write_bytes(b"y" * 20)
+    s1 = bench._fixture_sig(str(d))
+    import os
+
+    os.utime(d / "a.parquet", (1, 1))  # mtime only
+    assert bench._fixture_sig(str(d)) == s1
+    (d / "a.parquet").write_bytes(b"x" * 11)  # content grew
+    assert bench._fixture_sig(str(d)) != s1
+
+
+def test_recent_benches_fences_other_fixture_generation(tmp_path, monkeypatch):
+    """Records from a different fixture generation measure a different
+    corpus: excluded from the baseline. Sig-less (pre-round-9) records
+    are grandfathered so history isn't orphaned retroactively."""
+    recs = [
+        {"queries": {"q": 1.0}, "sf": 0.1, "ts": "t1"},  # sig-less: kept
+        {"queries": {"q": 5.0}, "sf": 0.1, "ts": "t2", "fixture_sig": "old"},
+        {"queries": {"q": 1.2}, "sf": 0.1, "ts": "t3", "fixture_sig": "new"},
+    ]
+    monkeypatch.setattr(bench, "_LOCAL_LOG", _write_log(tmp_path, recs))
+    got = bench._recent_benches(0.1, sig="new")
+    assert [r["ts"] for r in got] == ["t1", "t3"]
+    # No sig passed -> legacy behavior, everything same-sf kept.
+    assert len(bench._recent_benches(0.1)) == 3
+
+
+def test_prev_bench_skips_other_generation(tmp_path, monkeypatch):
+    """The confirmation seed (previous record) must share the fixture
+    generation — a flag raised against a different corpus cannot
+    confirm a regression on this one."""
+    recs = [
+        {"queries": {"q": 1.0}, "sf": 0.1, "ts": "t1", "fixture_sig": "new"},
+        {"queries": {"q": 9.0}, "sf": 0.1, "ts": "t2", "fixture_sig": "old"},
+    ]
+    monkeypatch.setattr(bench, "_LOCAL_LOG", _write_log(tmp_path, recs))
+    assert bench._prev_bench(0.1, "new")["ts"] == "t1"
+
+
+def test_min_baseline_samples_suppresses_small_sample_flags():
+    """A 3-sample baseline whose first two records are low bounces
+    makes a normal run read as a 1.28x step (the round-9
+    lone_late_supplier false confirmation). Below
+    MIN_BASELINE_SAMPLES the query simply has no baseline — no flag,
+    no confirmation — until history accumulates."""
+    recent = [
+        {"queries": {"q": 0.643}},
+        {"queries": {"q": 0.704}},
+        {"queries": {"q": 0.908}},
+    ]
+    assert bench.MIN_BASELINE_SAMPLES > 3
+    assert bench._median_baseline(recent, bench.MIN_BASELINE_SAMPLES) == {}
+    deep = recent + [{"queries": {"q": 0.902}}]
+    base = bench._median_baseline(deep, bench.MIN_BASELINE_SAMPLES)
+    assert base["q"] == 0.902  # median of 4 absorbs the two bounces
+    assert 0.9 / base["q"] < bench.REGRESSION_THRESH
