@@ -47,6 +47,7 @@ HEADLINE = (
     "cosine_topk_vectorized",   # same oracle, Arrow+numpy matmul path
     "ann_lsh_top1",             # bucketed ANN scale path
     "ivf_ann_top1",             # cluster-pruning ANN (cell-local probe)
+    "pq_ann_top1",              # product-quantization ADC probe
     "text_quality_scores",      # text analysis sweep
     "doc_chunks",               # token-window chunking (zero-shuffle map)
     "winnowing_fingerprints",   # per-doc winnowing in codegen (zero-shuffle)

@@ -202,3 +202,84 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cum_tokens") <= F.col("budget")).alias("selected"),
         )
     )
+
+
+def assign_contiguous_ids(
+    spark: SparkSession, df: DataFrame, key: str
+) -> DataFrame:
+    """Two-phase contiguous-id assignment over ``df`` ordered by the
+    unique ``key``: range-partition and sort within partitions (a
+    distributed sort — every task sorts its own range), take
+    per-partition row counts (one tiny job: P rows to the driver),
+    prefix-sum them into partition offsets, and emit ``offset + local
+    position`` in one Arrow-batched pass. The partitioned data is
+    persisted between the two jobs because range boundaries come from
+    sampling — re-planning could move rows between partitions and
+    desynchronize counts from assignment; at cluster scale the
+    persist is a checkpoint and the collect is P longs, independent
+    of corpus size. Returns ``(out, cached_src)``: ``out`` is the
+    UN-materialized frame (its plan is inspectable — tests pin the
+    absence of Exchange SinglePartition); callers materialize while
+    ``cached_src`` is alive, then unpersist it."""
+    import pandas as pd
+
+    src = (
+        df.select(key)
+        .repartitionByRange(spark.sparkContext.defaultParallelism, key)
+        .sortWithinPartitions(key)
+        .persist()
+    )
+    counts = {
+        r.pid: r.n
+        for r in src.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    with_pid = src.withColumn("pid", F.spark_partition_id())
+
+    def assign(batches):
+        seen, off = 0, None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if off is None:
+                off = offsets[int(pdf["pid"].iloc[0])]
+            start = off + seen
+            yield pd.DataFrame(
+                {
+                    key: pdf[key],
+                    "gid": range(start, start + len(pdf)),
+                }
+            )
+            seen += len(pdf)
+
+    return with_pid.mapInPandas(assign, f"{key} long, gid long"), src
+
+
+@query(
+    "contiguous_global_ids",
+    oracle="""
+    SELECT o_orderkey,
+           ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS gid
+    FROM orders
+    """,
+)
+def contiguous_global_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous 0..N-1 sample ids in global key order — what a data
+    loader needs to address a corpus by position — WITHOUT the
+    single-partition sort the obvious ``row_number() OVER (ORDER BY
+    key)`` costs (one task sorting 100 TB: the canonical scale
+    anti-pattern, pinned absent by tests/test_plans.py). See
+    ``assign_contiguous_ids`` for the two-phase mechanism."""
+    out, src = assign_contiguous_ids(
+        spark, table(spark, sf_dir, "orders"), "o_orderkey"
+    )
+    # Materialize while the persisted partitioning is alive, then
+    # release the cache (localCheckpoint keeps the result stable).
+    result = out.localCheckpoint()
+    src.unpersist()
+    return result

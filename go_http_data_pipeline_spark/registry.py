@@ -45,6 +45,7 @@ _MODULES = (
     "go_http_data_pipeline_spark.sources.jdbc",
     "go_http_data_pipeline_spark.llm.dedup",
     "go_http_data_pipeline_spark.llm.similarity",
+    "go_http_data_pipeline_spark.llm.pq",
     "go_http_data_pipeline_spark.llm.semdedup",
     "go_http_data_pipeline_spark.llm.chunking",
     "go_http_data_pipeline_spark.llm.clustering",
@@ -123,14 +124,19 @@ _REFRESH = frozenset({"streaming_lsh_index_candidates"})
 #
 # Round 9: the window is exactly 1 refresh + 4 never-checked url
 # queries + the whole 45-row r4-stale tranche (VERDICT r8 items 2+3),
-# so the three round-9 additions (the CDC schema-evolution merge, the
-# streaming decontamination gate, and the incremental IVF ANN index)
-# wait for round 10.
+# so the round-9 additions (the CDC schema-evolution merge, the
+# streaming decontamination gate, the incremental IVF ANN index, and
+# the product-quantization suite) wait for round 10.
 _DEFER = frozenset(
     {
         "cdc_merge_schema_evolution",
         "streaming_contamination_gate",
         "streaming_ivf_index_top1",
+        "embedding_pq_codes",
+        "pq_ann_top1",
+        "pq_recall_eval",
+        "contiguous_global_ids",
+        "streaming_scd2_temporal_enrich",
     }
 )
 _DEFER_THROUGH_ROUND = 8  # newest CORRECTNESS round during round 9

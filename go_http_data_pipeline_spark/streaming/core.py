@@ -948,3 +948,86 @@ def streaming_left_outer_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return run_to_memory(spark, out, "stream_left_outer_attrib", "append")
+
+
+_SCD2_VERSIONS = 3
+
+
+@query(
+    "streaming_scd2_temporal_enrich",
+    oracle=f"""
+    WITH b AS (
+        SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx FROM events
+    ),
+    dim AS (
+        SELECT u.user_id, v.v,
+               b.mn + v.v * ((b.mx - b.mn) // {_SCD2_VERSIONS} + 1) AS vf,
+               b.mn + (v.v + 1) * ((b.mx - b.mn) // {_SCD2_VERSIONS} + 1) AS vt,
+               (u.user_id * 31 + v.v) % 5 AS tier
+        FROM (SELECT DISTINCT user_id FROM events) u,
+             (SELECT unnest(generate_series(0, {_SCD2_VERSIONS - 1})) AS v) v,
+             b
+    )
+    SELECT e.event_id, e.user_id, d.v AS version, d.tier
+    FROM events e
+    JOIN dim d ON d.user_id = e.user_id
+        AND epoch_us(e.ts) >= d.vf AND epoch_us(e.ts) < d.vt
+    """,
+)
+def streaming_scd2_temporal_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static TEMPORAL enrichment against an SCD2 dimension:
+    each event resolves the dimension version whose validity interval
+    contains its event time (``valid_from <= ts < valid_to``) — the
+    point-in-time-correct lookup that plain stream-static equi-joins
+    (``streaming_enrich_nation_activity``) get WRONG when the
+    dimension has history: joining today's attributes onto last
+    month's events is temporal leakage, the same bug class training
+    pipelines call feature leakage.
+
+    The dimension here is a deterministic 3-version-per-user tier
+    history derived from the events table's own time range (versions
+    split the range evenly; tier is pure integer arithmetic), so the
+    whole query is oracle-checkable. The join is stateless per event:
+    dimension broadcast, equality on user_id plus two residual range
+    predicates — no stream state, no watermark needed. At 100 TB the
+    dimension is the SCD2 table the writeback path maintains
+    (``employee_salary_history_scd2``); broadcast while it fits, else
+    a bucketed storage join on the key with the interval residual.
+    """
+    from ..catalog import table
+
+    ev_batch = table(spark, sf_dir, "events")
+    us_b = F.unix_micros(F.col("ts").cast("timestamp"))
+    bounds = ev_batch.agg(
+        F.min(us_b).alias("mn"), F.max(us_b).alias("mx")
+    )
+    versions = F.array(*[F.lit(v) for v in range(_SCD2_VERSIONS)])
+    # Integer floor-division step so both engines compute identical
+    # interval boundaries; +1 makes 3*step exceed the range, so every
+    # event falls in exactly one [vf, vt).
+    step = F.expr(f"(mx - mn) div {_SCD2_VERSIONS} + 1")
+    dim = (
+        ev_batch.select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.explode(versions).alias("v"),
+            "mn",
+            "mx",
+        )
+        .select(
+            "user_id",
+            F.col("v").cast("bigint").alias("version"),
+            (F.col("mn") + F.col("v") * step).alias("vf"),
+            (F.col("mn") + (F.col("v") + 1) * step).alias("vt"),
+            ((F.col("user_id") * 31 + F.col("v")) % 5).alias("tier"),
+        )
+    )
+    ev = events_stream(spark, sf_dir)
+    us_e = F.unix_micros(F.col("ts"))
+    joined = ev.join(
+        F.broadcast(dim),
+        (ev.user_id == dim.user_id) & (us_e >= dim.vf) & (us_e < dim.vt),
+    ).select("event_id", ev.user_id.alias("user_id"), "version", "tier")
+    return run_to_memory(spark, joined, "stream_scd2_enrich", "append")

@@ -174,6 +174,59 @@ def test_replay_is_idempotent(spark, tmp_path, monkeypatch, crash_point):
     annindex._ivf_index(index_dir).drop_generations(spark)
 
 
+def test_ivf_compacted_probe_has_no_index_side_exchange(
+    spark, tmp_path, monkeypatch
+):
+    """The GenIndex zero-exchange property holds for the IVF cell
+    index too, not only the LSH twin it was measured on: a probe join
+    against the compacted (cid)-bucketed generation consumes its
+    bucketing (one fewer exchange than the same probe against a plain
+    read of the same directory, same rows). The index side is the one
+    that grows with the corpus — at 100 TB it must never shuffle."""
+    from go_http_data_pipeline_spark.plans.inspect import (
+        exchange_count,
+        plan_str,
+    )
+
+    index_dir, state_dir, cents = _run(
+        spark, tmp_path, [BATCH0, BATCH1], monkeypatch, every=2
+    )
+    idx = annindex._ivf_index(index_dir)
+    sides = idx.probe_sides(spark)
+    assert len(sides) == 1, "one compacted generation, no delta dirs"
+    [c_dir] = idx.visible_dirs()
+
+    probe_feats = annindex.ivf_batch_feats(
+        _batch(spark, [(9, [1.0, 0.2, 0.0, 0.0])]), cents
+    )
+
+    def probe(index_side):
+        return probe_feats.alias("n").join(
+            index_side.alias("o"),
+            (F.col("n.cid") == F.col("o.cid"))
+            & (F.col("n.vec_id") != F.col("o.vec_id")),
+        )
+
+    # Disable broadcast: at test scale the index is broadcast-sized;
+    # the claim under pin is the 100 TB shape where the index side is
+    # shuffle-joined unless its bucketing satisfies the distribution.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bucketed = probe(sides[0])
+        plain = probe(spark.read.parquet(c_dir))
+        assert "SelectedBucketsCount" in plan_str(bucketed)
+        assert exchange_count(bucketed) == exchange_count(plain) - 1, (
+            plan_str(bucketed)
+        )
+        assert sorted(
+            map(tuple, bucketed.select("n.vec_id", "o.vec_id").collect())
+        ) == sorted(map(tuple, plain.select("n.vec_id", "o.vec_id").collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    idx.drop_generations(spark)
+
+
 def test_singleton_cell_has_no_neighbor_row(spark, tmp_path):
     """A vector alone in its cell never receives a state row — same
     semantics as the oracle's inner join."""

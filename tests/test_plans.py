@@ -597,6 +597,9 @@ _BNLJ_ALLOWED: frozenset = frozenset(
         "ann_multiprobe_recall_eval",
         "ivf_ann_top1",
         "ivf_ann_nprobe2",
+        # embeds the brute-force cosine_topk as its exact baseline —
+        # same bounded 10-row query-scan broadcast as ann_recall_eval
+        "pq_recall_eval",
     }
 )
 
@@ -811,3 +814,38 @@ def test_join_strategies_for_key_isolates_one_join(spark, sf_dir):
     assert len(sup) < len(join_strategies(df))
     # A key that appears in no join condition matches nothing.
     assert join_strategies_for_key(df, "no_such_key_anywhere") == []
+
+
+def test_contiguous_global_ids_no_single_partition_sort(spark, sf_dir):
+    """The naive ``row_number() OVER (ORDER BY key)`` funnels the
+    whole table through ONE task (Exchange SinglePartition — asserted
+    present on that shape as the control); the two-phase assignment
+    must instead sort in parallel ranges with no single-partition
+    exchange anywhere, while producing the identical contiguous ids.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from go_http_data_pipeline_spark.catalog import table
+    from go_http_data_pipeline_spark.llm.sharding import (
+        assign_contiguous_ids,
+    )
+
+    naive = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (
+            F.row_number().over(Window.orderBy("o_orderkey")) - 1
+        ).alias("gid"),
+    )
+    assert "Exchange SinglePartition" in plan_str(naive, "simple")
+
+    out, src = assign_contiguous_ids(
+        spark, table(spark, sf_dir, "orders"), "o_orderkey"
+    )
+    try:
+        assert "SinglePartition" not in plan_str(out, "simple")
+        got = sorted(map(tuple, out.collect()))
+    finally:
+        src.unpersist()
+    want = sorted(map(tuple, naive.collect()))
+    assert got == want

@@ -1,0 +1,77 @@
+"""Product quantization (llm/pq.py): code assignment semantics on
+synthetic geometry and the ADC ranking. End-to-end value correctness
+is the DuckDB oracle's job (tools/check.py — all three PQ queries
+hash-checked); here we pin the properties the oracle can't isolate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from go_http_data_pipeline_spark.llm import pq
+
+
+def _codebook(spark, rows):
+    """rows: (code, embedding 64-d). Sliced per subspace like
+    pq._codebook but from synthetic vectors."""
+    subs = F.array(*[F.lit(s) for s in range(pq.M_SUBSPACES)])
+    return (
+        spark.createDataFrame(rows, "code long, embedding array<float>")
+        .select("code", "embedding", F.explode(subs).alias("sub"))
+        .select(
+            "sub",
+            "code",
+            F.expr(
+                f"slice(embedding, sub * {pq.D_SUB} + 1, {pq.D_SUB})"
+            ).alias("c_sub"),
+        )
+    )
+
+
+def _vec(fill, spike_sub=None, spike_val=None):
+    """64-d vector of ``fill``; optionally one subspace overwritten."""
+    v = [fill] * 64
+    if spike_sub is not None:
+        for i in range(pq.D_SUB):
+            v[spike_sub * pq.D_SUB + i] = spike_val
+    return v
+
+
+def test_assign_picks_per_subspace_independently(spark):
+    """A vector near codeword 0 in three subspaces and near codeword 1
+    in the spiked one gets mixed codes — the property that makes PQ's
+    effective vocabulary K^M, not K."""
+    cb = _codebook(spark, [(0, _vec(0.1)), (1, _vec(0.4))])
+    corpus = spark.createDataFrame(
+        [(7, _vec(0.11, spike_sub=2, spike_val=0.39))],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r.sub, r.code)
+        for r in pq.pq_assign(corpus, cb).select("sub", "code").collect()
+    }
+    assert got == {(0, 0), (1, 0), (2, 1), (3, 0)}
+
+
+def test_assign_tie_breaks_to_smaller_code(spark):
+    """Two identical codewords: the assignment is deterministic (the
+    smaller code id), which is what keeps codes hash-stable across
+    engines and partitionings."""
+    cb = _codebook(spark, [(3, _vec(0.2)), (5, _vec(0.2))])
+    corpus = spark.createDataFrame(
+        [(1, _vec(0.25))], "vec_id long, embedding array<float>"
+    )
+    codes = pq.pq_assign(corpus, cb).select("code").distinct().collect()
+    assert [r.code for r in codes] == [3]
+
+
+def test_exact_codeword_match_has_zero_distortion(spark):
+    """A corpus vector equal to a codeword reports sq_dist 0 in every
+    subspace — the calibration signal's fixed point."""
+    cb = _codebook(spark, [(0, _vec(0.1)), (1, _vec(0.4))])
+    corpus = spark.createDataFrame(
+        [(9, _vec(0.4))], "vec_id long, embedding array<float>"
+    )
+    rows = pq.pq_assign(corpus, cb).collect()
+    assert len(rows) == pq.M_SUBSPACES
+    assert all(r.code == 1 and r.d2 == 0 for r in rows)

@@ -652,6 +652,80 @@ def _build_skew_events(spark) -> None:
     fact.repartition(SKEW_FILES).write.mode("overwrite").parquet(SKEW_DIR)
 
 
+GID_ROWS_TARGET = 6_000_000
+GID_FILES = 16
+GID_DIR = f"/tmp/gid_keys_{GID_ROWS_TARGET}_p{GID_FILES}"
+
+
+def _build_gid_keys(spark) -> None:
+    """~6M unique, non-contiguous bigint keys from sf0.1 orders
+    (o_orderkey x a disjoint copy offset), written as multiple files
+    so both legs' scans parallelize identically."""
+    from pyspark.sql import functions as F
+
+    from go_http_data_pipeline_spark.catalog import table
+
+    if os.path.exists(os.path.join(GID_DIR, "_SUCCESS")):
+        return
+    orders = table(spark, BIG, "orders").select("o_orderkey")
+    n = orders.count()
+    copies = max(1, GID_ROWS_TARGET // n)
+    keys = orders.withColumn(
+        "copy", F.explode(F.sequence(F.lit(0), F.lit(copies - 1)))
+    ).select((F.col("o_orderkey") * copies + F.col("copy")).alias("k"))
+    keys.repartition(GID_FILES).write.mode("overwrite").parquet(GID_DIR)
+
+
+def _gid_race(spark):
+    """Section H: contiguous global-id assignment, two ways — the
+    naive ``row_number() OVER (ORDER BY k)`` (every row through ONE
+    task's sort) vs the two-phase range-partition + offsets form the
+    registry ships (``assign_contiguous_ids``). Run on the pinned
+    small session for the same reason as F/G: the question is fixed
+    compute + a growing corpus. Digests asserted equal first."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from go_http_data_pipeline_spark.llm.sharding import (
+        assign_contiguous_ids,
+    )
+
+    _build_gid_keys(spark)
+    src = spark.read.parquet(GID_DIR)
+    n_rows = src.count()
+
+    def digest(df):
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(k, gid))").alias("x"),
+        ).collect()[0]
+
+    def naive():
+        return src.select(
+            "k",
+            (F.row_number().over(Window.orderBy("k")) - 1)
+            .cast("bigint")
+            .alias("gid"),
+        )
+
+    def two_phase():
+        out, cached = assign_contiguous_ids(spark, src, "k")
+        d = digest(out)
+        cached.unpersist()
+        return d
+
+    t0 = time.perf_counter()
+    d_naive = digest(naive())
+    t_naive = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    d_two = two_phase()
+    t_two = round(time.perf_counter() - t0, 2)
+    assert (d_naive.n, d_naive.x) == (d_two.n, d_two.x), (
+        "gid formulations diverge"
+    )
+    return n_rows, t_naive, t_two
+
+
 def _skew_race(spark):
     """Section G: the hot-key join, three ways — unsalted SortMergeJoin
     with AQE skew-splitting OFF (the straggler), AQE skew-splitting ON
@@ -1000,8 +1074,15 @@ def main() -> int:
         f"(max/med task {g_k_salt[0]}/{g_k_salt[1]}s)"
     )
 
+    # H. contiguous-id race on the same pinned small session.
+    h_rows, h_naive, h_two = _gid_race(spark)
+    print(
+        f"# gid race: {h_rows} rows | naive single-partition "
+        f"{h_naive}s | two-phase {h_two}s"
+    )
+
     lines = [
-        "# SCALING — measured scale-stress evidence (rounds 5-8)",
+        "# SCALING — measured scale-stress evidence (rounds 5-9)",
         "",
         "Method: every time is min-of-%d (the bench discipline: this"
         % max(1, REPEATS),
@@ -1213,6 +1294,31 @@ def main() -> int:
         "and non-SMJ joins; AQE covers the plain SMJ case",
         "automatically, which is why the engine leaves it ON and",
         "reserves salting for those shapes.",
+        "",
+        "## H. Contiguous global ids: naive global sort vs two-phase"
+        " (round 9)",
+        "",
+        f"{h_rows} unique keys (sf0.1 orders x disjoint copies,"
+        f" {GID_FILES} files);",
+        "count + bit_xor(xxhash64(k, gid)) digests asserted equal",
+        "first. Same pinned local[4] session as F/G.",
+        "",
+        "| plan | wall (s) |",
+        "|---|---|",
+        f"| naive row_number() OVER (ORDER BY k) — Exchange"
+        f" SinglePartition | {h_naive} |",
+        f"| two-phase (range partition + offsets,"
+        f" assign_contiguous_ids) | {h_two} |",
+        "",
+        f"{round(h_naive / max(h_two, 0.01), 2)}x on 4 cores — and the",
+        "gap is structural, not a constant: the naive plan funnels",
+        "every row through ONE task's sort buffer (its time tracks",
+        "corpus size on a single core, and at 100 TB one task cannot",
+        "even hold the data), while the two-phase form's per-task work",
+        "shrinks as executors scale out and its only global state is P",
+        "partition counts on the driver. The plan shape is pinned by",
+        "tests/test_plans.py: the naive control MUST contain Exchange",
+        "SinglePartition, the shipped form must not, outputs equal.",
         "",
         "Generated by tools/scaling_study.py.",
         "",
