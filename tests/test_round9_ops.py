@@ -186,3 +186,43 @@ def test_normal_runs_still_confirm_genuine_regressions():
     assert bench._confirmed_regressions(flagged, 1.0, prev, baseline) == [
         "q0"
     ]
+
+
+# ------------------------------------- SCD2 temporal enrich boundaries
+
+
+def test_scd2_boundary_event_resolves_to_newer_version(spark, sf_dir):
+    """Interval semantics are half-open ([vf, vt)): an event whose
+    timestamp equals a version boundary must resolve to the version
+    STARTING there, never the one ending there — and every event must
+    resolve to exactly one version (the leakage-free property the
+    query exists for)."""
+    from pyspark.sql import functions as F
+
+    from go_http_data_pipeline_spark.catalog import table
+    from go_http_data_pipeline_spark.streaming.core import (
+        _SCD2_VERSIONS,
+        streaming_scd2_temporal_enrich,
+    )
+
+    out = streaming_scd2_temporal_enrich(spark, str(sf_dir))
+    ev = table(spark, str(sf_dir), "events")
+    # exactly one version per event
+    assert out.count() == ev.count()
+    assert out.select("event_id").distinct().count() == ev.count()
+    # recompute the boundaries the query derives and check that any
+    # event landing exactly ON a boundary got the newer version
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    b = ev.agg(F.min(us).alias("mn"), F.max(us).alias("mx")).collect()[0]
+    step = (b.mx - b.mn) // _SCD2_VERSIONS + 1
+    joined = out.join(
+        ev.select("event_id", us.alias("us")), "event_id"
+    ).collect()
+    on_boundary = 0
+    for r in joined:
+        expected = (r.us - b.mn) // step
+        assert r.version == expected, (r.event_id, r.version, expected)
+        if (r.us - b.mn) % step == 0 and r.version > 0:
+            on_boundary += 1
+        # tier is pure arithmetic on (user_id, version)
+        assert r.tier == (r.user_id * 31 + r.version) % 5
