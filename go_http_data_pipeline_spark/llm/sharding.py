@@ -208,56 +208,52 @@ def assign_contiguous_ids(
     spark: SparkSession, df: DataFrame, key: str
 ) -> DataFrame:
     """Two-phase contiguous-id assignment over ``df`` ordered by the
-    unique ``key``: range-partition and sort within partitions (a
-    distributed sort — every task sorts its own range), take
-    per-partition row counts (one tiny job: P rows to the driver),
-    prefix-sum them into partition offsets, and emit ``offset + local
-    position`` in one Arrow-batched pass. The partitioned data is
-    persisted between the two jobs because range boundaries come from
-    sampling — re-planning could move rows between partitions and
-    desynchronize counts from assignment; at cluster scale the
+    unique ``key``: range-partition and sort within partitions (ONE
+    distributed shuffle — every task sorts its own key range), stamp
+    each row with ``monotonically_increasing_id()`` (range id in the
+    upper bits, in-partition position in the lower 33 — assigned in
+    the sorted iteration order, so it encodes (which range, position
+    within range) with zero further data movement), take per-range
+    row counts (one tiny job: P rows to the driver), prefix-sum them
+    into range offsets, and emit ``offset + position`` as a broadcast
+    join + bit arithmetic — map-side codegen, no second shuffle.
+    (Two rejected forms, measured in SCALING_MEASURED.md §H's
+    history: an Arrow/``mapInPandas`` pass paid an O(N) Python
+    round-trip, and a window over the range id paid a second full
+    shuffle; both erased the parallelism win locally.) The stamped
+    data is persisted between the two jobs because range boundaries
+    come from sampling — re-planning could move rows between ranges
+    and desynchronize counts from assignment; at cluster scale the
     persist is a checkpoint and the collect is P longs, independent
     of corpus size. Returns ``(out, cached_src)``: ``out`` is the
     UN-materialized frame (its plan is inspectable — tests pin the
     absence of Exchange SinglePartition); callers materialize while
     ``cached_src`` is alive, then unpersist it."""
-    import pandas as pd
-
     src = (
         df.select(key)
         .repartitionByRange(spark.sparkContext.defaultParallelism, key)
         .sortWithinPartitions(key)
+        .withColumn("mid", F.monotonically_increasing_id())
         .persist()
     )
+    pid = F.shiftright("mid", 33)
+    pos = F.col("mid").bitwiseAND((1 << 33) - 1)
     counts = {
         r.pid: r.n
-        for r in src.groupBy(F.spark_partition_id().alias("pid"))
+        for r in src.groupBy(pid.alias("pid"))
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    with_pid = src.withColumn("pid", F.spark_partition_id())
-
-    def assign(batches):
-        seen, off = 0, None
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            if off is None:
-                off = offsets[int(pdf["pid"].iloc[0])]
-            start = off + seen
-            yield pd.DataFrame(
-                {
-                    key: pdf[key],
-                    "gid": range(start, start + len(pdf)),
-                }
-            )
-            seen += len(pdf)
-
-    return with_pid.mapInPandas(assign, f"{key} long, gid long"), src
+    offsets, acc = [], 0
+    for p in sorted(counts):
+        offsets.append((p, acc))
+        acc += counts[p]
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "pid long, off long")
+    out = src.join(F.broadcast(off_df), pid == F.col("pid")).select(
+        key,
+        (F.col("off") + pos).alias("gid"),
+    )
+    return out, src
 
 
 @query(
