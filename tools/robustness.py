@@ -42,6 +42,14 @@ REPRESENTATIVE = [
     "sql_api_components_recursive", "data_quality_checks", "column_profile",
     "cosine_topk", "sessionize_events", "retention_cohorts",
     "token_budget_selection", "source_mixture_weights",
+    # round 9: the PQ family (integer-exact codes/ADC must not move
+    # with parallelism) and the contiguous-id assignment, whose range
+    # count P CHANGES across these sessions (local[3] vs local[8]) —
+    # partition invariance here means the ids survive a different
+    # partitioning of the same corpus, the strongest form of the
+    # two-phase design's correctness claim.
+    "embedding_pq_codes", "pq_ann_top1", "pq_recall_eval",
+    "contiguous_global_ids",
 ]
 
 
