@@ -66,11 +66,13 @@ from pyspark.sql import functions as F
 from ..catalog import table
 from ..registry import query
 from .similarity import (
+    _CENTS_SQL,
     _COSINE_TOPK_ORACLE,
     _NORMS_SQL,
     N_QUERIES,
     _spread,
     cosine_topk,
+    ivf_assign_cached,
     vector_norms,
 )
 
@@ -351,8 +353,9 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PQ_TOP1_ORACLE = f"""
-    WITH {_NORMS_SQL}, {_PQ_CODES_SQL},
+# Per-query ADC lookup table + codeword reconstructed norms, shared by
+# the corpus-wide and the IVF-cell-restricted probes.
+_PQ_LUT_SQL = f"""
     lut AS (
         SELECT q.vec_id AS qid, b.sub, b.code,
                CAST(CAST(SUM({_q(f"q.embedding[b.sub * {D_SUB} + b.i]")}
@@ -367,7 +370,12 @@ _PQ_TOP1_ORACLE = f"""
                CAST(CAST(SUM(md * md) AS BIGINT) AS DOUBLE) AS pn2
         FROM pq_cb
         GROUP BY sub, code
-    ),
+    )
+"""
+
+_PQ_TOP1_ORACLE = f"""
+    WITH {_NORMS_SQL}, {_PQ_CODES_SQL},
+    {_PQ_LUT_SQL},
     adc AS (
         SELECT l.qid, p.vec_id, SUM(l.pdot) AS adot, SUM(n.pn2) AS rn2
         FROM pq_codes p
@@ -391,20 +399,14 @@ _PQ_TOP1_ORACLE = f"""
     """
 
 
-@query("pq_ann_top1", oracle=_PQ_TOP1_ORACLE)
-def pq_ann_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ ANN by asymmetric distance computation: each query's RAW
-    subvectors are dotted against every trained codeword once (a
-    16xK-entry LUT per query, broadcast), then a corpus vector's
-    approximate cosine is 16 LUT lookups summed over its codes,
-    normalized by the query norm and the RECONSTRUCTED corpus norm —
-    the corpus's raw floats are never read at probe time, which is
-    the whole point at 100 TB. Top-1 per query, ties to the smaller
-    vec_id; the ranking divides by sqrt(rn2) only (the per-qid query
-    norm is a positive constant, so it cannot reorder)."""
+def _adc_inputs(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The three broadcast-sized ADC probe inputs: the per-query
+    lookup table (qid, sub, code, pdot) — RAW query subvectors dotted
+    against every trained codeword once — the codeword reconstructed
+    norms (sub, code, pn2), and the query norms (qid, q_nrm)."""
     cb = trained_codebook(spark, sf_dir)
-    codes = _codes_cached(spark, sf_dir)
-
     q_sub = _sub_slices(
         table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < N_QUERIES)
     ).withColumnRenamed("vec_id", "qid").withColumnRenamed("e_sub", "q_sub")
@@ -422,6 +424,22 @@ def pq_ann_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") < N_QUERIES)
         .select(F.col("vec_id").alias("qid"), F.col("nrm").alias("q_nrm"))
     )
+    return lut, cn2, q_norms
+
+
+@query("pq_ann_top1", oracle=_PQ_TOP1_ORACLE)
+def pq_ann_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN by asymmetric distance computation: each query's RAW
+    subvectors are dotted against every trained codeword once (a
+    16xK-entry LUT per query, broadcast), then a corpus vector's
+    approximate cosine is 16 LUT lookups summed over its codes,
+    normalized by the query norm and the RECONSTRUCTED corpus norm —
+    the corpus's raw floats are never read at probe time, which is
+    the whole point at 100 TB. Top-1 per query, ties to the smaller
+    vec_id; the ranking divides by sqrt(rn2) only (the per-qid query
+    norm is a positive constant, so it cannot reorder)."""
+    codes = _codes_cached(spark, sf_dir)
+    lut, cn2, q_norms = _adc_inputs(spark, sf_dir)
 
     adc = (
         codes.join(F.broadcast(lut), ["sub", "code"])
@@ -479,4 +497,93 @@ def pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "approx_cosine",
         F.col("rank").alias("brute_rank"),
         F.when(F.col("rank").isNotNull(), 1).otherwise(0).alias("in_top5"),
+    )
+
+
+# --- IVF x PQ composite ---------------------------------------------------
+# The deployment shape docs/ANN_COMPARISON.md points at: IVF prunes the
+# candidate set to the query's cell, PQ compresses what remains to be
+# scored. At 100 TB a probe then touches 1/K of a 16-bytes-per-vector
+# codes table — pruning AND compression compose multiplicatively, and
+# neither the raw floats nor out-of-cell codes are read.
+
+_IVF_PQ_TOP1_ORACLE = f"""
+    WITH {_NORMS_SQL}, {_CENTS_SQL}, {_PQ_CODES_SQL},
+    {_PQ_LUT_SQL},
+    adc AS (
+        SELECT l.qid, aq.cid, p.vec_id,
+               SUM(l.pdot) AS adot, SUM(n.pn2) AS rn2
+        FROM pq_codes p
+        JOIN cassign ae ON ae.vec_id = p.vec_id
+        JOIN cassign aq ON aq.cid = ae.cid AND aq.vec_id < {N_QUERIES}
+        JOIN lut l ON l.qid = aq.vec_id AND l.sub = p.sub AND l.code = p.code
+        JOIN cn2 n ON n.sub = p.sub AND n.code = p.code
+        WHERE p.vec_id <> aq.vec_id
+        GROUP BY l.qid, aq.cid, p.vec_id
+    )
+    SELECT a.qid, a.cid, a.vec_id AS neighbor_id,
+           a.adot / sqrt(a.rn2) / qn.nrm AS approx_cosine
+    FROM (
+        SELECT qid, cid, vec_id, adot, rn2,
+               ROW_NUMBER() OVER (
+                   PARTITION BY qid
+                   ORDER BY adot / sqrt(rn2) DESC, vec_id
+               ) AS rn
+        FROM adc
+    ) a
+    JOIN norms qn ON qn.vec_id = a.qid
+    WHERE a.rn = 1
+    """
+
+
+@query("ivf_pq_ann_top1", oracle=_IVF_PQ_TOP1_ORACLE)
+def ivf_pq_ann_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF x PQ ANN: prune to the query's IVF cell, then score ONLY
+    that cell's PQ codes by asymmetric distance — the composition a
+    real deployment runs (FAISS's IVFPQ layout). The probe joins the
+    query's (cid, LUT) against the codes-with-cell index table, so it
+    reads 1/K of 16 bytes/vector and nothing else; on a cluster the
+    codes table is stored bucketed by cid (the GenIndex layout), so
+    the cell restriction is partition pruning, not a filter. Top-1
+    per query, ranked by reconstructed cosine, ties to the smaller
+    vec_id. Recall sits between raw PQ (which scores everything) and
+    raw IVF (which scores exact floats): docs/ANN_COMPARISON.md
+    tabulates all the families on one corpus."""
+    codes = _codes_cached(spark, sf_dir)
+    assign = ivf_assign_cached(spark, sf_dir)
+    # The IVFPQ index: every vector's 16 codes tagged with its cell.
+    # (vec_id-equi join here; bucketed-by-cid storage on a cluster.)
+    cell_codes = codes.join(assign, "vec_id")
+
+    lut, cn2, q_norms = _adc_inputs(spark, sf_dir)
+    q_cell = assign.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), "cid"
+    )
+    # LUT rows gain the query's cell: the join key against the index
+    # becomes (cid, sub, code) — cell restriction and code lookup in
+    # ONE broadcast hash join.
+    lut_cell = lut.join(F.broadcast(q_cell), "qid")
+
+    adc = (
+        cell_codes.join(F.broadcast(lut_cell), ["cid", "sub", "code"])
+        .join(F.broadcast(cn2), ["sub", "code"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "cid", "vec_id")
+        .agg(F.sum("pdot").alias("adot"), F.sum("pn2").alias("rn2"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        (F.col("adot") / F.sqrt("rn2")).desc(), F.col("vec_id")
+    )
+    return (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(F.broadcast(q_norms), "qid")
+        .select(
+            "qid",
+            "cid",
+            F.col("vec_id").alias("neighbor_id"),
+            (F.col("adot") / F.sqrt("rn2") / F.col("q_nrm")).alias(
+                "approx_cosine"
+            ),
+        )
     )

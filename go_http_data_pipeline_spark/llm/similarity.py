@@ -671,6 +671,19 @@ def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivf_assign_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus's (vec_id, cid) cell assignment, persisted per
+    (session, fixture) — the inverted-file index table a deployment
+    materializes once and probes many times. Shared by the IVF
+    probes here and the IVF x PQ composite (``llm/pq.py``)."""
+    key = ("ivf", spark.sparkContext.applicationId, sf_dir)
+    assign = _FEATS_CACHE.get(key)
+    if assign is None:
+        assign = ivf_assignments(spark, sf_dir).persist()
+        _FEATS_CACHE[key] = assign
+    return assign
+
+
 @query(
     "ivf_ann_top1",
     oracle=f"""
@@ -708,11 +721,7 @@ def ivf_ann_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     touches 1/K of the data; nprobe>1 generalizes by unioning cells.
     Complements ``ann_lsh_top1`` (hash buckets) with the
     cluster-pruning family."""
-    key = ("ivf", spark.sparkContext.applicationId, sf_dir)
-    assign = _FEATS_CACHE.get(key)
-    if assign is None:
-        assign = ivf_assignments(spark, sf_dir).persist()
-        _FEATS_CACHE[key] = assign
+    assign = ivf_assign_cached(spark, sf_dir)
     emb = _spread(spark, table(spark, sf_dir, "embeddings"))
     feats = emb.join(assign, "vec_id").select(
         "vec_id",

@@ -137,6 +137,7 @@ _DEFER = frozenset(
         "pq_recall_eval",
         "contiguous_global_ids",
         "streaming_scd2_temporal_enrich",
+        "ivf_pq_ann_top1",
     }
 )
 _DEFER_THROUGH_ROUND = 8  # newest CORRECTNESS round during round 9

@@ -108,3 +108,47 @@ def test_lloyd_refinement_never_increases_distortion(spark, sf_dir):
     # and strictly better on this corpus (the seeds were measured
     # useless; equality would mean the training did nothing)
     assert trained_sse < seed_sse
+
+
+def test_ivf_pq_neighbor_is_in_query_cell(spark, sf_dir):
+    """The composite's pruning contract: every reported neighbor
+    shares the query's IVF cell (the probe never scored anything
+    else), and the reported cid IS the query's cell id."""
+    from go_http_data_pipeline_spark.llm.similarity import ivf_assign_cached
+
+    assign = {r.vec_id: r.cid for r in ivf_assign_cached(spark, sf_dir).collect()}
+    rows = pq.ivf_pq_ann_top1(spark, sf_dir).collect()
+    assert rows, "composite returned no neighbors"
+    for r in rows:
+        assert r.cid == assign[r.qid]
+        assert assign[r.neighbor_id] == r.cid
+
+
+def test_ivf_pq_agrees_with_raw_pq_when_pq_top1_is_in_cell(spark, sf_dir):
+    """Where corpus-wide PQ's winner already lives in the query's
+    cell, cell restriction cannot change the answer: the composite
+    must report the same neighbor and the same approx_cosine (the
+    scoring arithmetic is shared, only the candidate set shrinks)."""
+    from go_http_data_pipeline_spark.llm.similarity import ivf_assign_cached
+
+    assign = {r.vec_id: r.cid for r in ivf_assign_cached(spark, sf_dir).collect()}
+    raw = {r.qid: r for r in pq.pq_ann_top1(spark, sf_dir).collect()}
+    comp = {r.qid: r for r in pq.ivf_pq_ann_top1(spark, sf_dir).collect()}
+    agree = 0
+    for qid, r in raw.items():
+        if assign[r.neighbor_id] == assign[qid]:
+            assert comp[qid].neighbor_id == r.neighbor_id
+            assert comp[qid].approx_cosine == r.approx_cosine
+            agree += 1
+    assert agree > 0, "fixture degenerate: no PQ winner in its query's cell"
+
+
+def test_ivf_pq_probe_plan_is_broadcast_only(spark, sf_dir):
+    """The probe-side joins (LUT/cn2/q_norms, all control-plane
+    size) are broadcast-hash and nothing is a cartesian product. The
+    one non-broadcast join allowed is codes x cell-assignment — the
+    index-tagging join that bucketed-by-cid storage replaces on a
+    cluster."""
+    plan = pq.ivf_pq_ann_top1(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
