@@ -1,13 +1,15 @@
-"""Three ANN index families, one corpus, one table: measured recall
+"""The ANN index families (and their composition), one corpus, one
+table: measured recall
 vs probe cost vs candidate volume at sf0.1.
 
-The engine ships three approximate-nearest-neighbor scale paths over
+The engine ships four approximate-nearest-neighbor scale paths over
 the same `embeddings` corpus — hyperplane-LSH buckets, IVF cells, and
-product quantization with asymmetric-distance probes — each already
+product quantization with asymmetric-distance probes, and the
+IVF x PQ composition — each already
 oracle-checked for exact values. What the per-query correctness gate
 canNOT show is the ENGINEERING trade each family makes: how much of
 the corpus a probe touches, what that costs in wall-clock, and how
-much recall the pruning gives up. This script measures all three on
+much recall the pruning gives up. This script measures them all on
 the same fixture and writes docs/ANN_COMPARISON.md.
 
 Columns:
@@ -162,6 +164,12 @@ def main() -> int:
         ("IVF", "ivf_ann_top1 (1 cell)", sim.ivf_ann_top1, ivf_cand),
         ("IVF", "ivf_ann_nprobe2 (2 cells)", sim.ivf_ann_nprobe2, ivf2_cand),
         ("PQ", "pq_ann_top1 (ADC, 16 lookups/score)", pqm.pq_ann_top1, n_corpus - 1),
+        (
+            "IVFPQ",
+            "ivf_pq_ann_top1 (1 cell, ADC)",
+            pqm.ivf_pq_ann_top1,
+            ivf_cand,
+        ),
     ]
 
     rows = []
@@ -195,7 +203,7 @@ def main() -> int:
         print(f"# {label}: {t}s cand={rows[-1][3]} in5={in5} top1={is1}")
 
     lines = [
-        "# ANN — three index families measured on one corpus",
+        "# ANN — the index families measured on one corpus",
         "",
         f"{n_corpus} vectors (sf0.1), {n_q} demo queries; probe time is",
         f"min-of-{REPEATS} on local[32] with warm feature/code caches",
@@ -225,6 +233,13 @@ def main() -> int:
         "  whose probe cost scales with the CODES table (16 bytes/vector),",
         "  not the embedding table — and it composes with IVF (score",
         "  only the cell, with codes) in a real deployment.",
+        "- **IVFPQ** is that composition, shipped: prune to the query's",
+        "  cell, score the survivors from codes. Candidates match the",
+        "  IVF row; bytes-touched match PQ's 16/vector on just that",
+        "  cell — pruning x compression, the FAISS-style deployment",
+        "  default. Its recall is bounded above by BOTH parents: it",
+        "  can only find what the cell contains, scored only as well",
+        "  as the codes allow.",
         "- The exact row is the baseline every family's recall is gated",
         "  against in the registry (`ann_recall_eval`,",
         "  `ann_multiprobe_recall_eval`, `pq_recall_eval`).",
