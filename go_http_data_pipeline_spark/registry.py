@@ -125,8 +125,10 @@ _REFRESH = frozenset({"streaming_lsh_index_candidates"})
 # Round 9: the window is exactly 1 refresh + 4 never-checked url
 # queries + the whole 45-row r4-stale tranche (VERDICT r8 items 2+3),
 # so the round-9 additions (the CDC schema-evolution merge, the
-# streaming decontamination gate, the incremental IVF ANN index, and
-# the product-quantization suite) wait for round 10.
+# streaming decontamination gate, the incremental IVF ANN index, the
+# product-quantization suite, and the IVF x PQ composite) wait for
+# round 10: 9 new + the 41-row r5-stale tranche = exactly the next
+# 50-slot window.
 _DEFER = frozenset(
     {
         "cdc_merge_schema_evolution",

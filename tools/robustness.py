@@ -50,6 +50,9 @@ REPRESENTATIVE = [
     # two-phase design's correctness claim.
     "embedding_pq_codes", "pq_ann_top1", "pq_recall_eval",
     "contiguous_global_ids",
+    # the IVF x PQ composite (cell restriction must not interact with
+    # partitioning; added in round 9's final session)
+    "ivf_pq_ann_top1",
 ]
 
 

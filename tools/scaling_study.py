@@ -350,22 +350,24 @@ class _RangeLogServer:
     """Minimal localhost double serving one fixed body with byte-Range
     support (206/416 + Content-Range) and a HEAD probe advertising
     Accept-Ranges — the contract the URL transport's split planner
-    needs. (Compact twin of the tests' _AppendLogServer, inlined so
-    tools/ never imports tests/.)"""
+    needs. ``ranges=False`` models a dumb endpoint (no Accept-Ranges,
+    full-body GETs only) for the §J fan-in race. (Compact twin of the
+    tests' _AppendLogServer, inlined so tools/ never imports tests/.)"""
 
-    def __init__(self, body: bytes):
+    def __init__(self, body: bytes, ranges: bool = True):
         import http.server
         import threading
 
         class H(http.server.BaseHTTPRequestHandler):
             def do_HEAD(self):  # noqa: N802
                 self.send_response(200)
-                self.send_header("Accept-Ranges", "bytes")
+                if ranges:
+                    self.send_header("Accept-Ranges", "bytes")
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
 
             def do_GET(self):  # noqa: N802
-                rng = self.headers.get("Range")
+                rng = self.headers.get("Range") if ranges else None
                 if rng:
                     spec = rng.split("=", 1)[1]
                     lo_s, hi_s = spec.split("-", 1)
@@ -734,6 +736,235 @@ def _gid_race(spark):
     return n_rows, min(t_naive), min(t_two)
 
 
+# §I fixture: sf0.1 embeddings amplified x EMB_COPIES, arriving in
+# EMB_ARRIVALS micro-batches.
+EMB_COPIES = 16
+EMB_ARRIVALS = 8
+EMB_DIR = f"/tmp/ivf_inc_embs_{EMB_COPIES}x{EMB_ARRIVALS}"
+
+
+def _build_inc_embs(spark) -> None:
+    """Amplified corpus for the incremental-IVF race: sf0.1 embeddings
+    x EMB_COPIES with disjoint vec_ids and each copy's dimensions
+    ROTATED by its copy index — rotation genuinely changes the cosine
+    geometry (a straight duplicate would land every copy in the same
+    cell tied at cosine 1.0 with its twins, so the race would measure
+    tie-breaking, not index maintenance). Written as EMB_ARRIVALS
+    vec_id-hashed parquet shards = arrival batches."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    if os.path.isdir(os.path.join(EMB_DIR, f"shard_{EMB_ARRIVALS - 1}")):
+        return
+    shutil.rmtree(EMB_DIR, ignore_errors=True)
+    emb = spark.read.parquet(f"{BIG}/embeddings.parquet")
+    base_n = emb.count()
+    amp = emb.crossJoin(
+        spark.range(EMB_COPIES).withColumnRenamed("id", "copy")
+    ).select(
+        (F.col("vec_id") + F.col("copy") * base_n).alias("vec_id"),
+        F.expr(
+            "concat(slice(embedding, CAST(copy % 64 AS INT) + 1,"
+            " 64 - CAST(copy % 64 AS INT)),"
+            " slice(embedding, 1, CAST(copy % 64 AS INT)))"
+        ).alias("embedding"),
+    )
+    for s in range(EMB_ARRIVALS):
+        amp.filter(F.col("vec_id") % EMB_ARRIVALS == s).coalesce(
+            2
+        ).write.mode("overwrite").parquet(os.path.join(EMB_DIR, f"shard_{s}"))
+
+
+def _ivf_incremental_race(spark):
+    """Section I measurement: per-arrival seconds + probe file count
+    for the incremental IVF cell index (compaction ON and OFF) vs the
+    naive full-corpus within-cell recompute — the GenIndex twin of §F
+    (round-10 plan item). Final top-1 state asserted equal to the
+    batch answer for BOTH incremental legs."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from go_http_data_pipeline_spark.streaming import annindex as ai
+
+    _build_inc_embs(spark)
+    shards = [
+        os.path.join(EMB_DIR, f"shard_{s}") for s in range(EMB_ARRIVALS)
+    ]
+    cents = ai.ivf_centroids(spark, BIG).persist()
+    cents.count()
+
+    def probe_files(index_dir):
+        """Parquet files the NEXT probe will list/open (read view)."""
+        return sum(
+            sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+            for d in ai._ivf_index(index_dir).visible_dirs()
+        )
+
+    def batch_answer(paths):
+        """The batch oracle shape: every vector's best same-cell
+        neighbor over the given corpus (exactly what the incremental
+        state must equal after the last arrival)."""
+        feats = ai.ivf_batch_feats(spark.read.parquet(*paths), cents)
+        dot = F.expr(ai._DOT.format(a="n.embedding", b="o.embedding"))
+        pairs = (
+            feats.alias("n")
+            .join(
+                feats.alias("o"),
+                (F.col("n.cid") == F.col("o.cid"))
+                & (F.col("n.vec_id") != F.col("o.vec_id")),
+            )
+            .withColumn("dot", dot)
+            .select(
+                F.col("n.vec_id").alias("vec_id"),
+                F.col("n.cid").alias("cid"),
+                F.col("o.vec_id").alias("neighbor_id"),
+                (F.col("dot") / (F.col("n.nrm") * F.col("o.nrm"))).alias(
+                    "cosine"
+                ),
+            )
+        )
+        return ai._merge_top1(pairs)
+
+    # Warm up codegen/JIT untimed so arrival-1 measures the plan.
+    batch_answer(shards[:1]).count()
+
+    def run_inc(compact_every):
+        prev = ai._IVF_COMPACT_EVERY
+        ai._IVF_COMPACT_EVERY = compact_every
+        work = tempfile.mkdtemp(prefix="ivf_race_")
+        index_dir = os.path.join(work, "index")
+        state_dir = os.path.join(work, "state")
+        os.makedirs(state_dir, exist_ok=True)
+        times, files = [], []
+        try:
+            for s, path in enumerate(shards):
+                files.append(probe_files(index_dir))
+                t0 = time.perf_counter()
+                ai.ivf_index_step(
+                    spark,
+                    ai.ivf_batch_feats(spark.read.parquet(path), cents),
+                    s,
+                    index_dir,
+                    state_dir,
+                )
+                times.append(round(time.perf_counter() - t0, 2))
+        finally:
+            ai._IVF_COMPACT_EVERY = prev
+        final = ai._newest_state(spark, state_dir)
+        rows = sorted(map(tuple, final.select(*ai._STATE_COLS).collect()))
+        ai._ivf_index(index_dir).drop_generations(spark)
+        shutil.rmtree(work, ignore_errors=True)
+        return times, files, rows
+
+    inc_off_times, files_off, state_off = run_inc(10**9)
+    inc_times, files_on, state_on = run_inc(ai._IVF_COMPACT_EVERY)
+
+    # Naive baseline: each arrival recomputes the full within-cell
+    # top-1 over the whole corpus so far (single-shot times, as §F).
+    naive_times = []
+    for k in range(1, EMB_ARRIVALS + 1):
+        t0 = time.perf_counter()
+        batch_answer(shards[:k]).count()
+        naive_times.append(round(time.perf_counter() - t0, 2))
+
+    expected = sorted(map(tuple, batch_answer(shards).collect()))
+    assert state_on == expected, "incremental[compact] != batch answer"
+    assert state_off == expected, "incremental[no-compact] != batch answer"
+    n_vecs = spark.read.parquet(*shards).count()
+    cents.unpersist()
+    return (
+        n_vecs,
+        len(expected),
+        inc_times,
+        naive_times,
+        inc_off_times,
+        files_on,
+        files_off,
+    )
+
+
+def _ivf_compact_every() -> int:
+    from go_http_data_pipeline_spark.streaming import annindex
+
+    return annindex._IVF_COMPACT_EVERY
+
+
+def _url_fanin_race(spark):
+    """Section J measurement: N-endpoint fan-in vs one endpoint when
+    the serving side has NO byte-range support (Accept-Ranges absent,
+    so each endpoint degrades to one full-body read task — the shape
+    §E's splits cannot help). Decoded row multisets asserted equal
+    first. Returns (n_rows, body_mb, t_one, t_fanin, n_endpoints).
+
+    4x §E's body: at 21 MB a single-endpoint read is ~2 s and the
+    per-job fixed overhead (~1.5 s) swamps the race — measured, not
+    guessed; the first cut showed 1.05x. The race needs the decode
+    term to dominate, which is also the only regime where fan-in
+    matters at all."""
+    import json as _json
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    from go_http_data_pipeline_spark.sources.http_json import register
+
+    register(spark)
+    n = 1_600_000
+    n_end = 4
+    lines = [
+        _json.dumps({"name": f"user{i:07d}", "age": i % 97, "salary": i})
+        + "\n"
+        for i in range(n)
+    ]
+    body = "".join(lines).encode()
+    per = (n + n_end - 1) // n_end
+    chunks = [
+        "".join(lines[i * per : (i + 1) * per]).encode()
+        for i in range(n_end)
+    ]
+    one = _RangeLogServer(body, ranges=False)
+    many = [_RangeLogServer(c, ranges=False) for c in chunks]
+    try:
+
+        def rd(url):
+            return (
+                spark.read.format("httpjson")
+                .schema("name string, age int, salary bigint")
+                .option("url", url)
+                .load()
+            )
+
+        def fanin():
+            return reduce(
+                lambda a, b: a.unionByName(b), [rd(s.url) for s in many]
+            )
+
+        def digest(df):
+            return tuple(
+                df.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("salary").alias("s"),
+                    F.expr("bit_xor(xxhash64(name, age, salary))").alias(
+                        "h"
+                    ),
+                ).collect()[0]
+            )
+
+        assert digest(fanin()) == digest(rd(one.url))
+        # Range-less endpoint: the planner must degrade to ONE task.
+        assert rd(one.url).rdd.getNumPartitions() == 1
+        t_one = _timed(lambda: rd(one.url))
+        t_fan = _timed(fanin)
+    finally:
+        one.close()
+        for s in many:
+            s.close()
+    return n, round(len(body) / 1e6, 1), t_one, t_fan, n_end
+
+
 def _skew_race(spark):
     """Section G: the hot-key join, three ways — unsalted SortMergeJoin
     with AQE skew-splitting OFF (the straggler), AQE skew-splitting ON
@@ -1017,6 +1248,13 @@ def main() -> int:
         f"{u_single}s | split({u_parts} parts) {u_split}s"
     )
 
+    # J. URL fan-in race (range-less endpoints: splits can't help).
+    j_rows, j_mb, j_one, j_fan, j_ends = _url_fanin_race(spark)
+    print(
+        f"# url fanin race: {j_rows} rows / {j_mb} MB | one endpoint "
+        f"{j_one}s | fan-in x{j_ends} {j_fan}s"
+    )
+
     # F. Incremental LSH index vs per-arrival recompute — on a
     # deliberately SMALL fixed-parallelism session (local[4]). At
     # local[32] the corpus-growth term hides below cluster
@@ -1087,6 +1325,26 @@ def main() -> int:
     print(
         f"# gid race: {h_rows} rows | naive single-partition "
         f"{h_naive}s | two-phase {h_two}s"
+    )
+
+    # I. incremental IVF index race on the same pinned small session
+    # (the §F question for the GenIndex twin).
+    (
+        i_vecs,
+        i_state,
+        i_inc,
+        i_naive,
+        i_inc_off,
+        i_files_on,
+        i_files_off,
+    ) = _ivf_incremental_race(spark)
+    print(
+        f"# ivf incremental race: {i_vecs} vectors / {i_state} state "
+        f"rows | inc per-arrival {i_inc} (total {round(sum(i_inc), 1)}s)"
+        f" | inc-nocompact {i_inc_off} (total "
+        f"{round(sum(i_inc_off), 1)}s) | naive per-arrival {i_naive} "
+        f"(total {round(sum(i_naive), 1)}s) | probe files on/off "
+        f"{i_files_on} vs {i_files_off}"
     )
 
     lines = [
@@ -1208,6 +1466,32 @@ def main() -> int:
         "across executors (the driver plans them from a HEAD probe and",
         "never touches data), and the serving side would be object",
         "storage rather than one localhost socket.",
+        "",
+        "## J. URL fan-in: N range-less endpoints vs one (round 9)",
+        "",
+        f"A {j_mb} MB / {j_rows}-row JSONL log (4x §E's body — at",
+        "21 MB the ~1.5 s fixed job overhead swamped the race: the",
+        "first cut measured 1.05x and was rejected), served by",
+        "endpoints WITHOUT byte-range support (no Accept-Ranges on",
+        "HEAD) — §E's split planner correctly degrades each endpoint",
+        "to ONE full-body task (asserted), so endpoint count is the",
+        "only parallelism axis left. This is the reference's own",
+        "scale-out shape (N server instances on different ports,",
+        f"Server/main.go:59), ingested as a union of {j_ends} httpjson",
+        "sources — the batch analogue of url_fanin_union's streaming",
+        "union with per-source offsets. Decoded row multisets",
+        "asserted equal first.",
+        "",
+        "| read path | endpoint tasks | time (s) |",
+        "|---|---|---|",
+        f"| one endpoint, whole body | 1 | {j_one} |",
+        f"| fan-in union x{j_ends} | {j_ends} | {j_fan} |",
+        "",
+        f"{round(j_one / j_fan, 2)}x: each endpoint's download+decode",
+        "runs as its own task. §E and §J compose — a ranged endpoint",
+        "splits WITHIN itself, a fan-in parallelizes ACROSS endpoints",
+        "— so ingest parallelism survives either a dumb server or a",
+        "single fat one.",
         "",
         "## F. Incremental LSH index vs per-arrival recompute (rounds 8-9)",
         "",
@@ -1338,6 +1622,48 @@ def main() -> int:
         "arithmetic + a P-row broadcast join. The plan shape is pinned",
         "by tests/test_plans.py: the naive control MUST contain Exchange",
         "SinglePartition, the shipped form must not, outputs equal.",
+        "",
+        "## I. Incremental IVF index vs per-arrival recompute (round 9)",
+        "",
+        f"{i_vecs} vectors (sf0.1 embeddings x{EMB_COPIES}, each copy's",
+        "dims rotated so the cosine geometry differs per copy) arriving",
+        f"in {EMB_ARRIVALS} batches; final top-1 state ({i_state} rows)",
+        "asserted EQUAL to the batch within-cell answer for both",
+        "incremental legs. Same method as §F but for the GenIndex",
+        "TWIN: ivf_index_step (the exact code streaming_ivf_index_top1",
+        "ships — probe the accumulated cell index in both directions,",
+        "fold the idempotent top-1 max state, append, compact every"
+        f" {_ivf_compact_every()}",
+        "arrivals). Naive = recompute the full within-cell top-1 over",
+        "the corpus-so-far each arrival. Same pinned local[4] session",
+        "and single-shot discipline as §F.",
+        "",
+        "| arrival | incremental (s) | probe files | no-compaction (s)"
+        " | probe files | naive recompute (s) |",
+        "|---|---|---|---|---|---|",
+    ] + [
+        f"| {i + 1} | {i_inc[i]} | {i_files_on[i]} | {i_inc_off[i]} |"
+        f" {i_files_off[i]} | {i_naive[i]} |"
+        for i in range(EMB_ARRIVALS)
+    ] + [
+        f"| **total** | **{round(sum(i_inc), 1)}** | |"
+        f" **{round(sum(i_inc_off), 1)}** | |"
+        f" **{round(sum(i_naive), 1)}** |",
+        "",
+        "Two differences from §F, both structural. (1) The LSH index's",
+        "per-arrival cost is ~flat because banding bounds collisions;",
+        "the IVF probe's cost GROWS with the corpus (a batch joins",
+        "1/16 of everything seen so far), so per-arrival time rises",
+        "LINEARLY — against the naive leg's quadratic total that is",
+        "still the difference between maintainable and not. At real",
+        "scale the linear term is what nprobe/cell-count tuning and",
+        "the IVFPQ composition (score codes, not floats — llm/pq.py)",
+        "attack; the maintenance dataflow is unchanged. (2) The same",
+        "compaction economics: probe file count re-anchors at one",
+        "bucketed generation every fold instead of growing one dir",
+        "per arrival forever, and the probe join consumes the",
+        "generation's bucketing with zero index-side exchange",
+        "(plan-pinned by test_annindex.py).",
         "",
         "Generated by tools/scaling_study.py.",
         "",
