@@ -427,6 +427,33 @@ def _adc_inputs(
     return lut, cn2, q_norms
 
 
+def _adc_top1(
+    adc: DataFrame, q_norms: DataFrame, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Rank ADC-scored candidates (qid, vec_id, adot, rn2, *extra):
+    top-1 per query by reconstructed cosine, ties to the smaller
+    vec_id, normalized by the query norm only after ranking (a
+    positive per-qid constant cannot reorder). ONE definition shared
+    by the corpus-wide and the cell-restricted probes so the two
+    families' ranking arithmetic can never diverge."""
+    w = Window.partitionBy("qid").orderBy(
+        (F.col("adot") / F.sqrt("rn2")).desc(), F.col("vec_id")
+    )
+    return (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(F.broadcast(q_norms), "qid")
+        .select(
+            "qid",
+            *extra_cols,
+            F.col("vec_id").alias("neighbor_id"),
+            (F.col("adot") / F.sqrt("rn2") / F.col("q_nrm")).alias(
+                "approx_cosine"
+            ),
+        )
+    )
+
+
 @query("pq_ann_top1", oracle=_PQ_TOP1_ORACLE)
 def pq_ann_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ ANN by asymmetric distance computation: each query's RAW
@@ -448,21 +475,7 @@ def pq_ann_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("qid", "vec_id")
         .agg(F.sum("pdot").alias("adot"), F.sum("pn2").alias("rn2"))
     )
-    w = Window.partitionBy("qid").orderBy(
-        (F.col("adot") / F.sqrt("rn2")).desc(), F.col("vec_id")
-    )
-    return (
-        adc.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .join(F.broadcast(q_norms), "qid")
-        .select(
-            "qid",
-            F.col("vec_id").alias("neighbor_id"),
-            (F.col("adot") / F.sqrt("rn2") / F.col("q_nrm")).alias(
-                "approx_cosine"
-            ),
-        )
-    )
+    return _adc_top1(adc, q_norms)
 
 
 @query(
@@ -571,19 +584,4 @@ def ivf_pq_ann_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("qid", "cid", "vec_id")
         .agg(F.sum("pdot").alias("adot"), F.sum("pn2").alias("rn2"))
     )
-    w = Window.partitionBy("qid").orderBy(
-        (F.col("adot") / F.sqrt("rn2")).desc(), F.col("vec_id")
-    )
-    return (
-        adc.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .join(F.broadcast(q_norms), "qid")
-        .select(
-            "qid",
-            "cid",
-            F.col("vec_id").alias("neighbor_id"),
-            (F.col("adot") / F.sqrt("rn2") / F.col("q_nrm")).alias(
-                "approx_cosine"
-            ),
-        )
-    )
+    return _adc_top1(adc, q_norms, extra_cols=("cid",))

@@ -181,7 +181,14 @@ def main() -> int:
         for r in got:
             d = r.asDict()
             qid = d.get("qid")
-            nid = d.get("neighbor_id") or d.get("ann_neighbor")
+            # membership test, not `or`: vec_id 0 is a legitimate
+            # neighbor (and an IVF centroid) — `0 or ...` would turn
+            # it into None and count the query as a recall miss.
+            nid = (
+                d["neighbor_id"]
+                if "neighbor_id" in d
+                else d.get("ann_neighbor")
+            )
             if d.get("rank", 1) == 1:
                 pick[qid] = nid
         in5 = sum(1 for q, n in pick.items() if n in top5.get(q, ())) / max(
