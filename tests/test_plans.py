@@ -600,6 +600,10 @@ _BNLJ_ALLOWED: frozenset = frozenset(
         # embeds the brute-force cosine_topk as its exact baseline —
         # same bounded 10-row query-scan broadcast as ann_recall_eval
         "pq_recall_eval",
+        # cell assignment crossJoins the broadcast 16-row centroid
+        # scan (bounded by the literal vec_id < 496 pushed filter) —
+        # the same documented strategy as ivf_ann_top1's
+        "ivf_pq_ann_top1",
     }
 )
 
