@@ -241,6 +241,33 @@ def _median_baseline(
 # round 6 because BOTH flagging runs had uniform ~1.1x median drift
 # across 57 queries (VERDICT r8 item 4).
 ENV_SLOW_MEDIAN = 1.05
+# Second environmental signature (round 9): BURSTY host steal. A
+# steal burst hits a few queries 2-4x while the rest run normally, so
+# the run-level MEDIAN delta stays ~1.0 and the guard above passes —
+# but the burst's cost lands in the suite TOTAL (observed: totals
+# 53/71 s against a 44-46 s band with medians 1.036/1.043, and the
+# two runs "confirmed" a regression on code untouched for rounds). A
+# single genuine one-query regression cannot move a ~59-query total
+# by >10% (even a 2x step on a 2 s query is ~+4%), so an off-band
+# total says "box", not "plan".
+ENV_SLOW_TOTAL = 1.10
+
+
+def _qsum_ratio(times: dict[str, float], recent: list[dict]) -> float | None:
+    """This run's query-time sum vs the median of recent records'
+    sums (same sf + fixture generation; cache-build excluded from
+    both sides). None with fewer than MIN_BASELINE_SAMPLES records —
+    same small-sample discipline as the per-query baseline."""
+    sums = [
+        sum(r["queries"].values())
+        for r in recent
+        if isinstance(r.get("queries"), dict) and r["queries"]
+    ]
+    if len(sums) < MIN_BASELINE_SAMPLES:
+        return None
+    sums.sort()
+    med = sums[len(sums) // 2]
+    return round(sum(times.values()) / med, 3) if med else None
 
 
 def _run_median_delta(
@@ -260,13 +287,18 @@ def _confirmed_regressions(
     run_med: float | None,
     prev_rec: dict | None,
     baseline: dict[str, float],
+    qsum_ratio: float | None = None,
+    prev_qsum_ratio: float | None = None,
 ) -> list[str]:
-    """The 2-consecutive-flags rule, with the environmental guard: a
+    """The 2-consecutive-flags rule, with the environmental guards: a
     flag confirms only when BOTH flagging runs were themselves normal
-    (run-level median delta <= ENV_SLOW_MEDIAN). Either run globally
-    slow -> its flags describe the box, not the plan, and nothing
-    confirms."""
+    — run-level median delta <= ENV_SLOW_MEDIAN (uniform steal) AND
+    query-sum within ENV_SLOW_TOTAL of the recent-history median
+    (bursty steal). Either run globally or burstily slow -> its flags
+    describe the box, not the plan, and nothing confirms."""
     if run_med is not None and run_med > ENV_SLOW_MEDIAN:
+        return []
+    if qsum_ratio is not None and qsum_ratio > ENV_SLOW_TOTAL:
         return []
     if not prev_rec:
         return []
@@ -274,6 +306,8 @@ def _confirmed_regressions(
     if pm is None:
         pm = _run_median_delta(prev_rec.get("queries", {}), baseline)
     if pm is not None and pm > ENV_SLOW_MEDIAN:
+        return []
+    if prev_qsum_ratio is not None and prev_qsum_ratio > ENV_SLOW_TOTAL:
         return []
     prev_flagged = prev_rec.get("flagged_vs_median", {}) or {}
     return sorted(set(flagged) & set(prev_flagged))
@@ -384,8 +418,22 @@ def main() -> int:
             " per-query flags are environmental, confirmation withheld",
             file=sys.stderr,
         )
+    qsum_ratio = _qsum_ratio(times, recent)
+    if qsum_ratio is not None and qsum_ratio > ENV_SLOW_TOTAL:
+        print(
+            f"# run burstily slow: query-sum {qsum_ratio}x the recent"
+            " median — per-query flags are environmental, confirmation"
+            " withheld",
+            file=sys.stderr,
+        )
+    prev_rec = recent[-1] if recent else None
+    prev_qsum = None
+    if prev_rec is not None:
+        prev_qsum = prev_rec.get("qsum_vs_recent")
+        if prev_qsum is None:
+            prev_qsum = _qsum_ratio(prev_rec.get("queries", {}), recent[:-1])
     confirmed = _confirmed_regressions(
-        flagged, run_med, recent[-1] if recent else None, baseline
+        flagged, run_med, prev_rec, baseline, qsum_ratio, prev_qsum
     )
     for n in sorted(flagged):
         tag = "CONFIRMED" if n in confirmed else "unconfirmed (1st)"
@@ -410,6 +458,7 @@ def main() -> int:
         "prev_deltas": deltas,
         "flagged_vs_median": flagged,
         "run_median_vs_baseline": run_med,
+        "qsum_vs_recent": qsum_ratio,
         "confirmed_regressions": confirmed,
         "fixture_sig": fixture_sig,
         "dedup_cache_build_sec": cache_build,

@@ -139,3 +139,47 @@ def test_min_baseline_samples_suppresses_small_sample_flags():
     base = bench._median_baseline(deep, bench.MIN_BASELINE_SAMPLES)
     assert base["q"] == 0.902  # median of 4 absorbs the two bounces
     assert 0.9 / base["q"] < bench.REGRESSION_THRESH
+
+
+def test_bursty_slow_run_never_confirms():
+    """Bursty host steal: a few queries 2-4x while the run MEDIAN
+    stays ~1.0 (the uniform-steal guard passes). The query-sum ratio
+    catches it — either flagging run off-band in total -> nothing
+    confirms (observed live: totals 53/71 s against a 44-46 s band,
+    medians 1.036/1.043, 'confirming' a regression on code untouched
+    for rounds)."""
+    flagged = {"cosine_topk": 2.2}
+    prev = {
+        "queries": {"cosine_topk": 1.2, "q2": 1.0},
+        "flagged_vs_median": {"cosine_topk": 2.2},
+        "run_median_vs_baseline": 1.03,
+    }
+    baseline = {"cosine_topk": 0.55, "q2": 1.0}
+    # both runs median-normal but this run's query-sum is 1.3x the band
+    assert (
+        bench._confirmed_regressions(
+            flagged, 1.04, prev, baseline, qsum_ratio=1.3, prev_qsum_ratio=1.0
+        )
+        == []
+    )
+    # prev run bursty instead: same verdict
+    assert (
+        bench._confirmed_regressions(
+            flagged, 1.04, prev, baseline, qsum_ratio=1.0, prev_qsum_ratio=1.3
+        )
+        == []
+    )
+    # both runs clean in BOTH senses: the 2-consecutive rule confirms
+    assert bench._confirmed_regressions(
+        flagged, 1.04, prev, baseline, qsum_ratio=1.0, prev_qsum_ratio=1.0
+    ) == ["cosine_topk"]
+
+
+def test_qsum_ratio_small_sample_and_value():
+    """_qsum_ratio needs MIN_BASELINE_SAMPLES records (post-
+    regeneration quiet period, like the per-query baseline) and
+    compares query-sums cache-build-free."""
+    recent_small = [{"queries": {"q": 1.0}}] * (bench.MIN_BASELINE_SAMPLES - 1)
+    assert bench._qsum_ratio({"q": 9.0}, recent_small) is None
+    recent = [{"queries": {"a": 1.0, "b": 1.0}}] * bench.MIN_BASELINE_SAMPLES
+    assert bench._qsum_ratio({"a": 2.0, "b": 1.0}, recent) == 1.5
