@@ -110,39 +110,43 @@ _ROWS_ONLY = frozenset({"approx_distinct_parts", "approx_revenue_percentiles"})
 _REFRESH = frozenset({"streaming_lsh_index_candidates"})
 
 # New queries whose first driver check is DEFERRED while rounds up to
-# _DEFER_THROUGH_ROUND are being recorded: ranked after the
+# their per-query horizon are being recorded: ranked after the
 # stale-green tranche instead of at the front, because the current
 # round's 50-slot window is exactly consumed by the stale drain —
 # another rank-0 row would push one stale row back out. The deferred
 # query still runs in the full local gate (tools/check.py, hash-green
-# at sf0.01); only the driver's independent record waits a round. The
-# deferral expires BY ITSELF: once a CORRECTNESS file for a round >
-# _DEFER_THROUGH_ROUND exists on disk, the query ranks as a normal
+# at sf0.01); only the driver's independent record waits. A deferral
+# expires BY ITSELF: once a CORRECTNESS file for a round > the
+# query's horizon exists on disk, the query ranks as a normal
 # never-checked row at the front of the next window — no hand-edit
 # required (hand-maintained green-state was exactly the hazard
 # VERDICT r7 item 2 removed from this file).
 #
-# Round 9: the window is exactly 1 refresh + 4 never-checked url
-# queries + the whole 45-row r4-stale tranche (VERDICT r8 items 2+3),
-# so the round-9 additions (the CDC schema-evolution merge, the
-# streaming decontamination gate, the incremental IVF ANN index, the
+# Horizon 8 (first driver check in round 10): the round-9 window is
+# exactly 1 refresh + 4 never-checked url queries + the whole 45-row
+# r4-stale tranche (VERDICT r8 items 2+3), so the early round-9
+# additions (the CDC schema-evolution merge, the streaming
+# decontamination gate, the incremental IVF ANN index, the
 # product-quantization suite, and the IVF x PQ composite) wait for
 # round 10: 9 new + the 41-row r5-stale tranche = exactly the next
 # 50-slot window.
-_DEFER = frozenset(
-    {
-        "cdc_merge_schema_evolution",
-        "streaming_contamination_gate",
-        "streaming_ivf_index_top1",
-        "embedding_pq_codes",
-        "pq_ann_top1",
-        "pq_recall_eval",
-        "contiguous_global_ids",
-        "streaming_scd2_temporal_enrich",
-        "ivf_pq_ann_top1",
-    }
-)
-_DEFER_THROUGH_ROUND = 8  # newest CORRECTNESS round during round 9
+#
+# Horizon 9 (first driver check in round 11): the round-10 window is
+# in turn already full (the 9 horizon-8 rows + 41 r5-stale), so the
+# late round-9 additions defer one round further and share the
+# round-11 window with the r7-green tranche.
+_DEFER: dict[str, int] = {
+    "cdc_merge_schema_evolution": 8,
+    "streaming_contamination_gate": 8,
+    "streaming_ivf_index_top1": 8,
+    "embedding_pq_codes": 8,
+    "pq_ann_top1": 8,
+    "pq_recall_eval": 8,
+    "contiguous_global_ids": 8,
+    "streaming_scd2_temporal_enrich": 8,
+    "ivf_pq_ann_top1": 8,
+    "pq_ann_top1_wide": 9,
+}
 
 
 def _correctness_dir() -> "Path":
@@ -199,15 +203,15 @@ def _ordered(d: dict) -> dict:
     LLM/media/streaming block) through the round-8 window."""
     newest = _newest_green_rounds()
 
-    defer_active = (
-        max(newest.values(), default=0) <= _DEFER_THROUGH_ROUND
-    )
+    max_recorded = max(newest.values(), default=0)
 
     def rank(k: str) -> tuple[int, int]:
         if k in _ROWS_ONLY:
             return (9, 0)
-        if defer_active and k in _DEFER and k not in newest:
-            return (2, 0)  # first-check deferred one round (see _DEFER)
+        if k in _DEFER and k not in newest and max_recorded <= _DEFER[k]:
+            # First check deferred while rounds up to the query's
+            # horizon record; nearer horizons sort first (see _DEFER).
+            return (2, _DEFER[k])
         if k in _REFRESH or k not in newest:
             return (0, 0)
         return (1, newest[k])  # stalest (smallest round) first

@@ -152,3 +152,66 @@ def test_ivf_pq_probe_plan_is_broadcast_only(spark, sf_dir):
     plan = pq.ivf_pq_ann_top1(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_wide_adc_probe_equals_long_form(spark, sf_dir):
+    """The wide-layout probe is a pure re-shape: identical rows
+    (neighbor AND score) to the long form that mirrors the SQL
+    oracle — the two can never drift because they share the trained
+    codebook, the code assignment cache, and the ranking rule."""
+    long_rows = sorted(map(tuple, pq.pq_ann_top1(spark, sf_dir).collect()))
+    wide_rows = sorted(
+        map(tuple, pq.pq_ann_top1_wide(spark, sf_dir).collect())
+    )
+    assert wide_rows == long_rows
+
+
+def test_wide_adc_probe_has_single_query_sized_exchange(spark, sf_dir):
+    """The wide probe's scale contract: after the index is built, the
+    probe plan moves NO corpus-sized data — the only exchange in the
+    PROBE section (the plan above the cached index's embedded build
+    lineage) is the per-query partial max on qid (<= |queries| rows
+    per upstream partition), the LUT join is a broadcast nested loop
+    over a 10-row LOCAL table (never a parquet scan), and the corpus
+    side reads straight from the persisted wide index."""
+    import re
+
+    from go_http_data_pipeline_spark.plans.inspect import (
+        plan_str,
+        unbounded_nested_loops,
+    )
+
+    pq._codes_wide_cached(spark, sf_dir).count()  # build the index first
+    df = pq.pq_ann_top1_wide(spark, sf_dir)
+    plan = plan_str(df, "simple")
+    assert "InMemoryTableScan" in plan  # probe reads the built index
+    # Probe section = everything above the cached index's stored
+    # build plan (the InMemoryRelation subtree is index-BUILD cost,
+    # paid once, not probe cost).
+    probe = plan.split("InMemoryRelation", 1)[0]
+    shuffles = re.findall(
+        r"Exchange (?:hash|range)partitioning\([^)]*\)", probe
+    )
+    assert len(shuffles) == 1, shuffles
+    assert "qid" in shuffles[0]
+    assert "CartesianProduct" not in plan
+    assert unbounded_nested_loops(df) == []
+
+
+def test_wide_codes_are_dense_and_complete(spark, sf_dir):
+    """Every corpus vector gets exactly M dense code indexes, each a
+    valid position in the LUT arrays (0 <= cidx < K) and consistent
+    with the long-form assignment under the sorted-code-id rank."""
+    code_ids = sorted(
+        r.code
+        for r in pq.trained_codebook(spark, sf_dir)
+        .select("code")
+        .distinct()
+        .collect()
+    )
+    dense = {c: i for i, c in enumerate(code_ids)}
+    wide = {r.vec_id: r.cidx for r in pq._codes_wide_cached(spark, sf_dir).collect()}
+    long_codes = pq._codes_cached(spark, sf_dir).collect()
+    assert all(len(v) == pq.M_SUBSPACES for v in wide.values())
+    for r in long_codes:
+        assert wide[r.vec_id][r.sub] == dense[r.code]

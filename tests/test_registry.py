@@ -64,13 +64,13 @@ def test_window_order_never_checked_then_stalest_first():
     qs = list(registry.all_queries())
     newest = registry._newest_green_rounds()
 
-    defer_active = (
-        max(newest.values(), default=0) <= registry._DEFER_THROUGH_ROUND
-    )
+    max_recorded = max(newest.values(), default=0)
     ranks = [
         (9, 0) if k in registry._ROWS_ONLY
-        else (2, 0)
-        if defer_active and k in registry._DEFER and k not in newest
+        else (2, registry._DEFER[k])
+        if k in registry._DEFER
+        and k not in newest
+        and max_recorded <= registry._DEFER[k]
         else (0, 0) if k in registry._REFRESH or k not in newest
         else (1, newest[k])
         for k in qs
@@ -126,8 +126,8 @@ def test_deferral_expires_once_next_round_recorded(monkeypatch):
 
     name = "some_new_query"  # synthetic: never in any CORRECTNESS file
     probe = {name: None, "q1_pricing_summary": None}
-    monkeypatch.setattr(registry, "_DEFER", frozenset({name}))
-    horizon = registry._DEFER_THROUGH_ROUND
+    horizon = 8
+    monkeypatch.setattr(registry, "_DEFER", {name: horizon})
 
     # Pre-expiry state (newest recorded round <= horizon): the
     # deferred query sorts AFTER green rows.
@@ -149,6 +149,39 @@ def test_deferral_expires_once_next_round_recorded(monkeypatch):
         raising=False,
     )
     assert list(registry._ordered(probe)) == [name, "q1_pricing_summary"]
+
+
+def test_deferral_horizons_expire_independently(monkeypatch):
+    """Per-query horizons (two deferral tiers in one round): when the
+    round at tier 1's horizon lands, tier-1 queries jump to the front
+    while tier-2 queries stay behind the greens until THEIR horizon
+    round lands; among still-deferred queries, nearer horizons sort
+    first."""
+    from go_http_data_pipeline_spark import registry
+
+    probe = {"tier2": None, "tier1": None, "green": None}
+    monkeypatch.setattr(registry, "_DEFER", {"tier1": 8, "tier2": 9})
+
+    # Round 9 recording (newest recorded round == 8): both deferred,
+    # tier 1 (nearer horizon) ahead of tier 2.
+    monkeypatch.setattr(
+        registry._newest_green_rounds, "_cache", {"green": 8}, raising=False
+    )
+    assert list(registry._ordered(probe)) == ["green", "tier1", "tier2"]
+
+    # Round 10 recording (r09 landed): tier 1 expired -> front;
+    # tier 2 still deferred.
+    monkeypatch.setattr(
+        registry._newest_green_rounds, "_cache", {"green": 9}, raising=False
+    )
+    assert list(registry._ordered(probe)) == ["tier1", "green", "tier2"]
+
+    # Round 11 recording (r10 landed): both expired -> both front,
+    # module order preserved within the tie.
+    monkeypatch.setattr(
+        registry._newest_green_rounds, "_cache", {"green": 10}, raising=False
+    )
+    assert list(registry._ordered(probe)) == ["tier2", "tier1", "green"]
 
 
 def test_ordering_invariants_hold_for_any_correctness_file_set(monkeypatch, tmp_path):
@@ -185,11 +218,13 @@ def test_ordering_invariants_hold_for_any_correctness_file_set(monkeypatch, tmp_
 
         qs = list(registry.all_queries())
         newest = registry._newest_green_rounds()
-        defer_active = max(newest.values(), default=0) <= registry._DEFER_THROUGH_ROUND
+        max_recorded = max(newest.values(), default=0)
         ranks = [
             (9, 0) if k in registry._ROWS_ONLY
-            else (2, 0)
-            if defer_active and k in registry._DEFER and k not in newest
+            else (2, registry._DEFER[k])
+            if k in registry._DEFER
+            and k not in newest
+            and max_recorded <= registry._DEFER[k]
             else (0, 0) if k in registry._REFRESH or k not in newest
             else (1, newest[k])
             for k in qs
