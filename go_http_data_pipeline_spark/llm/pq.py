@@ -525,6 +525,48 @@ def pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WIDE_CACHE: dict = {}
 
 
+_DENSE_CACHE: dict = {}
+
+
+def dense_code_ids(spark: SparkSession, sf_dir: str) -> list[int]:
+    """The trained codebook's code ids, sorted — position = the DENSE
+    codeword index used by the wide layout (code ids are seed vec_ids,
+    so they are sparse; every sub shares one seed set). Memoized per
+    (session, fixture): K <= 256 control-plane values."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    ids = _DENSE_CACHE.get(key)
+    if ids is None:
+        ids = sorted(
+            r.code
+            for r in trained_codebook(spark, sf_dir)
+            .select("code")
+            .distinct()
+            .collect()
+        )
+        _DENSE_CACHE[key] = ids
+    return ids
+
+
+def widen_codes(codes: DataFrame, code_ids: list[int]) -> DataFrame:
+    """(vec_id, cidx array<int>[M]) from the long (vec_id, sub, code)
+    assignment: one groupBy per build, positions = subspace, values =
+    dense rank of the code id. Shared by the batch wide index and the
+    streaming per-batch appends so the two layouts can never skew."""
+    dense = F.create_map(
+        *[F.lit(v) for c, i in zip(code_ids, range(len(code_ids))) for v in (c, i)]
+    )
+    return (
+        codes.withColumn("cidx1", dense[F.col("code")].cast("int"))
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "cidx1"))),
+                lambda s: s.cidx1,
+            ).alias("cidx")
+        )
+    )
+
+
 def _codes_wide_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, cidx: array<int>[M]) — the PQ index in its storage
     layout: each vector's M codes as ONE array, positions = subspace,
@@ -538,28 +580,9 @@ def _codes_wide_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide = _WIDE_CACHE.get(key)
     if wide is not None:
         return wide
-    code_ids = sorted(
-        r.code
-        for r in trained_codebook(spark, sf_dir)
-        .select("code")
-        .distinct()
-        .collect()
-    )
-    dense = F.create_map(
-        *[F.lit(v) for c, i in zip(code_ids, range(len(code_ids))) for v in (c, i)]
-    )
-    wide = (
-        _codes_cached(spark, sf_dir)
-        .withColumn("cidx1", dense[F.col("code")].cast("int"))
-        .groupBy("vec_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("sub", "cidx1"))),
-                lambda s: s.cidx1,
-            ).alias("cidx")
-        )
-        .persist()
-    )
+    wide = widen_codes(
+        _codes_cached(spark, sf_dir), dense_code_ids(spark, sf_dir)
+    ).persist()
     _WIDE_CACHE[key] = wide
     return wide
 
@@ -569,34 +592,50 @@ def _query_lut_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     of partial dots, pn2 array<array<bigint>>[M][K] of codeword
     reconstructed norms, q_nrm). M*K <= 4096 longs per row — the same
     control-plane volume the long form broadcasts, re-shaped so a
-    corpus row's score is ``element_at`` lookups instead of a join."""
+    corpus row's score is ``element_at`` lookups instead of a join.
+    Assembled entirely JVM-side (two query-batch-sized groupBys);
+    nothing round-trips through the driver at probe time."""
     lut, cn2, q_norms = _adc_inputs(spark, sf_dir)
-    code_ids = sorted(
-        r.code
-        for r in trained_codebook(spark, sf_dir)
-        .select("code")
-        .distinct()
-        .collect()
+    code_ids = dense_code_ids(spark, sf_dir)
+    dense = F.create_map(
+        *[F.lit(v) for c, i in zip(code_ids, range(len(code_ids))) for v in (c, i)]
     )
-    dense = {c: i for i, c in enumerate(code_ids)}
-    k = len(code_ids)
-    pn2_arr = [[0] * k for _ in range(M_SUBSPACES)]
-    for r in cn2.collect():
-        pn2_arr[r.sub][dense[r.code]] = int(r.pn2)
-    luts: dict = {}
-    for r in lut.collect():
-        luts.setdefault(r.qid, [[0] * k for _ in range(M_SUBSPACES)])[r.sub][
-            dense[r.code]
-        ] = int(r.pdot)
-    rows = [
-        (r.qid, luts[r.qid], pn2_arr, float(r.q_nrm))
-        for r in q_norms.collect()
-        if r.qid in luts
-    ]
-    return spark.createDataFrame(
-        rows,
-        "qid long, lut array<array<bigint>>, pn2 array<array<bigint>>,"
-        " q_nrm double",
+
+    def nest(df: DataFrame, keys: list[str], val: str, out: str) -> DataFrame:
+        """(…keys, sub, code, val) -> (…keys, out array<array<bigint>>):
+        inner arrays dense-indexed by code rank, outer by subspace.
+        The codebook is complete per (keys, sub), so array_sort on the
+        (index, value) structs yields gap-free positional arrays."""
+        return (
+            df.withColumn("cidx", dense[F.col("code")].cast("int"))
+            .groupBy(*keys, "sub")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("cidx", F.col(val).alias("v")))
+                    ),
+                    lambda s: s.v,
+                ).alias("arr")
+            )
+            .groupBy(*keys)
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("sub", "arr"))),
+                    lambda s: s.arr,
+                ).alias(out)
+            )
+        )
+
+    lut_rows = nest(
+        lut.withColumn("pdot", F.col("pdot").cast("long")), ["qid"], "pdot", "lut"
+    )
+    pn2_row = nest(
+        cn2.withColumn("pn2", F.col("pn2").cast("long")), [], "pn2", "pn2"
+    )
+    return (
+        lut_rows.crossJoin(F.broadcast(pn2_row))
+        .join(F.broadcast(q_norms), "qid")
+        .select("qid", "lut", "pn2", "q_nrm")
     )
 
 

@@ -41,6 +41,7 @@ _MODULES = (
     "go_http_data_pipeline_spark.pipelines.parity",
     "go_http_data_pipeline_spark.streaming.core",
     "go_http_data_pipeline_spark.streaming.annindex",
+    "go_http_data_pipeline_spark.streaming.pqindex",
     "go_http_data_pipeline_spark.sources.http_json",
     "go_http_data_pipeline_spark.sources.jdbc",
     "go_http_data_pipeline_spark.llm.dedup",
@@ -146,6 +147,7 @@ _DEFER: dict[str, int] = {
     "streaming_scd2_temporal_enrich": 8,
     "ivf_pq_ann_top1": 8,
     "pq_ann_top1_wide": 9,
+    "streaming_ivfpq_index_top1": 9,
 }
 
 

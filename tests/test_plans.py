@@ -604,6 +604,10 @@ _BNLJ_ALLOWED: frozenset = frozenset(
         # scan (bounded by the literal vec_id < 496 pushed filter) —
         # the same documented strategy as ivf_ann_top1's
         "ivf_pq_ann_top1",
+        # the per-query LUT broadcast row set embeds the 10-row query
+        # scan (bounded by the literal vec_id < 10 pushed filter) —
+        # the corpus side is never under the broadcast
+        "pq_ann_top1_wide",
     }
 )
 

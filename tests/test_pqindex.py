@@ -1,0 +1,159 @@
+"""Incremental IVFPQ index (streaming/pqindex.py): per-batch code
+maintenance is per-vector independent (the accumulated rows equal the
+batch assignment exactly), replays are idempotent, compaction folds
+without changing the probe, and the gate query equals the batch
+``ivf_pq_ann_top1`` answer (its DuckDB oracle is covered end-to-end
+by tools/check.py)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from go_http_data_pipeline_spark.llm import pq as pqm
+from go_http_data_pipeline_spark.streaming import pqindex
+from go_http_data_pipeline_spark.streaming.annindex import (
+    ivf_batch_feats,
+    ivf_centroids,
+)
+
+
+def _fixture_batches(spark, sf_dir, n=2):
+    """The embeddings fixture split into n disjoint arrival batches
+    (hash-split on vec_id — deterministic)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    return [emb.filter(F.col("vec_id") % n == i) for i in range(n)]
+
+
+def _index_rows(spark, index_dir):
+    idx = pqindex._pq_index(index_dir)
+    rows = []
+    for side in idx.probe_sides(spark):
+        rows.extend(
+            (r.vec_id, r.cid, tuple(r.cidx)) for r in side.collect()
+        )
+    return sorted(rows)
+
+
+def _run_steps(spark, sf_dir, tmp_path, batches, ids=None):
+    index_dir = str(tmp_path / "index")
+    cents = ivf_centroids(spark, sf_dir)
+    cb = pqm.trained_codebook(spark, sf_dir)
+    code_ids = pqm.dense_code_ids(spark, sf_dir)
+    for i, b in zip(ids or range(len(batches)), batches):
+        pqindex.pq_index_step(spark, b, cents, cb, code_ids, i, index_dir)
+    return index_dir, cents, cb, code_ids
+
+
+def _batch_reference(spark, sf_dir, cents, cb, code_ids):
+    """The offline formulation: every vector's cell + dense codes in
+    one pass over the whole corpus."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cells = ivf_batch_feats(emb, cents).select("vec_id", "cid")
+    wide = pqm.widen_codes(
+        pqm.pq_assign(emb, cb, int_codebook=True), code_ids
+    )
+    return sorted(
+        (r.vec_id, r.cid, tuple(r.cidx))
+        for r in wide.join(cells, "vec_id").collect()
+    )
+
+
+def test_accumulated_index_equals_batch_assignment(spark, sf_dir, tmp_path):
+    """Codes are per-vector independent, so N arrivals accumulate to
+    EXACTLY the one-pass batch assignment — the property that makes
+    this index's maintenance O(batch) while the IVF top-1 twin's
+    grows with its cell (SCALING_MEASURED §I)."""
+    batches = _fixture_batches(spark, sf_dir, n=3)
+    index_dir, cents, cb, code_ids = _run_steps(
+        spark, sf_dir, tmp_path, batches
+    )
+    assert _index_rows(spark, index_dir) == _batch_reference(
+        spark, sf_dir, cents, cb, code_ids
+    )
+    pqindex._pq_index(index_dir).drop_generations(spark)
+
+
+def test_replayed_batch_is_idempotent(spark, sf_dir, tmp_path):
+    """Re-running an arrival (same batch id) overwrites its own b-dir
+    and leaves the accumulated index byte-identical."""
+    batches = _fixture_batches(spark, sf_dir, n=2)
+    index_dir, cents, cb, code_ids = _run_steps(
+        spark, sf_dir, tmp_path, batches
+    )
+    before = _index_rows(spark, index_dir)
+    pqindex.pq_index_step(
+        spark, batches[1], cents, cb, code_ids, 1, index_dir
+    )
+    assert _index_rows(spark, index_dir) == before
+    pqindex._pq_index(index_dir).drop_generations(spark)
+
+
+def test_compaction_folds_and_probe_is_unchanged(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """With _PQ_COMPACT_EVERY=2 the appends fold into one bucketed
+    generation (read view exactly [c1]); a replayed batch recreating
+    its superseded b-dir never re-enters the view; and the ADC probe
+    over the compacted index equals the probe over an uncompacted
+    copy of the same arrivals."""
+    monkeypatch.setattr(pqindex, "_PQ_COMPACT_EVERY", 2)
+    batches = _fixture_batches(spark, sf_dir, n=2)
+    index_dir, cents, cb, code_ids = _run_steps(
+        spark, sf_dir, tmp_path, batches
+    )
+    idx = pqindex._pq_index(index_dir)
+    assert [os.path.basename(p) for p in idx.visible_dirs()] == ["c1"]
+
+    # Uncompacted twin of the same arrivals.
+    monkeypatch.setattr(pqindex, "_PQ_COMPACT_EVERY", 99)
+    plain_dir, *_ = _run_steps(
+        spark, sf_dir, tmp_path / "plain", batches
+    )
+    compacted = sorted(
+        map(
+            tuple,
+            pqindex.ivfpq_probe(
+                spark, sf_dir, idx.probe_sides(spark)
+            ).collect(),
+        )
+    )
+    plain = sorted(
+        map(
+            tuple,
+            pqindex.ivfpq_probe(
+                spark,
+                sf_dir,
+                pqindex._pq_index(plain_dir).probe_sides(spark),
+            ).collect(),
+        )
+    )
+    assert compacted == plain and compacted
+
+    # Crash-replay shape: batch 1's b-dir recreated AFTER c1 folded it
+    # — superseded by construction, the view must not change.
+    pqindex.pq_index_step(
+        spark, batches[1], cents, cb, code_ids, 1, index_dir
+    )
+    assert [os.path.basename(p) for p in idx.visible_dirs()] == ["c1"]
+    idx.drop_generations(spark)
+    pqindex._pq_index(plain_dir).drop_generations(spark)
+
+
+def test_gate_query_equals_batch_ivf_pq(spark, sf_dir):
+    """End-to-end through the engine (availableNow stream over the
+    sharded fixture): the accumulated-index probe is row-identical to
+    the batch ``ivf_pq_ann_top1`` — neighbor AND score."""
+    got = sorted(
+        map(
+            tuple,
+            pqindex.streaming_ivfpq_index_top1(spark, sf_dir).collect(),
+        )
+    )
+    want = sorted(map(tuple, pqm.ivf_pq_ann_top1(spark, sf_dir).collect()))
+    assert got == want and got

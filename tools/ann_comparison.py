@@ -165,6 +165,12 @@ def main() -> int:
         ("IVF", "ivf_ann_nprobe2 (2 cells)", sim.ivf_ann_nprobe2, ivf2_cand),
         ("PQ", "pq_ann_top1 (ADC, 16 lookups/score)", pqm.pq_ann_top1, n_corpus - 1),
         (
+            "PQ",
+            "pq_ann_top1_wide (per-row ADC, no probe shuffle)",
+            pqm.pq_ann_top1_wide,
+            n_corpus - 1,
+        ),
+        (
             "IVFPQ",
             "ivf_pq_ann_top1 (1 cell, ADC)",
             pqm.ivf_pq_ann_top1,
@@ -240,6 +246,13 @@ def main() -> int:
         "  whose probe cost scales with the CODES table (16 bytes/vector),",
         "  not the embedding table — and it composes with IVF (score",
         "  only the cell, with codes) in a real deployment.",
+        "- **PQ wide** is the same answer over the storage layout a",
+        "  deployment keeps: one row per vector, its 16 codes as one",
+        "  array, scored per-row against the broadcast LUT in codegen.",
+        "  No join and no corpus-sized shuffle at probe time — the lone",
+        "  exchange carries <= |queries| pre-combined rows per",
+        "  partition, so probe cost scales with the query batch, not",
+        "  the corpus (plan-pinned in tests/test_pq.py).",
         "- **IVFPQ** is that composition, shipped: prune to the query's",
         "  cell, score the survivors from codes. Candidates match the",
         "  IVF row; bytes-touched match PQ's 16/vector on just that",

@@ -53,6 +53,9 @@ REPRESENTATIVE = [
     # the IVF x PQ composite (cell restriction must not interact with
     # partitioning; added in round 9's final session)
     "ivf_pq_ann_top1",
+    # the wide-layout ADC probe: the per-query partial max must pick
+    # the same winner however the corpus is partitioned
+    "pq_ann_top1_wide",
 ]
 
 
