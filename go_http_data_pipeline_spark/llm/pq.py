@@ -454,6 +454,25 @@ def _adc_top1(
     )
 
 
+def adc_probe_long(
+    spark: SparkSession, sf_dir: str, codes: DataFrame
+) -> DataFrame:
+    """The long-layout ADC probe over an arbitrary (vec_id, sub, code)
+    table: broadcast LUT/norm joins on (sub, code), then the
+    (qid, vec_id) partial-dot fold — the shuffle that scales with
+    corpus x queries. Factored out so the scaling study can race it
+    against the wide probe on amplified codes."""
+    lut, cn2, q_norms = _adc_inputs(spark, sf_dir)
+    adc = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .join(F.broadcast(cn2), ["sub", "code"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("pdot").alias("adot"), F.sum("pn2").alias("rn2"))
+    )
+    return _adc_top1(adc, q_norms)
+
+
 @query("pq_ann_top1", oracle=_PQ_TOP1_ORACLE)
 def pq_ann_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ ANN by asymmetric distance computation: each query's RAW
@@ -465,17 +484,7 @@ def pq_ann_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole point at 100 TB. Top-1 per query, ties to the smaller
     vec_id; the ranking divides by sqrt(rn2) only (the per-qid query
     norm is a positive constant, so it cannot reorder)."""
-    codes = _codes_cached(spark, sf_dir)
-    lut, cn2, q_norms = _adc_inputs(spark, sf_dir)
-
-    adc = (
-        codes.join(F.broadcast(lut), ["sub", "code"])
-        .join(F.broadcast(cn2), ["sub", "code"])
-        .filter(F.col("vec_id") != F.col("qid"))
-        .groupBy("qid", "vec_id")
-        .agg(F.sum("pdot").alias("adot"), F.sum("pn2").alias("rn2"))
-    )
-    return _adc_top1(adc, q_norms)
+    return adc_probe_long(spark, sf_dir, _codes_cached(spark, sf_dir))
 
 
 @query(
@@ -639,22 +648,11 @@ def _query_lut_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("pq_ann_top1_wide", oracle=_PQ_TOP1_ORACLE)
-def pq_ann_top1_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ ADC probe over the WIDE codes layout — same answer (and same
-    oracle) as ``pq_ann_top1``, restructured for the 100 TB probe
-    path: a corpus row's approximate dot is 16 ``element_at`` lookups
-    into a broadcast per-query LUT summed as exact BIGINTs in codegen
-    (no join, no per-(qid, vec_id) shuffle), and the only aggregation
-    is a per-query max that partial-combines to <= |queries| rows per
-    partition before the lone exchange. The long form shuffles
-    corpus x queries rows to fold 16 partial dots; this one shuffles
-    |queries| x partitions pre-combined rows — the difference between
-    a probe that scales with the corpus and one that scales with the
-    query batch. Ranking arithmetic is the shared ``_adc_top1`` rule:
-    max reconstructed cosine, ties to the smaller vec_id, the query
-    norm divided in only after ranking."""
-    wide = _codes_wide_cached(spark, sf_dir)
+def adc_probe_wide(
+    spark: SparkSession, sf_dir: str, wide: DataFrame
+) -> DataFrame:
+    """The wide-layout ADC probe over an arbitrary (vec_id, cidx)
+    table — see ``pq_ann_top1_wide`` for the shape's contract."""
     qtab = _query_lut_rows(spark, sf_dir)
 
     look = (
@@ -688,6 +686,25 @@ def pq_ann_top1_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("q_nrm")
         ).alias("approx_cosine"),
     )
+
+
+@query("pq_ann_top1_wide", oracle=_PQ_TOP1_ORACLE)
+def pq_ann_top1_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ADC probe over the WIDE codes layout — same answer (and same
+    oracle) as ``pq_ann_top1``, restructured for the 100 TB probe
+    path: a corpus row's approximate dot is 16 ``element_at`` lookups
+    into a broadcast per-query LUT summed as exact BIGINTs in codegen
+    (no join, no per-(qid, vec_id) shuffle), and the only aggregation
+    is a per-query max that partial-combines to <= |queries| rows per
+    partition before the lone exchange. The long form shuffles
+    corpus x queries rows to fold 16 partial dots; this one shuffles
+    |queries| x partitions pre-combined rows — the difference between
+    a probe that scales with the corpus and one that scales with the
+    query batch (raced on amplified codes in SCALING_MEASURED.md §K).
+    Ranking arithmetic is the shared ``_adc_top1`` rule: max
+    reconstructed cosine, ties to the smaller vec_id, the query norm
+    divided in only after ranking."""
+    return adc_probe_wide(spark, sf_dir, _codes_wide_cached(spark, sf_dir))
 
 
 # --- IVF x PQ composite ---------------------------------------------------

@@ -172,3 +172,88 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("wq") / norm).alias("mixture_weight"),
         ((F.col("wq") / norm) / F.col("token_share")).alias("sampling_boost"),
     )
+
+
+# --- per-host document caps -------------------------------------------------
+# Training-data curation's host-quota rule: no single host (here the
+# `source` column — the fixture's host analog) may contribute more
+# than HOST_CAP documents, and within a host the BEST documents win
+# (quality-ranked; the deterministic proxy is document length, ties
+# to the smaller doc_id). This is the anti-domination control next to
+# the per-language quota above: stratified_sample_per_lang takes a
+# REPRESENTATIVE sample per stratum, the host cap truncates the
+# heavy-tail hosts that would otherwise swamp the mixture (the
+# CommonCrawl "one domain is 4% of the corpus" problem).
+
+HOST_CAP = 8  # max documents kept per source/host
+
+
+@query(
+    "host_document_caps",
+    oracle=f"""
+    SELECT source, doc_id, n_chars, src_rank FROM (
+        SELECT source, doc_id, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY n_chars DESC, doc_id
+               ) AS src_rank
+        FROM documents
+    ) WHERE src_rank <= {HOST_CAP}
+    """,
+)
+def host_document_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents that survive the per-host cap: rank each host's
+    docs by quality (n_chars DESC, ties to the smaller doc_id), keep
+    rank <= HOST_CAP.
+
+    Scale: a rank-filter after ``row_number`` is the shape Catalyst
+    rewrites into a partial+final **WindowGroupLimit** — every map
+    task locally keeps at most HOST_CAP rows per host BEFORE the
+    shuffle, so the exchange carries <= HOST_CAP x hosts x tasks rows
+    instead of the corpus (plan-pinned in tests/test_plans.py). That
+    pushdown is exactly why the cap is written as the naive-looking
+    window instead of a hand-rolled two-phase job."""
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        docs.select("source", "doc_id", "n_chars")
+        .withColumn("src_rank", F.row_number().over(w))
+        .filter(F.col("src_rank") <= HOST_CAP)
+        .withColumn("src_rank", F.col("src_rank").cast("long"))
+    )
+
+
+@query(
+    "host_cap_audit",
+    oracle=f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           LEAST(COUNT(*), {HOST_CAP}) AS n_kept,
+           GREATEST(COUNT(*) - {HOST_CAP}, 0) AS n_dropped
+    FROM documents
+    GROUP BY source
+    """,
+)
+def host_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host audit of the cap's effect — how many documents each
+    host contributed and how many the cap dropped. Because
+    ``row_number`` ranks are gap-free within a host, kept =
+    min(n_docs, cap): the audit needs ONLY the per-host count, no
+    window and no second pass over the corpus (the plan is one
+    partial-aggregated groupBy — pinned windowless in
+    tests/test_plans.py)."""
+    docs = table(spark, sf_dir, "documents")
+    cap = F.lit(HOST_CAP).cast("long")
+    return (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            "source",
+            "n_docs",
+            F.least(F.col("n_docs"), cap).alias("n_kept"),
+            F.greatest(F.col("n_docs") - cap, F.lit(0).cast("long")).alias(
+                "n_dropped"
+            ),
+        )
+    )

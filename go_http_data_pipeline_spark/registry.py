@@ -148,6 +148,8 @@ _DEFER: dict[str, int] = {
     "ivf_pq_ann_top1": 8,
     "pq_ann_top1_wide": 9,
     "streaming_ivfpq_index_top1": 9,
+    "host_document_caps": 9,
+    "host_cap_audit": 9,
 }
 
 

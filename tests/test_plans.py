@@ -857,3 +857,34 @@ def test_contiguous_global_ids_no_single_partition_sort(spark, sf_dir):
         src.unpersist()
     want = sorted(map(tuple, naive.collect()))
     assert got == want
+
+
+def test_host_cap_shuffles_only_capped_rows(spark, sf_dir):
+    """The per-host cap's scale contract: the rank filter is pushed
+    below the shuffle as a PARTIAL WindowGroupLimit (each map task
+    keeps <= HOST_CAP rows per host before the exchange, so the
+    shuffle carries capped rows, not the corpus) with the FINAL limit
+    above it; and the audit query is windowless — one partial-
+    aggregated groupBy, kept = min(count, cap) computed from counts
+    alone."""
+    from go_http_data_pipeline_spark.llm.sampling import (
+        host_cap_audit,
+        host_document_caps,
+    )
+
+    plan = plan_str(host_document_caps(spark, sf_dir), "simple")
+    # Partial limit sits BELOW the exchange (map task keeps <= cap
+    # rows per host first), Final above it: the shuffle reads a
+    # WindowGroupLimit output, never the raw scan.
+    lines = plan.splitlines()
+    ex = next(i for i, l in enumerate(lines) if "Exchange hashpartitioning" in l)
+    assert any(
+        "WindowGroupLimit" in l and "Partial" in l for l in lines[ex:]
+    ), plan
+    assert any(
+        "WindowGroupLimit" in l and "Final" in l for l in lines[:ex]
+    ), plan
+
+    audit_plan = plan_str(host_cap_audit(spark, sf_dir), "simple")
+    assert "Window" not in audit_plan
+    assert "HashAggregate" in audit_plan

@@ -776,6 +776,72 @@ def _build_inc_embs(spark) -> None:
         ).write.mode("overwrite").parquet(os.path.join(EMB_DIR, f"shard_{s}"))
 
 
+# §K: the ADC probe layouts raced on amplified codes. COPIES scales
+# the CODES table only (codes are per-vector independent, so a
+# replicated-and-rotated code table is exactly what a larger coded
+# corpus looks like to the probe); the raw embeddings are never read
+# by either leg.
+PQ_PROBE_COPIES = 64
+
+
+def _pq_probe_race(spark):
+    """Section K measurement: long-layout ADC probe (broadcast joins +
+    the corpus x queries partial-dot shuffle) vs the wide-layout probe
+    (per-row LUT lookups, query-sized exchange) on the sf0.1 codes
+    table and on the same codes amplified x PQ_PROBE_COPIES. Each
+    copy's dense code indexes are ROTATED by its copy id so scores
+    genuinely differ per copy; outputs of the two layouts asserted
+    row-identical on both corpora."""
+    from pyspark.sql import functions as F
+
+    from go_http_data_pipeline_spark.llm import pq as pqm
+
+    base = pqm._codes_cached(spark, BIG)
+    code_ids = pqm.dense_code_ids(spark, BIG)
+    k = len(code_ids)
+    ids_arr = F.array(*[F.lit(c) for c in code_ids])
+    dense = F.create_map(
+        *[F.lit(v) for c, i in zip(code_ids, range(k)) for v in (c, i)]
+    )
+    base_n = base.agg(F.max("vec_id")).collect()[0][0] + 1
+    amp_long = (
+        base.crossJoin(
+            spark.range(PQ_PROBE_COPIES).withColumnRenamed("id", "copy")
+        )
+        .select(
+            (F.col("vec_id") + F.col("copy") * base_n).alias("vec_id"),
+            "sub",
+            F.element_at(
+                ids_arr,
+                ((dense[F.col("code")] + F.col("copy")) % k + 1).cast("int"),
+            ).alias("code"),
+        )
+        .persist()
+    )
+    n_amp = amp_long.select("vec_id").distinct().count()
+    amp_wide = pqm.widen_codes(amp_long, code_ids).persist()
+    amp_wide.count()
+    base_wide = pqm._codes_wide_cached(spark, BIG)
+    base_wide.count()
+
+    t_long_1 = _timed(pqm.adc_probe_long, spark, BIG, base)
+    t_wide_1 = _timed(pqm.adc_probe_wide, spark, BIG, base_wide)
+    t_long_n = _timed(pqm.adc_probe_long, spark, BIG, amp_long)
+    t_wide_n = _timed(pqm.adc_probe_wide, spark, BIG, amp_wide)
+
+    for codes_l, codes_w in ((base, base_wide), (amp_long, amp_wide)):
+        a = sorted(
+            map(tuple, pqm.adc_probe_long(spark, BIG, codes_l).collect())
+        )
+        b = sorted(
+            map(tuple, pqm.adc_probe_wide(spark, BIG, codes_w).collect())
+        )
+        assert a == b and a, "ADC layouts diverge"
+    amp_long.unpersist()
+    amp_wide.unpersist()
+    return n_amp, t_long_1, t_wide_1, t_long_n, t_wide_n
+
+
 def _ivf_incremental_race(spark):
     """Section I measurement: per-arrival seconds + probe file count
     for the incremental IVF cell index (compaction ON and OFF) vs the
@@ -1347,6 +1413,16 @@ def main() -> int:
         f"{i_files_on} vs {i_files_off}"
     )
 
+    # K. ADC probe layout race: long (corpus x queries shuffle) vs
+    # wide (per-row lookups, query-sized exchange) on amplified codes.
+    k_vecs, k_long_1, k_wide_1, k_long_n, k_wide_n = _pq_probe_race(spark)
+    print(
+        f"# pq probe race: base long {k_long_1}s wide {k_wide_1}s | "
+        f"x{PQ_PROBE_COPIES} ({k_vecs} vectors) long {k_long_n}s "
+        f"wide {k_wide_n}s",
+        flush=True,
+    )
+
     lines = [
         "# SCALING — measured scale-stress evidence (rounds 5-9)",
         "",
@@ -1664,6 +1740,38 @@ def main() -> int:
         "per arrival forever, and the probe join consumes the",
         "generation's bucketing with zero index-side exchange",
         "(plan-pinned by test_annindex.py).",
+        "",
+        "## K. ADC probe layout: long (join + corpus-sized shuffle) vs"
+        " wide (per-row lookups) (round 9)",
+        "",
+        "The two shipped PQ probe layouts raced on the sf0.1 codes",
+        f"table and on the same codes amplified x{PQ_PROBE_COPIES}",
+        f"({k_vecs} vectors; each copy's dense code indexes rotated by",
+        "its copy id so scores genuinely differ per copy — codes are",
+        "per-vector independent, so a replicated-and-rotated codes",
+        "table is exactly what a larger coded corpus looks like to the",
+        "probe). Outputs asserted row-identical between the layouts on",
+        "both corpora; both probe legs read PERSISTED codes (index",
+        "build is untimed, as in docs/ANN_COMPARISON.md).",
+        "",
+        "| corpus | long probe (s) | wide probe (s) |",
+        "|---|---|---|",
+        f"| sf0.1 codes | {k_long_1} | {k_wide_1} |",
+        f"| x{PQ_PROBE_COPIES} | {k_long_n} | {k_wide_n} |",
+        "",
+        "The long layout (pq_ann_top1, the oracle's shape) joins the",
+        "broadcast LUT to 16 code rows per vector and folds them in a",
+        "(qid, vec_id) hash aggregate — corpus x queries rows through",
+        "an exchange, growing with the corpus. The wide layout",
+        "(pq_ann_top1_wide) scores each vector row with 16 element_at",
+        "lookups in codegen and pre-combines the per-query max",
+        "map-side, so its lone exchange carries <= |queries| rows per",
+        "partition at ANY corpus size (plan-pinned in",
+        "tests/test_pq.py). At the fixture's 2000 vectors the probes",
+        "are overhead-dominated and the layouts tie; the amplified",
+        "corpus is where the shuffle term separates them — the wide",
+        "form's growth is the scan, the long form's is scan + join +",
+        "shuffle + 16x-wider aggregate input.",
         "",
         "Generated by tools/scaling_study.py.",
         "",
