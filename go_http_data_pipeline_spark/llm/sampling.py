@@ -257,3 +257,111 @@ def host_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- streaming host-cap state ------------------------------------------------
+# The cap enforced AT INGEST: documents arrive in micro-batches and
+# the engine maintains, per host, the best-HOST_CAP-so-far set as a
+# generational state (the s{batch_id} discipline of
+# streaming/annindex.py). The fold is "top-CAP per host of
+# (prior state UNION batch's own top-CAP)" — associative, idempotent
+# (a replayed batch's rows are already in the state and deduplicate
+# away), and ORDER-INSENSITIVE, so the final state provably equals
+# the batch window answer whatever the arrival interleaving. A later,
+# better document genuinely EVICTS an earlier admit — the semantics a
+# mutable-admission gate cannot have — which is why deployments keep
+# the quota as maintained state rather than an immutable turnstile.
+
+
+def _hostcap_merge(cands: "DataFrame") -> "DataFrame":
+    """Top-HOST_CAP per host (n_chars DESC, ties to the smaller
+    doc_id) of a candidate union. dropDuplicates first: a replayed
+    batch re-contributes rows already in the state, and duplicate
+    rows would shift row_number ranks."""
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        cands.dropDuplicates(["source", "doc_id"])
+        .withColumn("src_rank", F.row_number().over(w))
+        .filter(F.col("src_rank") <= HOST_CAP)
+        .withColumn("src_rank", F.col("src_rank").cast("long"))
+    )
+
+
+@query(
+    "streaming_host_cap_state",
+    oracle=f"""
+    SELECT source, doc_id, n_chars, src_rank FROM (
+        SELECT source, doc_id, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY n_chars DESC, doc_id
+               ) AS src_rank
+        FROM documents
+    ) WHERE src_rank <= {HOST_CAP}
+    """,
+)
+def streaming_host_cap_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``host_document_caps`` maintained incrementally at ingest: per
+    micro-batch, fold the batch's own per-host top-CAP into the
+    accumulated state and re-rank (state size <= hosts x CAP, so the
+    fold is O(batch + state) however large the corpus has grown).
+    State generations are ``s{batch_id}`` dirs with ``_SUCCESS``
+    ordering (crash-safe: an interrupted write is invisible, a replay
+    overwrites its own generation, and a batch whose generation is
+    already complete skips the fold — it is already the fixpoint).
+    The fold is associative, idempotent, and order-insensitive, so
+    the final state equals the batch window answer EXACTLY — the
+    shared oracle is ``host_document_caps``' SQL verbatim."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.annindex import _newest_state, _newest_state_id
+    from ..streaming.core import _docs_sharded_dir
+
+    work = tempfile.mkdtemp(prefix="hostcap_")
+    state_dir = os.path.join(work, "state")
+    os.makedirs(state_dir, exist_ok=True)
+    cols = ("source", "doc_id", "n_chars", "src_rank")
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if _newest_state_id(state_dir) >= batch_id:
+            return  # crash between state write and commit: fixpoint
+        cand = _hostcap_merge(
+            batch_df.select("source", "doc_id", "n_chars")
+        ).select(*cols)
+        prior = _newest_state(spark, state_dir)
+        if prior is not None:
+            cand = cand.unionByName(prior.select(*cols))
+        out = os.path.join(state_dir, f"s{batch_id}")
+        _hostcap_merge(cand).select(*cols).write.mode("overwrite").parquet(out)
+        for e in os.scandir(state_dir):
+            if e.name.startswith("s") and e.name != f"s{batch_id}":
+                if int(e.name[1:]) < batch_id:
+                    shutil.rmtree(e.path, ignore_errors=True)
+
+    docs = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("maxFilesPerTrigger", 1)  # one shard per micro-batch
+        .parquet(_docs_sharded_dir(spark, sf_dir))
+    )
+    q = (
+        docs.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", os.path.join(work, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = _newest_state(spark, state_dir)
+    out = (
+        final.select(*cols).localCheckpoint()
+        if final is not None
+        else spark.createDataFrame(
+            [], "source string, doc_id long, n_chars long, src_rank long"
+        )
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return out

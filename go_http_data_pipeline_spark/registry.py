@@ -150,6 +150,7 @@ _DEFER: dict[str, int] = {
     "streaming_ivfpq_index_top1": 9,
     "host_document_caps": 9,
     "host_cap_audit": 9,
+    "streaming_host_cap_state": 9,
 }
 
 
