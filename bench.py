@@ -48,6 +48,7 @@ HEADLINE = (
     "ann_lsh_top1",             # bucketed ANN scale path
     "ivf_ann_top1",             # cluster-pruning ANN (cell-local probe)
     "pq_ann_top1",              # product-quantization ADC probe
+    "pq_ann_top1_wide",         # wide-layout ADC (no corpus shuffle)
     "ivf_pq_ann_top1",          # IVF cell pruning x PQ codes (IVFPQ)
     "text_quality_scores",      # text analysis sweep
     "doc_chunks",               # token-window chunking (zero-shuffle map)
