@@ -1767,11 +1767,13 @@ def main() -> int:
         "lookups in codegen and pre-combines the per-query max",
         "map-side, so its lone exchange carries <= |queries| rows per",
         "partition at ANY corpus size (plan-pinned in",
-        "tests/test_pq.py). At the fixture's 2000 vectors the probes",
-        "are overhead-dominated and the layouts tie; the amplified",
-        "corpus is where the shuffle term separates them — the wide",
-        "form's growth is the scan, the long form's is scan + join +",
-        "shuffle + 16x-wider aggregate input.",
+        "tests/test_pq.py). At the fixture's 2000 vectors both probes",
+        "are overhead-dominated (the wide form additionally pays a",
+        "~0.3 s fixed LUT-assembly stage, so it can even trail); the",
+        "amplified corpus is where the shuffle term separates them —",
+        "the wide form stays ~flat (its growth is the scan) while the",
+        "long form pays scan + join + shuffle + 16x-wider aggregate",
+        "input, growing with the corpus.",
         "",
         "Generated by tools/scaling_study.py.",
         "",
