@@ -252,7 +252,11 @@ def main() -> int:
         "  No join and no corpus-sized shuffle at probe time — the lone",
         "  exchange carries <= |queries| pre-combined rows per",
         "  partition, so probe cost scales with the query batch, not",
-        "  the corpus (plan-pinned in tests/test_pq.py).",
+        "  the corpus (plan-pinned in tests/test_pq.py; at THIS",
+        "  2000-vector fixture its fixed LUT-assembly stage makes it",
+        "  trail the long form — SCALING_MEASURED.md §K races the",
+        "  layouts at x64 codes, where long grows to ~6 s and wide",
+        "  stays ~flat at 1.4 s).",
         "- **IVFPQ** is that composition, shipped: prune to the query's",
         "  cell, score the survivors from codes. Candidates match the",
         "  IVF row; bytes-touched match PQ's 16/vector on just that",
