@@ -1,7 +1,8 @@
 """Generational bucketed index — shared machinery for incrementally
 maintained probe indexes (the MinHash-LSH band index in
-``streaming/core.py`` and the IVF ANN cell index in
-``streaming/annindex.py``).
+``streaming/core.py``, the IVF ANN cell index in
+``streaming/annindex.py``, and the IVFPQ codes index in
+``streaming/pqindex.py``).
 
 The shape both share: micro-batches append ``b{N}`` parquet dirs; the
 read view is the newest COMPLETE compacted generation ``c{HW}`` plus
