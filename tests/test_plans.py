@@ -888,3 +888,55 @@ def test_host_cap_shuffles_only_capped_rows(spark, sf_dir):
     audit_plan = plan_str(host_cap_audit(spark, sf_dir), "simple")
     assert "Window" not in audit_plan
     assert "HashAggregate" in audit_plan
+
+
+def test_runtime_bloom_filter_reduces_fact_side_of_smj(spark, sf_dir):
+    """The engine's runtime semi-join reduction, pinned as a scale
+    lever: when a shuffle join's build side carries a selective
+    filter, Catalyst injects a bloom filter built from the filtered
+    keys into the probe side's scan (BloomFilterMightContain), so at
+    100 TB most of the fact table is dropped BEFORE the exchange. The
+    application-side size threshold defaults to 10 GB — it never
+    fires at fixture scale, so this test lowers it (and disables
+    broadcast to force the shuffle join the rule targets) to prove
+    the injection works and changes nothing about the answer; on a
+    real cluster the DEFAULT thresholds fire for exactly this plan
+    shape."""
+    from pyspark.sql import functions as F
+
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+        == "true"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+    def run():
+        return (
+            lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("l_quantity").alias("qty"),
+            )
+        )
+
+    want = sorted(map(tuple, run().collect()))
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    thr_key = (
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold"
+    )
+    prev_thr = spark.conf.get(thr_key)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(thr_key, "1KB")
+    try:
+        df = run()
+        plan = df._jdf.queryExecution().executedPlan().toString().lower()
+        assert "might_contain" in plan or "bloomfilter" in plan, plan
+        assert sorted(map(tuple, df.collect())) == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.conf.set(thr_key, prev_thr)
