@@ -151,6 +151,7 @@ _DEFER: dict[str, int] = {
     "host_document_caps": 9,
     "host_cap_audit": 9,
     "streaming_host_cap_state": 9,
+    "streaming_lsh_index_with_deletes": 9,
 }
 
 

@@ -650,6 +650,7 @@ def _lsh_index(index_dir: str) -> "GenIndex":
         bucket_cols=("band", "sig"),
         n_buckets=_LSH_INDEX_BUCKETS,
         prefix="lsh_gen",
+        tombstone_cols=("doc_id",),
     )
 
 
@@ -675,8 +676,12 @@ def _lsh_probe_sides(spark: SparkSession, index_dir: str) -> list[DataFrame]:
     """The read view as join-ready sides: the compacted generation via
     its BUCKETED catalog table (probe joins consume its (band, sig)
     distribution — zero index-side exchange), the newer delta dirs as
-    one plain parquet read (see GenIndex.probe_sides)."""
-    return _lsh_index(index_dir).probe_sides(spark)
+    one plain parquet read (see GenIndex.probe_sides). Live
+    tombstones (retractions not yet folded by a compaction) are
+    applied on every side — with none on disk this is a pure
+    passthrough, so the delete-free queries' plans are untouched."""
+    idx = _lsh_index(index_dir)
+    return [idx.apply_tombstones(spark, s) for s in idx.probe_sides(spark)]
 
 
 def lsh_compact(spark: SparkSession, index_dir: str, batch_id: int) -> None:
@@ -742,9 +747,13 @@ def lsh_index_step(
     pairs.distinct().write.mode("overwrite").parquet(
         os.path.join(cand_dir, f"b{batch_id}")
     )
-    bands.write.mode("overwrite").parquet(
-        os.path.join(index_dir, f"b{batch_id}")
-    )
+    # Rows are stamped with their arrival batch so retractions can be
+    # last-writer-wins (a re-add in a later batch outlives an earlier
+    # delete — GenIndex.apply_tombstones); stamp is dead weight until
+    # a delete batch exists.
+    bands.withColumn("src_batch", F.lit(batch_id).cast("long")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(index_dir, f"b{batch_id}"))
     bands.unpersist()
     # Compact once enough per-batch dirs accumulate. Counting the
     # VIEW's b-dirs (not raw dirs) keeps a replay idempotent: a
@@ -818,6 +827,134 @@ def streaming_lsh_index_candidates(spark: SparkSession, sf_dir: str) -> DataFram
         .distinct()
         .localCheckpoint()  # sever lineage from the temp dirs
     )
+    lsh_drop_generations(spark, index_dir)
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+# --- retractions in the incremental LSH index --------------------------------
+# The right-to-be-forgotten path: a deleted document must stop
+# producing near-dup candidates even though its bands were appended
+# (and possibly compacted) long ago. Deletes are tombstones
+# (doc_id, t_batch) with last-writer-wins against each row's
+# src_batch stamp — applied LOGICALLY at probe time (every probe
+# side anti-filters live tombstones) and PHYSICALLY at the next
+# compaction (dead rows never enter the new generation; the applied
+# tombstones are then GC'd). See GenIndex.apply_tombstones.
+
+# Every _DELETE_MOD-th document is retracted in the gate query's
+# final delete batch.
+_DELETE_MOD = 17
+
+
+def lsh_delete_step(
+    spark: SparkSession,
+    doc_ids: DataFrame,
+    batch_id: int,
+    index_dir: str,
+) -> None:
+    """One delete batch: record tombstones for the given doc_ids
+    (overwrite — a replayed delete is idempotent). O(deletes): the
+    index itself is not touched until the next compaction folds the
+    tombstones in."""
+    _lsh_index(index_dir).append_tombstones(doc_ids, batch_id)
+
+
+def lsh_live_pairs(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The candidate pairs the LIVE index produces now: all band
+    collisions among rows that survive the tombstones. This is the
+    offline full-index derivation (a one-shot self-join across the
+    read view), not the per-batch probe — it exists so retractions
+    have an auditable 'what does the index answer NOW' surface."""
+    sides = _lsh_probe_sides(spark, index_dir)
+    if not sides:
+        return spark.createDataFrame([], "doc_a long, doc_b long")
+    rows = sides[0].select("band", "sig", "doc_id")
+    for s in sides[1:]:
+        rows = rows.unionByName(s.select("band", "sig", "doc_id"))
+    a, b = rows.alias("a"), rows.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def _lsh_deletes_oracle() -> str:
+    from ..llm.dedup import _MINHASH_SQL, _SHINGLES_SQL
+
+    return f"""
+    WITH {_SHINGLES_SQL}, {_MINHASH_SQL}
+    SELECT doc_a, doc_b FROM candidates
+    WHERE doc_a % {_DELETE_MOD} != 0 AND doc_b % {_DELETE_MOD} != 0
+    """
+
+
+@query("streaming_lsh_index_with_deletes", oracle=_lsh_deletes_oracle())
+def streaming_lsh_index_with_deletes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The incremental LSH index under RETRACTION: documents arrive
+    in micro-batches and build the band index exactly as
+    ``streaming_lsh_index_candidates``; then a delete batch retracts
+    every ``_DELETE_MOD``-th document (tombstones — O(deletes), the
+    index untouched), and a compaction folds the tombstones in
+    physically (dead rows never enter the new generation; the
+    tombstones are GC'd with the dirs they covered). The returned
+    candidate set is what the live index answers AFTER the
+    retraction: the batch ``candidates`` CTE restricted to pairs of
+    SURVIVING documents — per-document banding means deleted docs
+    cannot influence surviving pairs, which is what makes the oracle
+    a plain filter. Logical-vs-physical apply equality, last-writer-
+    wins re-adds, and replayed-delete idempotence are unit-pinned in
+    tests/test_streaming.py."""
+    import shutil
+
+    work = tempfile.mkdtemp(prefix="lsh_del_")
+    index_dir = os.path.join(work, "index")
+    cand_dir = os.path.join(work, "cands")
+    seen: list[int] = []
+
+    docs = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("maxFilesPerTrigger", 1)  # one shard per micro-batch
+        .parquet(_docs_sharded_dir(spark, sf_dir))
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        lsh_index_step(spark, batch_df, batch_id, index_dir, cand_dir)
+        seen.append(batch_id)
+
+    q = (
+        docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(work, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    delete_batch = max(seen) + 1
+    deleted = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") % _DELETE_MOD == 0)
+        .select("doc_id")
+    )
+    lsh_delete_step(spark, deleted, delete_batch, index_dir)
+    # Fold the retraction in physically; the returned pairs read the
+    # post-compaction generation (the logical-apply path gives the
+    # same answer — unit-pinned equality).
+    lsh_compact(spark, index_dir, delete_batch)
+    out = lsh_live_pairs(spark, index_dir).localCheckpoint()
     lsh_drop_generations(spark, index_dir)
     shutil.rmtree(work, ignore_errors=True)
     return out

@@ -48,11 +48,19 @@ class GenIndex:
         bucket_cols: tuple[str, ...],
         n_buckets: int,
         prefix: str,
+        tombstone_cols: tuple[str, ...] | None = None,
     ) -> None:
         self.index_dir = index_dir
         self.bucket_cols = bucket_cols
         self.n_buckets = n_buckets
         self.prefix = prefix
+        # Retraction support (opt-in): index rows carry a ``src_batch``
+        # column, tombstones are (tombstone_cols..., t_batch) rows in
+        # ``d{N}`` dirs, and a row is dead iff a tombstone for its key
+        # has t_batch > src_batch (last-writer-wins: a re-add in a
+        # LATER batch outlives an earlier delete; a delete retracts
+        # only what arrived strictly before it).
+        self.tombstone_cols = tombstone_cols
 
     # -- naming ------------------------------------------------------
 
@@ -133,6 +141,63 @@ class GenIndex:
             sides.append(spark.read.parquet(*deltas))
         return sides
 
+    # -- tombstones (retractions) -------------------------------------
+
+    def append_tombstones(self, df: DataFrame, batch_id: int) -> None:
+        """Record retractions as ``d{batch_id}``: one row per
+        retracted key (``tombstone_cols``), stamped ``t_batch`` =
+        this batch id (overwrite: a replayed delete batch is
+        idempotent). The GDPR/right-to-be-forgotten path of an
+        incrementally maintained index."""
+        from pyspark.sql import functions as F
+
+        assert self.tombstone_cols, "index built without tombstone_cols"
+        df.select(*self.tombstone_cols).distinct().withColumn(
+            "t_batch", F.lit(batch_id).cast("long")
+        ).write.mode("overwrite").parquet(
+            os.path.join(self.index_dir, f"d{batch_id}")
+        )
+
+    def _tombstone_dirs(self) -> list[str]:
+        if not os.path.isdir(self.index_dir):
+            return []
+        return [
+            e.path
+            for e in os.scandir(self.index_dir)
+            if e.is_dir() and re.fullmatch(r"d\d+", e.name)
+        ]
+
+    def apply_tombstones(
+        self, spark: SparkSession, df: DataFrame
+    ) -> DataFrame:
+        """Filter dead rows out of an index-row DataFrame (must carry
+        ``tombstone_cols`` + ``src_batch``). A row is live iff no
+        tombstone for its key is NEWER than the row (src_batch >=
+        t_batch keeps a same-or-later re-add alive). Applying a
+        tombstone twice is a no-op — survivors, by definition, are
+        the rows it does not kill — which is what makes the physical
+        apply during compaction crash-safe: a crash between the fold
+        and the d-dir GC just re-applies at the next fold."""
+        dirs = self._tombstone_dirs()
+        if not dirs:
+            return df
+        from pyspark.sql import functions as F
+
+        key = list(self.tombstone_cols or ())
+        tomb = (
+            spark.read.parquet(*dirs)
+            .groupBy(*key)
+            .agg(F.max("t_batch").alias("_t_batch"))
+        )
+        return (
+            df.join(F.broadcast(tomb), key, "left")
+            .filter(
+                F.col("_t_batch").isNull()
+                | (F.col("src_batch") >= F.col("_t_batch"))
+            )
+            .drop("_t_batch")
+        )
+
     # -- writes ------------------------------------------------------
 
     def append(self, df: DataFrame, batch_id: int) -> None:
@@ -171,9 +236,16 @@ class GenIndex:
         if not vis:
             return
         out = os.path.join(self.index_dir, f"c{batch_id}")
+        rows = spark.read.parquet(*vis)
+        if self.tombstone_cols:
+            # Physical apply: dead rows never enter the new
+            # generation, and the tombstones that killed them can be
+            # GC'd below (a replayed b-dir at or below the high-water
+            # mark never re-enters the view, so nothing those
+            # tombstones covered can resurface).
+            rows = self.apply_tombstones(spark, rows)
         (
-            spark.read.parquet(*vis)
-            .repartition(self.n_buckets, *self.bucket_cols)
+            rows.repartition(self.n_buckets, *self.bucket_cols)
             .write.mode("overwrite")
             .format("parquet")
             .bucketBy(self.n_buckets, *self.bucket_cols)
@@ -182,10 +254,11 @@ class GenIndex:
             .saveAsTable(self.gen_table(batch_id))
         )
         # GC: everything at or below the new high-water mark is
-        # superseded (read view already ignores it); best-effort,
-        # self-healing — a failed delete is retried by the next fold.
+        # superseded (read view already ignores it; applied tombstones
+        # are folded in); best-effort, self-healing — a failed delete
+        # is retried by the next fold.
         for e in os.scandir(self.index_dir):
-            m = re.fullmatch(r"([bc])(\d+)", e.name)
+            m = re.fullmatch(r"([bcd])(\d+)", e.name)
             if m and e.path != out and int(m.group(2)) <= batch_id:
                 if m.group(1) == "c":
                     spark.sql(

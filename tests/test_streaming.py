@@ -883,3 +883,96 @@ def test_lsh_compacted_probe_has_no_index_side_exchange(
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     core.lsh_drop_generations(spark, index_dir)
+
+
+def test_lsh_delete_logical_equals_physical_and_gc(spark, tmp_path):
+    """Retractions: after a delete batch, the live pair set is the
+    same whether the tombstone is applied LOGICALLY at probe time or
+    PHYSICALLY by a compaction — and the compaction GC's the applied
+    tombstone dirs. The deleted doc's pairs are gone either way."""
+    import os
+
+    from go_http_data_pipeline_spark.streaming.core import (
+        _lsh_index,
+        lsh_compact,
+        lsh_delete_step,
+        lsh_index_step,
+        lsh_live_pairs,
+    )
+
+    text_dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    index_dir = str(tmp_path / "index")
+    cand_dir = str(tmp_path / "cands")
+    lsh_index_step(
+        spark, docs([(1, text_dup), (2, text_dup)]), 0, index_dir, cand_dir
+    )
+    lsh_index_step(spark, docs([(3, text_dup)]), 1, index_dir, cand_dir)
+    assert {(r.doc_a, r.doc_b) for r in lsh_live_pairs(spark, index_dir).collect()} == {
+        (1, 2), (1, 3), (2, 3)
+    }
+
+    lsh_delete_step(spark, docs([(2, "")]).select("doc_id"), 2, index_dir)
+    logical = sorted(
+        map(tuple, lsh_live_pairs(spark, index_dir).collect())
+    )
+    assert logical == [(1, 3)]
+    lsh_compact(spark, index_dir, 2)
+    physical = sorted(
+        map(tuple, lsh_live_pairs(spark, index_dir).collect())
+    )
+    assert physical == logical
+    # Applied tombstones are GC'd with the dirs they covered.
+    assert not any(
+        e.name.startswith("d") for e in os.scandir(index_dir)
+    )
+    # Doc 2's rows are physically gone from the generation.
+    gen_docs = {
+        r.doc_id
+        for s in _lsh_index(index_dir).probe_sides(spark)
+        for r in s.select("doc_id").distinct().collect()
+    }
+    assert gen_docs == {1, 3}
+    _lsh_index(index_dir).drop_generations(spark)
+
+
+def test_lsh_delete_last_writer_wins_readd(spark, tmp_path):
+    """A document re-added AFTER its deletion lives: tombstones kill
+    only rows that arrived strictly before them (src_batch <
+    t_batch), so the re-add's fresh bands survive and pair again.
+    A replayed delete batch (same id) changes nothing."""
+    from go_http_data_pipeline_spark.streaming.core import (
+        _lsh_index,
+        lsh_delete_step,
+        lsh_index_step,
+        lsh_live_pairs,
+    )
+
+    text_dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    index_dir = str(tmp_path / "index")
+    cand_dir = str(tmp_path / "cands")
+    lsh_index_step(
+        spark, docs([(1, text_dup), (2, text_dup)]), 0, index_dir, cand_dir
+    )
+    lsh_delete_step(spark, docs([(2, "")]).select("doc_id"), 1, index_dir)
+    assert sorted(
+        map(tuple, lsh_live_pairs(spark, index_dir).collect())
+    ) == []
+    # Re-add doc 2 in a LATER batch: it outlives the earlier delete.
+    lsh_index_step(spark, docs([(2, text_dup)]), 2, index_dir, cand_dir)
+    assert sorted(
+        map(tuple, lsh_live_pairs(spark, index_dir).collect())
+    ) == [(1, 2)]
+    # Replayed delete (same batch id 1): idempotent, re-add still wins.
+    lsh_delete_step(spark, docs([(2, "")]).select("doc_id"), 1, index_dir)
+    assert sorted(
+        map(tuple, lsh_live_pairs(spark, index_dir).collect())
+    ) == [(1, 2)]
+    _lsh_index(index_dir).drop_generations(spark)
