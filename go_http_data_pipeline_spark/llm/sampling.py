@@ -259,6 +259,171 @@ def host_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- priority sampling (weighted, without replacement) -----------------------
+# Duffield–Lund–Thorup priority sampling (JACM 54(6), 2007): give item
+# i priority q_i = w_i / u_i with u_i uniform on (0, 1], keep the K
+# highest-priority items, and let tau be the (K+1)-th priority. The
+# kept set is a weight-biased sample WITHOUT replacement, and
+# w_est_i = max(w_i, tau) is an UNBIASED estimator of any subset sum —
+# the primitive behind "sample 1M documents by token count and still
+# estimate per-slice token totals" in corpus analysis. Cross-engine
+# exactness: u_i = (md5 % MOD + 1)/MOD, so q_i = (w_i * MOD)/h with
+# both operands exact integers < 2^53 — ONE IEEE-754 division, which
+# (like sqrt, unlike pow/exp) is required correctly rounded, so the
+# priorities and therefore the selected set and tau are bit-identical
+# in Spark and DuckDB.
+
+K_PRIORITY = 25  # sample size
+
+# Shared priority expression (DuckDB spelling); the Spark side builds
+# the identical arithmetic with the F.* API below.
+_PRI_KEY_SQL = md5_int_sql("'pri:' || CAST(doc_id AS VARCHAR)")
+_PRI_SQL = (
+    f"CAST(n_chars * {MOD} AS DOUBLE) / ({_PRI_KEY_SQL} % {MOD} + 1)"
+)
+
+
+@query(
+    "priority_sample_docs",
+    oracle=f"""
+    WITH pri AS (
+        SELECT doc_id, n_chars AS weight, {_PRI_SQL} AS priority
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, weight, priority,
+               ROW_NUMBER() OVER (ORDER BY priority DESC, doc_id) AS rk
+        FROM pri
+    ),
+    top AS (SELECT * FROM ranked WHERE rk <= {K_PRIORITY + 1}),
+    tau AS (SELECT MIN(priority) AS tau FROM top)
+    SELECT t.doc_id, t.weight, t.priority, t.rk,
+           GREATEST(CAST(t.weight AS DOUBLE), tau.tau) AS w_est
+    FROM top t, tau
+    WHERE t.rk <= {K_PRIORITY}
+    """,
+)
+def priority_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample without replacement of ``K_PRIORITY`` documents
+    (weight = n_chars) by priority sampling, with the per-item
+    unbiased subset-sum estimate ``w_est = max(weight, tau)``.
+
+    Scale shape: the ONLY corpus-sized work is ``orderBy(...).limit
+    (K+1)``, which compiles to **TakeOrderedAndProject** — every map
+    task keeps its local top-(K+1) and the gather carries <= K+1 rows
+    per partition, never a global sort (plan-pinned; the inspector
+    counts TakeOrderedAndProject as a row-bounding node exactly like
+    an aggregate). tau, the rank window, and the estimator all run on
+    the K+1-row result — control-plane sized at any corpus scale.
+
+    The reference has no sampling surface (``Random/main.go:74`` is a
+    hardcoded 10-record client loop); this is the LLM-curation
+    extension mandated alongside it."""
+    u = (
+        md5_int(F.concat(F.lit("pri:"), F.col("doc_id").cast("string")))
+        % MOD
+        + 1
+    )
+    pri = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").alias("weight"),
+        ((F.col("n_chars") * MOD).cast("double") / u).alias("priority"),
+    )
+    top = pri.orderBy(F.col("priority").desc(), "doc_id").limit(
+        K_PRIORITY + 1
+    )
+    everything = Window.partitionBy()
+    w = Window.orderBy(F.col("priority").desc(), "doc_id")
+    return (
+        top.withColumn("rk", F.row_number().over(w).cast("long"))
+        .withColumn("tau", F.min("priority").over(everything))
+        .filter(F.col("rk") <= K_PRIORITY)
+        .select(
+            "doc_id",
+            "weight",
+            "priority",
+            "rk",
+            F.greatest(F.col("weight").cast("double"), F.col("tau")).alias(
+                "w_est"
+            ),
+        )
+    )
+
+
+# --- per-epoch loader shuffle -------------------------------------------------
+# A training run re-shuffles the corpus every epoch; at 100 TB that is
+# never one global permutation (a corpus-wide sort per epoch) but a
+# two-level scheme: hash each (epoch, doc) to one of S loader shards,
+# then order within the shard — different epochs hash differently, so
+# both the shard composition AND the within-shard order change per
+# epoch, while any single (epoch, shard) cell is reproducible in
+# isolation (a resumed loader re-derives its shard without touching
+# the rest of the corpus). S is sized so a shard is loader-file-sized
+# (deployments use thousands; the demo uses 8), so the within-shard
+# window sorts corpus/S rows per task — embarrassingly parallel over
+# epochs x shards, no global sort, no shuffle wider than the one hash
+# partitioning.
+
+N_EPOCHS = 3
+N_LOADER_SHARDS = 8
+
+
+@query(
+    "epoch_shuffle_shards",
+    oracle=f"""
+    WITH e AS (
+        SELECT unnest(generate_series(0, {N_EPOCHS - 1})) AS epoch
+    ),
+    k AS (
+        SELECT CAST(e.epoch AS BIGINT) AS epoch, d.doc_id,
+               {md5_int_sql(
+                   "CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)"
+               )} AS hkey
+        FROM documents d, e
+    )
+    SELECT epoch, hkey % {N_LOADER_SHARDS} AS shard_id, doc_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY epoch, hkey % {N_LOADER_SHARDS}
+               ORDER BY hkey, doc_id
+           ) AS pos
+    FROM k
+    """,
+)
+def epoch_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch data-loader order: for each of
+    ``N_EPOCHS`` epochs, assign every document to one of
+    ``N_LOADER_SHARDS`` shards by md5(epoch:doc_id) and give it a
+    within-shard position ordered by the same hash — a reproducible
+    pseudorandom re-shuffle per epoch with no global sort (the window
+    is partitioned by (epoch, shard): corpus/S rows per task, S scales
+    with the corpus). Identical on every run and engine, unlike
+    ``rand()``-keyed shuffles, so the exact batch composition any
+    training step saw can be re-derived after the fact."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    keyed = docs.select(
+        F.explode(F.sequence(F.lit(0), F.lit(N_EPOCHS - 1))).alias("epoch"),
+        "doc_id",
+    ).withColumn(
+        "epoch", F.col("epoch").cast("long")
+    ).withColumn(
+        "hkey",
+        md5_int(
+            F.concat(
+                F.col("epoch").cast("string"),
+                F.lit(":"),
+                F.col("doc_id").cast("string"),
+            )
+        ),
+    )
+    shard = (F.col("hkey") % N_LOADER_SHARDS).alias("shard_id")
+    w = Window.partitionBy("epoch", "shard_id").orderBy("hkey", "doc_id")
+    return (
+        keyed.select("epoch", shard, "doc_id", "hkey")
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("epoch", "shard_id", "doc_id", "pos")
+    )
+
+
 # --- streaming host-cap state ------------------------------------------------
 # The cap enforced AT INGEST: documents arrive in micro-batches and
 # the engine maintains, per host, the best-HOST_CAP-so-far set as a

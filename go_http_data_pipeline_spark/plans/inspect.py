@@ -144,7 +144,13 @@ def _scan_lines_without_aggregate_ancestor(
                     if (
                         "Aggregate" in lines[k]
                         or "InMemoryRelation" in lines[k]
+                        or "TakeOrderedAndProject" in lines[k]
                     ):
+                        # TakeOrderedAndProject bounds rows exactly
+                        # like an aggregate: each task keeps only its
+                        # local top-k, the gather carries <= k rows
+                        # per partition, and the node emits <= k rows
+                        # total (priority_sample_docs' K+1-row take).
                         bounded = True
                         break
             if not bounded:

@@ -152,6 +152,12 @@ _DEFER: dict[str, int] = {
     "host_cap_audit": 9,
     "streaming_host_cap_state": 9,
     "streaming_lsh_index_with_deletes": 9,
+    # Horizon 10 (first driver check in round 12): the round-10 and
+    # round-11 windows are already exactly full (see docs/STATUS.md
+    # "Round 10 plan"), so the session-7 data-loader pair waits for
+    # the round-12 window, which it shares with the r8 tranche.
+    "priority_sample_docs": 10,
+    "epoch_shuffle_shards": 10,
 }
 
 
