@@ -283,9 +283,10 @@ _PRI_SQL = (
 )
 
 
-@query(
-    "priority_sample_docs",
-    oracle=f"""
+# Shared by the batch query and its incremental streaming twin (the
+# fold's fixpoint equals the batch top-(K+1), so ONE oracle certifies
+# both paths — the streaming_host_cap_state pattern).
+PRIORITY_SAMPLE_ORACLE = f"""
     WITH pri AS (
         SELECT doc_id, n_chars AS weight, {_PRI_SQL} AS priority
         FROM documents
@@ -301,8 +302,33 @@ _PRI_SQL = (
            GREATEST(CAST(t.weight AS DOUBLE), tau.tau) AS w_est
     FROM top t, tau
     WHERE t.rk <= {K_PRIORITY}
-    """,
-)
+    """
+
+
+def _priority_rank_est(top: DataFrame) -> DataFrame:
+    """Rank + threshold + estimator over a K+1-row top set: tau is the
+    (K+1)-th priority (= the min of the set), the kept K rows carry
+    ``w_est = max(weight, tau)``. Control-plane sized — the single-
+    partition window moves <= K+1 rows whatever the corpus scale."""
+    everything = Window.partitionBy()
+    w = Window.orderBy(F.col("priority").desc(), "doc_id")
+    return (
+        top.withColumn("rk", F.row_number().over(w).cast("long"))
+        .withColumn("tau", F.min("priority").over(everything))
+        .filter(F.col("rk") <= K_PRIORITY)
+        .select(
+            "doc_id",
+            "weight",
+            "priority",
+            "rk",
+            F.greatest(F.col("weight").cast("double"), F.col("tau")).alias(
+                "w_est"
+            ),
+        )
+    )
+
+
+@query("priority_sample_docs", oracle=PRIORITY_SAMPLE_ORACLE)
 def priority_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sample without replacement of ``K_PRIORITY`` documents
     (weight = n_chars) by priority sampling, with the per-item
@@ -332,22 +358,107 @@ def priority_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = pri.orderBy(F.col("priority").desc(), "doc_id").limit(
         K_PRIORITY + 1
     )
-    everything = Window.partitionBy()
-    w = Window.orderBy(F.col("priority").desc(), "doc_id")
+    return _priority_rank_est(top)
+
+
+def _priority_merge(cands: DataFrame) -> DataFrame:
+    """Top-(K+1) by (priority DESC, doc_id) of a candidate union —
+    the streaming fold's kernel. Associative (top of tops = top of
+    the union), idempotent (a replayed batch's rows deduplicate away
+    — priority is a pure function of doc_id and weight, so duplicate
+    doc_ids are identical rows), and order-insensitive, exactly like
+    ``_hostcap_merge``. dropDuplicates first so a replay can't shift
+    ranks; limit compiles to TakeOrderedAndProject."""
     return (
-        top.withColumn("rk", F.row_number().over(w).cast("long"))
-        .withColumn("tau", F.min("priority").over(everything))
-        .filter(F.col("rk") <= K_PRIORITY)
-        .select(
-            "doc_id",
-            "weight",
-            "priority",
-            "rk",
-            F.greatest(F.col("weight").cast("double"), F.col("tau")).alias(
-                "w_est"
-            ),
+        cands.dropDuplicates(["doc_id"])
+        .orderBy(F.col("priority").desc(), "doc_id")
+        .limit(K_PRIORITY + 1)
+    )
+
+
+@query("streaming_priority_sample_state", oracle=PRIORITY_SAMPLE_ORACLE)
+def streaming_priority_sample_state(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``priority_sample_docs`` maintained incrementally at ingest:
+    per micro-batch, fold the batch's own top-(K+1) priorities into
+    the accumulated K+1-row state (state size is K+1 FOREVER — the
+    weighted sample of an unbounded stream in O(K) memory, the
+    classic reservoir shape). Generations are ``s{batch_id}`` dirs
+    with ``_SUCCESS`` ordering: an interrupted write is invisible, a
+    replay overwrites its own generation, and a batch whose
+    generation is already complete skips the fold (fixpoint). The
+    fold is associative, idempotent, and order-insensitive, so the
+    final state equals the batch top-(K+1) EXACTLY and the rank /
+    tau / estimator finalization over it reproduces the batch answer
+    — the shared oracle is ``PRIORITY_SAMPLE_ORACLE`` verbatim."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.annindex import _newest_state, _newest_state_id
+    from ..streaming.core import _docs_sharded_dir
+
+    work = tempfile.mkdtemp(prefix="prisample_")
+    state_dir = os.path.join(work, "state")
+    os.makedirs(state_dir, exist_ok=True)
+    cols = ("doc_id", "weight", "priority")
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if _newest_state_id(state_dir) >= batch_id:
+            return  # crash between state write and commit: fixpoint
+        u = (
+            md5_int(F.concat(F.lit("pri:"), F.col("doc_id").cast("string")))
+            % MOD
+            + 1
+        )
+        cand = _priority_merge(
+            batch_df.select(
+                "doc_id",
+                F.col("n_chars").alias("weight"),
+                ((F.col("n_chars") * MOD).cast("double") / u).alias(
+                    "priority"
+                ),
+            )
+        ).select(*cols)
+        prior = _newest_state(spark, state_dir)
+        if prior is not None:
+            cand = cand.unionByName(prior.select(*cols))
+        out = os.path.join(state_dir, f"s{batch_id}")
+        _priority_merge(cand).select(*cols).write.mode("overwrite").parquet(
+            out
+        )
+        for e in os.scandir(state_dir):
+            if e.name.startswith("s") and e.name != f"s{batch_id}":
+                if int(e.name[1:]) < batch_id:
+                    shutil.rmtree(e.path, ignore_errors=True)
+
+    docs = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("maxFilesPerTrigger", 1)  # one shard per micro-batch
+        .parquet(_docs_sharded_dir(spark, sf_dir))
+    )
+    q = (
+        docs.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", os.path.join(work, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = _newest_state(spark, state_dir)
+    out = (
+        _priority_rank_est(final.select(*cols)).localCheckpoint()
+        if final is not None
+        else spark.createDataFrame(
+            [],
+            "doc_id long, weight long, priority double, rk long,"
+            " w_est double",
         )
     )
+    shutil.rmtree(work, ignore_errors=True)
+    return out
 
 
 # --- per-epoch loader shuffle -------------------------------------------------

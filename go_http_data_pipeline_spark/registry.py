@@ -158,6 +158,7 @@ _DEFER: dict[str, int] = {
     # the round-12 window, which it shares with the r8 tranche.
     "priority_sample_docs": 10,
     "epoch_shuffle_shards": 10,
+    "streaming_priority_sample_state": 10,
 }
 
 

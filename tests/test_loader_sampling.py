@@ -146,6 +146,72 @@ def test_epoch_shuffle_actually_reshuffles_between_epochs(spark, sf_dir):
     assert moved > 0
 
 
+def _pri(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, weight long, priority double")
+
+
+def test_priority_fold_is_order_insensitive_and_evicting(spark, monkeypatch):
+    """Folding batches in either order gives the top-(K+1) of the
+    union — a higher-priority late arrival evicts an earlier admit."""
+    from go_http_data_pipeline_spark.llm import sampling
+
+    monkeypatch.setattr(sampling, "K_PRIORITY", 2)
+    b0 = [(1, 10, 5.0), (2, 10, 4.0), (3, 10, 3.0)]
+    b1 = [(4, 10, 9.0), (5, 10, 1.0)]
+
+    def fold(batches):
+        state = None
+        for rows in batches:
+            cand = sampling._priority_merge(_pri(spark, rows))
+            if state is not None:
+                cand = cand.unionByName(state)
+            state = sampling._priority_merge(cand)
+        return sorted(map(tuple, state.collect()))
+
+    want = sorted(
+        map(tuple, sampling._priority_merge(_pri(spark, b0 + b1)).collect())
+    )
+    assert fold([b0, b1]) == want
+    assert fold([b1, b0]) == want
+    # K+1 = 3 kept: doc 4 (9.0) evicted doc 3 (3.0); doc 5 never entered.
+    assert [t[0] for t in sorted(want, key=lambda t: -t[2])] == [4, 1, 2]
+
+
+def test_priority_fold_absorbs_replayed_batch(spark, monkeypatch):
+    """Replaying a batch already folded into the state leaves the
+    state row-identical (priority is a pure function of the doc, so
+    the dedup removes the replay exactly)."""
+    from go_http_data_pipeline_spark.llm import sampling
+
+    monkeypatch.setattr(sampling, "K_PRIORITY", 2)
+    b0 = [(1, 10, 5.0), (2, 10, 4.0), (3, 10, 3.0), (4, 10, 2.0)]
+    state = sampling._priority_merge(_pri(spark, b0))
+    replay = sampling._priority_merge(
+        sampling._priority_merge(_pri(spark, b0)).unionByName(state)
+    )
+    assert sorted(map(tuple, replay.collect())) == sorted(
+        map(tuple, state.collect())
+    )
+
+
+def test_streaming_priority_state_equals_batch_query(spark, sf_dir):
+    """End-to-end through the engine: the incremental state finalizes
+    to the batch priority-sampling answer row-for-row (shared oracle;
+    the docs arrive as >= 2 micro-batches via the sharded source)."""
+    from go_http_data_pipeline_spark.llm import sampling
+
+    got = sorted(
+        map(
+            tuple,
+            sampling.streaming_priority_sample_state(spark, sf_dir).collect(),
+        )
+    )
+    want = sorted(
+        map(tuple, sampling.priority_sample_docs(spark, sf_dir).collect())
+    )
+    assert got == want and len(got) == sampling.K_PRIORITY
+
+
 def test_epoch_shuffle_no_single_partition_exchange(spark, sf_dir):
     """The per-epoch shuffle must never global-sort: the window is
     partitioned by (epoch, shard), so no single-partition exchange
