@@ -58,6 +58,7 @@ HEADLINE = (
     "pii_redaction",            # regex scrub (zero-shuffle map)
     "stopword_stripped_docs",   # array-lambda token filter
     "stratified_sample_per_lang",  # two-phase exact-quota sampler
+    "priority_sample_docs",     # weighted top-K sample (TakeOrdered)
     "sequence_packing",         # per-shard prefix-sum packing
     "embedding_dim_stats",      # per-dim exact moments over vectors
     "bigram_lang_stats",        # n-gram LM counts + top-k per lang

@@ -56,6 +56,11 @@ REPRESENTATIVE = [
     # the wide-layout ADC probe: the per-query partial max must pick
     # the same winner however the corpus is partitioned
     "pq_ann_top1_wide",
+    # session 7: per-task top-(K+1) heaps must gather to the same
+    # K rows + tau whatever the partitioning (TakeOrderedAndProject
+    # merge order), and the per-epoch shard positions are windowed
+    # per (epoch, shard) so they must not see partition count at all
+    "priority_sample_docs", "epoch_shuffle_shards",
 ]
 
 

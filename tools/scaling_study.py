@@ -736,6 +736,92 @@ def _gid_race(spark):
     return n_rows, min(t_naive), min(t_two)
 
 
+def _priority_race(spark):
+    """Section L: global top-K selection, three ways, on §H's key
+    fixture with the exact one-division priority arithmetic
+    ``priority_sample_docs`` ships (k -> doc_id, weight = k % 9973 +
+    1). Legs: (1) the shipped ``orderBy().limit(K+1)``
+    (TakeOrderedAndProject); (2) the "naive" literal rank filter
+    ``row_number() OVER (ORDER BY ...) <= K+1`` — which Catalyst's
+    LimitPushDownThroughWindow REWRITES into leg 1's plan (the first
+    draft of this section raced only these two and measured a dead
+    tie, 4.75 s vs 4.75 s — the tie IS the finding, and the
+    structural assertions below pin why); (3) the same rank filter
+    with a DATA-DEPENDENT bound (K+1 arrives in a broadcast 1-row
+    table, the "take top-budget rows" shape where the budget was
+    computed upstream) — no literal, no rewrite, and the full
+    corpus funnels through one task's sort. Kept row sets asserted
+    identical across all three."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from go_http_data_pipeline_spark.determinism import md5_int
+    from go_http_data_pipeline_spark.llm.sampling import K_PRIORITY, MOD
+    from go_http_data_pipeline_spark.plans.inspect import plan_str
+
+    _build_gid_keys(spark)
+    u = (
+        md5_int(F.concat(F.lit("pri:"), F.col("k").cast("string"))) % MOD
+        + 1
+    )
+    src = spark.read.parquet(GID_DIR).select(
+        "k",
+        ((((F.col("k") % 9973) + 1) * MOD).cast("double") / u).alias(
+            "priority"
+        ),
+    )
+    n_rows = src.count()
+
+    def _w():
+        return Window.orderBy(F.col("priority").desc(), "k")
+
+    # Each timed run gets a FRESH DataFrame: re-collecting the same
+    # DF object reuses its exchanges' shuffle files (the engine skips
+    # every stage before an exchange on re-execution), which times
+    # only the post-shuffle stage — 0.07 s for the literal leg's
+    # 26-row window, a measurement of nothing. The exchange-free
+    # TakeOrderedAndProject leg has no such discount, so sharing DF
+    # objects would bias the race toward the plans it indicts.
+    def ship_df():
+        return src.orderBy(F.col("priority").desc(), "k").limit(
+            K_PRIORITY + 1
+        )
+
+    def lit_df():
+        return (
+            src.withColumn("rk", F.row_number().over(_w()))
+            .filter(F.col("rk") <= K_PRIORITY + 1)
+            .drop("rk")
+        )
+
+    def dd_df():
+        lim = spark.createDataFrame([(K_PRIORITY + 1,)], "k_lim int")
+        return (
+            src.withColumn("rk", F.row_number().over(_w()))
+            .join(F.broadcast(lim), F.col("rk") <= F.col("k_lim"))
+            .select("k", "priority")
+        )
+
+    # Structural pins, so the prose can't drift from the plans.
+    assert "TakeOrderedAndProject" in plan_str(ship_df(), "simple")
+    rescued = "TakeOrderedAndProject" in plan_str(lit_df(), "simple")
+    funneled = "Exchange SinglePartition" in plan_str(dd_df(), "simple")
+
+    times, outs = {}, {}
+    for name, make in (("ship", ship_df), ("lit", lit_df), ("dd", dd_df)):
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            outs[name] = sorted(map(tuple, make().collect()))
+            el = round(time.perf_counter() - t0, 2)
+            best = el if best is None else min(best, el)
+        times[name] = best
+    assert outs["ship"] == outs["lit"] == outs["dd"], (
+        "top-K formulations diverge"
+    )
+    return n_rows, times["ship"], times["lit"], times["dd"], rescued, funneled
+
+
 # §I fixture: sf0.1 embeddings amplified x EMB_COPIES, arriving in
 # EMB_ARRIVALS micro-batches.
 EMB_COPIES = 16
@@ -1393,6 +1479,16 @@ def main() -> int:
         f"{h_naive}s | two-phase {h_two}s"
     )
 
+    # L. top-K selection race on the same pinned small session.
+    l_rows, l_ship, l_lit, l_dd, l_rescued, l_funneled = _priority_race(
+        spark
+    )
+    print(
+        f"# priority topk race: {l_rows} rows | take-ordered {l_ship}s"
+        f" | literal rank filter {l_lit}s (rescued={l_rescued})"
+        f" | data-dependent K {l_dd}s (single-partition={l_funneled})"
+    )
+
     # I. incremental IVF index race on the same pinned small session
     # (the §F question for the GenIndex twin).
     (
@@ -1698,6 +1794,54 @@ def main() -> int:
         "arithmetic + a P-row broadcast join. The plan shape is pinned",
         "by tests/test_plans.py: the naive control MUST contain Exchange",
         "SinglePartition, the shipped form must not, outputs equal.",
+        "",
+        "## L. Global top-K: literal rank filter vs data-dependent K"
+        " (round 9)",
+        "",
+        f"Same {l_rows}-key fixture and pinned local[4] session as §H,",
+        "with the exact one-division priority arithmetic",
+        "priority_sample_docs ships (weight = k % 9973 + 1). Three",
+        "formulations of the same top-(K+1), row sets asserted",
+        "identical; min-of-2 per leg, each run on a FRESH DataFrame —",
+        "re-collecting a shared DF object reuses its exchanges'",
+        "shuffle files and times only the post-shuffle stage (0.07 s",
+        "for the literal leg's 26-row window — a hazard this section's",
+        "second draft measured and the method now fences, like §G's",
+        "five documented fixes). The first draft raced only the",
+        "first two and measured a DEAD TIE — which is the finding:",
+        "Catalyst's LimitPushDownThroughWindow rewrites the",
+        "empty-partition rank filter with a LITERAL bound into the",
+        "TakeOrderedAndProject plan, so on Spark 4 the 'naive' spelling",
+        "is rescued. The cliff only returns when the bound is",
+        "DATA-DEPENDENT (K arrives in a broadcast 1-row table — the",
+        "'keep top budget-many' shape where the budget was computed",
+        "upstream): no literal, no rewrite, full one-task sort.",
+        "",
+        "| plan | wall (s) | plan shape (asserted) |",
+        "|---|---|---|",
+        f"| shipped orderBy().limit(K+1) | {l_ship} |"
+        f" TakeOrderedAndProject |",
+        f"| row_number() <= LITERAL K+1 | {l_lit} |"
+        f" rewritten to TakeOrderedAndProject = {bool(l_rescued)} |",
+        f"| row_number() <= K+1 from a 1-row table | {l_dd} |"
+        f" Exchange SinglePartition = {bool(l_funneled)} |",
+        "",
+        f"{round(l_dd / max(l_ship, 0.01), 2)}x on 4 cores once the",
+        "rewrite can't fire — and structural, not constant: the",
+        "data-dependent form funnels the whole corpus through one",
+        "task's sort buffer (time tracks corpus size on one core; at",
+        "100 TB one task cannot hold the data), while",
+        "TakeOrderedAndProject keeps a K+1-row heap per task and",
+        "gathers <= K+1 rows per partition — per-task work shrinks",
+        "with executor count and nothing corpus-sized crosses the",
+        "wire. Two shipped consequences: priority_sample_docs bakes K",
+        "into the plan as a literal (re-plan per budget change, never",
+        "a data-dependent bound), and the plan inspector counts",
+        "TakeOrderedAndProject as row-bounding (unit-pinned in",
+        "tests/test_loader_sampling.py). token_budget_selection is the",
+        "same lesson at output scale: when the SURVIVORS are",
+        "corpus-sized, no top-k node exists and the two-phase bucket",
+        "prefix-sum is the only shape that avoids this funnel.",
         "",
         "## I. Incremental IVF index vs per-arrival recompute (round 9)",
         "",
