@@ -329,6 +329,15 @@ def main() -> int:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     qs = e.queries()
+    # Retired-from-registry twin still raced every run: its registry
+    # row folded away in round 10 (same oracle as cosine_topk — the
+    # row certified nothing extra), but the implementation race
+    # (JVM lambda folds vs Arrow+numpy matmul) stays a bench fixture.
+    from go_http_data_pipeline_spark.llm.similarity import (
+        cosine_topk_vectorized,
+    )
+
+    qs.setdefault("cosine_topk_vectorized", cosine_topk_vectorized)
 
     # Warm the JVM + parquet footer caches once so per-query numbers
     # measure the engine, not first-touch JIT.

@@ -46,7 +46,9 @@ Scale design:
   combined 16 -> 1. Production stores codes wide (one row, M
   columns) and folds per-row without any shuffle — the long form
   here mirrors the SQL oracle; the wide variant is a pivot away;
-* ``pq_recall_eval`` measures the quality cost of the compression
+* the ``pq`` and ``ivfpq`` rows of ``ann_family_recall_eval``
+  (llm/recall.py — round 10 folded the per-family eval rows into one
+  parameterized gate) measure the quality cost of the compression
   against the exact brute-force top-5, the eval every PQ deployment
   runs before trusting the codes; docs/ANN_COMPARISON.md races all
   three index families on one corpus.
@@ -67,11 +69,9 @@ from ..catalog import table
 from ..registry import query
 from .similarity import (
     _CENTS_SQL,
-    _COSINE_TOPK_ORACLE,
     _NORMS_SQL,
     N_QUERIES,
     _spread,
-    cosine_topk,
     ivf_assign_cached,
     vector_norms,
 )
@@ -487,39 +487,10 @@ def pq_ann_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adc_probe_long(spark, sf_dir, _codes_cached(spark, sf_dir))
 
 
-@query(
-    "pq_recall_eval",
-    oracle=f"""
-    WITH brute AS ({_COSINE_TOPK_ORACLE}),
-    pq AS ({_PQ_TOP1_ORACLE})
-    SELECT p.qid, p.neighbor_id AS pq_neighbor, p.approx_cosine,
-           b.rank AS brute_rank,
-           CASE WHEN b.rank IS NOT NULL THEN 1 ELSE 0 END AS in_top5
-    FROM pq p
-    LEFT JOIN brute b ON b.qid = p.qid AND b.neighbor_id = p.neighbor_id
-    """,
-)
-def pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ quality harness: is the ADC top-1 neighbor inside the exact
-    brute-force top-5? The compression's recall cost made one left
-    join + one avg away — read next to ``ann_recall_eval`` (LSH) and
-    the IVF evals to compare the three index families' recall at the
-    same corpus (docs/ANN_COMPARISON.md tabulates all of them)."""
-    pq = pq_ann_top1(spark, sf_dir).select(
-        "qid",
-        F.col("neighbor_id").alias("pq_neighbor"),
-        "approx_cosine",
-    )
-    brute = cosine_topk(spark, sf_dir).select(
-        "qid", F.col("neighbor_id").alias("pq_neighbor"), "rank"
-    )
-    return pq.join(F.broadcast(brute), ["qid", "pq_neighbor"], "left").select(
-        "qid",
-        "pq_neighbor",
-        "approx_cosine",
-        F.col("rank").alias("brute_rank"),
-        F.when(F.col("rank").isNotNull(), 1).otherwise(0).alias("in_top5"),
-    )
+# PQ recall note (round 10): ``pq_recall_eval`` folded into the ONE
+# parameterized gate ``ann_family_recall_eval`` (llm/recall.py),
+# whose ``pq``/``ivfpq`` branches certify the ADC probes' per-query
+# top-1 values against the identical DuckDB twin — VERDICT r9 item 3.
 
 
 # --- wide-layout ADC probe --------------------------------------------------

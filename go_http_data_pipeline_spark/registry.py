@@ -47,6 +47,7 @@ _MODULES = (
     "go_http_data_pipeline_spark.llm.dedup",
     "go_http_data_pipeline_spark.llm.similarity",
     "go_http_data_pipeline_spark.llm.pq",
+    "go_http_data_pipeline_spark.llm.recall",
     "go_http_data_pipeline_spark.llm.semdedup",
     "go_http_data_pipeline_spark.llm.chunking",
     "go_http_data_pipeline_spark.llm.clustering",
@@ -105,10 +106,14 @@ _ROWS_ONLY = frozenset({"approx_distinct_parts", "approx_revenue_percentiles"})
 
 # Queries whose implementation changed this round and therefore need a
 # fresh driver row on the new code (results expected identical, but the
-# driver record is the hard signal). Round 9: the incremental LSH
-# index gained compaction (VERDICT r8 item 6) — re-certify its query
-# on the compacting code path.
-_REFRESH = frozenset({"streaming_lsh_index_candidates"})
+# driver record is the hard signal). Round 10: empty — the round-10
+# fold (VERDICT r9 item 3) only RETIRES registry rows; every surviving
+# green query's implementation and oracle are untouched (the IVF
+# oracle strings moved from decorator literals to module constants
+# byte-for-byte), and the fold's one new surface,
+# ``ann_family_recall_eval``, ranks first as a never-checked row on
+# its own.
+_REFRESH = frozenset()
 
 # New queries whose first driver check is DEFERRED while rounds up to
 # their per-query horizon are being recorded: ranked after the
@@ -137,19 +142,22 @@ _REFRESH = frozenset({"streaming_lsh_index_candidates"})
 # late round-9 additions defer one round further and share the
 # round-11 window with the r7-green tranche.
 _DEFER: dict[str, int] = {
+    # (pq_recall_eval carried horizon 8 until the round-10 fold
+    # retired it into ann_family_recall_eval — llm/recall.py — which
+    # takes its slot in the round-10 window as a never-checked row.)
     "cdc_merge_schema_evolution": 8,
     "streaming_contamination_gate": 8,
     "streaming_ivf_index_top1": 8,
     "embedding_pq_codes": 8,
     "pq_ann_top1": 8,
-    "pq_recall_eval": 8,
     "contiguous_global_ids": 8,
     "streaming_scd2_temporal_enrich": 8,
     "ivf_pq_ann_top1": 8,
+    # (host_cap_audit carried horizon 9 until the round-10 fold moved
+    # its audit columns onto host_document_caps' kept rows.)
     "pq_ann_top1_wide": 9,
     "streaming_ivfpq_index_top1": 9,
     "host_document_caps": 9,
-    "host_cap_audit": 9,
     "streaming_host_cap_state": 9,
     "streaming_lsh_index_with_deletes": 9,
     # Horizon 10 (first driver check in round 12): the round-10 and

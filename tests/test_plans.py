@@ -593,13 +593,16 @@ def test_rolling_wau_is_explosion_not_nested_loop(spark, sf_dir):
 _BNLJ_ALLOWED: frozenset = frozenset(
     {
         "cosine_topk",
-        "ann_recall_eval",
-        "ann_multiprobe_recall_eval",
         "ivf_ann_top1",
-        "ivf_ann_nprobe2",
-        # embeds the brute-force cosine_topk as its exact baseline —
-        # same bounded 10-row query-scan broadcast as ann_recall_eval
-        "pq_recall_eval",
+        # unions every ANN family's probe plus the brute-force
+        # baseline, so it inherits all of their documented bounded
+        # broadcasts (10-row query scans, 16-row centroid scans —
+        # each bounded by a literal pushed filter). The retired
+        # standalone rows it folds (ann_recall_eval,
+        # ann_multiprobe_recall_eval, pq_recall_eval, ivf_ann_nprobe2,
+        # ann_lsh_multiprobe_top1) were on this list for the same
+        # reason.
+        "ann_family_recall_eval",
         # cell assignment crossJoins the broadcast 16-row centroid
         # scan (bounded by the literal vec_id < 496 pushed filter) —
         # the same documented strategy as ivf_ann_top1's
@@ -860,34 +863,47 @@ def test_contiguous_global_ids_no_single_partition_sort(spark, sf_dir):
 
 
 def test_host_cap_shuffles_only_capped_rows(spark, sf_dir):
-    """The per-host cap's scale contract: the rank filter is pushed
-    below the shuffle as a PARTIAL WindowGroupLimit (each map task
-    keeps <= HOST_CAP rows per host before the exchange, so the
-    shuffle carries capped rows, not the corpus) with the FINAL limit
-    above it; and the audit query is windowless — one partial-
-    aggregated groupBy, kept = min(count, cap) computed from counts
-    alone."""
-    from go_http_data_pipeline_spark.llm.sampling import (
-        host_cap_audit,
-        host_document_caps,
-    )
+    """The per-host cap's scale contract, both halves of the folded
+    query (round 10 moved the audit columns onto the kept rows): the
+    rank filter is pushed below the shuffle as a PARTIAL
+    WindowGroupLimit (each map task keeps <= HOST_CAP rows per host
+    before the exchange, so the shuffle carries capped rows, not the
+    corpus) with the FINAL limit above it; and the audit side stays
+    windowless — one partial-aggregated groupBy, kept =
+    min(count, cap) computed from counts alone, so the fold adds NO
+    second window over the corpus."""
+    import re
+
+    from go_http_data_pipeline_spark.llm.sampling import host_document_caps
 
     plan = plan_str(host_document_caps(spark, sf_dir), "simple")
-    # Partial limit sits BELOW the exchange (map task keeps <= cap
-    # rows per host first), Final above it: the shuffle reads a
-    # WindowGroupLimit output, never the raw scan.
     lines = plan.splitlines()
-    ex = next(i for i, l in enumerate(lines) if "Exchange hashpartitioning" in l)
+    partials = [
+        i
+        for i, l in enumerate(lines)
+        if "WindowGroupLimit" in l and "Partial" in l
+    ]
+    finals = [
+        i
+        for i, l in enumerate(lines)
+        if "WindowGroupLimit" in l and "Final" in l
+    ]
+    # Exactly one window-limited branch (the kept side); Final prints
+    # above Partial with the hash exchange between them — the shuffle
+    # reads a WindowGroupLimit output, never the raw scan.
+    assert len(partials) == 1 and len(finals) == 1, plan
+    assert finals[0] < partials[0], plan
     assert any(
-        "WindowGroupLimit" in l and "Partial" in l for l in lines[ex:]
+        "Exchange hashpartitioning" in lines[i]
+        for i in range(finals[0] + 1, partials[0])
     ), plan
-    assert any(
-        "WindowGroupLimit" in l and "Final" in l for l in lines[:ex]
-    ), plan
-
-    audit_plan = plan_str(host_cap_audit(spark, sf_dir), "simple")
-    assert "Window" not in audit_plan
-    assert "HashAggregate" in audit_plan
+    # Audit side: an aggregate, and NO second Window node anywhere —
+    # the only Window in the whole plan is the kept side's row_number
+    # (WindowGroupLimit lines contain the substring "Window", hence
+    # the word-boundary node match).
+    assert "HashAggregate" in plan
+    win_nodes = [l for l in lines if re.search(r"\bWindow \[", l)]
+    assert len(win_nodes) == 1, plan
 
 
 def test_runtime_bloom_filter_reduces_fact_side_of_smj(spark, sf_dir):

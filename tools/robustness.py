@@ -48,8 +48,12 @@ REPRESENTATIVE = [
     # partition invariance here means the ids survive a different
     # partitioning of the same corpus, the strongest form of the
     # two-phase design's correctness claim.
-    "embedding_pq_codes", "pq_ann_top1", "pq_recall_eval",
+    "embedding_pq_codes", "pq_ann_top1",
     "contiguous_global_ids",
+    # round 10: the unified per-family recall gate (folds the retired
+    # pq/lsh/multiprobe recall rows and the nprobe2/multiprobe probes'
+    # value certification into one row set)
+    "ann_family_recall_eval",
     # the IVF x PQ composite (cell restriction must not interact with
     # partitioning; added in round 9's final session)
     "ivf_pq_ann_top1",
