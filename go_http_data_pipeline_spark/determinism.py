@@ -40,6 +40,21 @@ def dsum_sql(expr: str, scale: int = 4) -> str:
     return f"CAST(SUM(CAST(({expr}) AS DECIMAL(18,{scale}))) AS DOUBLE)"
 
 
+def dsum_wide(col: Column | str, scale: int = 4) -> Column:
+    """:func:`dsum` at DECIMAL(38, scale): for sums whose TOTAL can
+    exceed decimal(18,4)'s ~1e14 headroom (e.g. corpus-wide character
+    counts at the 100 TB design point — ADVICE r9 item 3). 38-digit
+    decimals cost two words instead of one, so the narrow form stays
+    the default where magnitudes are bounded."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(38,{scale})")).cast("double")
+
+
+def dsum_wide_sql(expr: str, scale: int = 4) -> str:
+    """DuckDB oracle twin of :func:`dsum_wide`."""
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(38,{scale}))) AS DOUBLE)"
+
+
 def davg(col: Column | str, scale: int = 4) -> Column:
     """Deterministic mean: exact decimal sum -> double, / count.
 

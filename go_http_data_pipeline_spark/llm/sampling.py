@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..determinism import dsum, dsum_sql, md5_int, md5_int_sql
+from ..determinism import dsum_wide, dsum_wide_sql, md5_int, md5_int_sql
 from ..registry import query
 
 QUOTA = 20  # docs kept per language
@@ -191,72 +191,82 @@ HOST_CAP = 8  # max documents kept per source/host
 @query(
     "host_document_caps",
     oracle=f"""
-    SELECT source, doc_id, n_chars, src_rank FROM (
-        SELECT source, doc_id, n_chars,
-               ROW_NUMBER() OVER (
-                   PARTITION BY source ORDER BY n_chars DESC, doc_id
-               ) AS src_rank
+    WITH kept AS (
+        SELECT source, doc_id, n_chars, src_rank FROM (
+            SELECT source, doc_id, n_chars,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source ORDER BY n_chars DESC, doc_id
+                   ) AS src_rank
+            FROM documents
+        ) WHERE src_rank <= {HOST_CAP}
+    ),
+    audit AS (
+        SELECT source,
+               COUNT(*) AS host_n_docs,
+               LEAST(COUNT(*), {HOST_CAP}) AS host_n_kept,
+               GREATEST(COUNT(*) - {HOST_CAP}, 0) AS host_n_dropped
         FROM documents
-    ) WHERE src_rank <= {HOST_CAP}
+        GROUP BY source
+    )
+    SELECT k.source, k.doc_id, k.n_chars, k.src_rank,
+           a.host_n_docs, a.host_n_kept, a.host_n_dropped
+    FROM kept k
+    JOIN audit a ON a.source = k.source
     """,
 )
 def host_document_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The documents that survive the per-host cap: rank each host's
+    """The documents that survive the per-host cap — rank each host's
     docs by quality (n_chars DESC, ties to the smaller doc_id), keep
-    rank <= HOST_CAP.
+    rank <= HOST_CAP — with the cap's per-host AUDIT columns riding on
+    every kept row: how many documents the host contributed
+    (``host_n_docs``), how many survived (``host_n_kept``), and how
+    many the cap dropped (``host_n_dropped``). Round 10 folded the
+    standalone ``host_cap_audit`` row into these columns (VERDICT r9
+    item 3) — one registry row now certifies both the kept set and
+    the audit arithmetic.
 
-    Scale: a rank-filter after ``row_number`` is the shape Catalyst
-    rewrites into a partial+final **WindowGroupLimit** — every map
-    task locally keeps at most HOST_CAP rows per host BEFORE the
-    shuffle, so the exchange carries <= HOST_CAP x hosts x tasks rows
-    instead of the corpus (plan-pinned in tests/test_plans.py). That
-    pushdown is exactly why the cap is written as the naive-looking
-    window instead of a hand-rolled two-phase job."""
+    Scale, both halves preserved from the standalone queries:
+
+    * kept side — a rank-filter after ``row_number`` is the shape
+      Catalyst rewrites into a partial+final **WindowGroupLimit**:
+      every map task locally keeps at most HOST_CAP rows per host
+      BEFORE the shuffle, so the exchange carries <= HOST_CAP x hosts
+      x tasks rows instead of the corpus (plan-pinned in
+      tests/test_plans.py). That pushdown is exactly why the cap is
+      written as the naive-looking window instead of a hand-rolled
+      two-phase job.
+    * audit side — because ``row_number`` ranks are gap-free within a
+      host, kept = min(n_docs, cap): the audit needs ONLY the
+      per-host count, no window and no rows beyond one
+      partial-aggregated groupBy (still pinned windowless-below-agg
+      in tests/test_plans.py).
+    * the final equi-join marries two host-bounded sides (<= cap x
+      hosts kept rows, one audit row per host) — never corpus-sized
+      on either input."""
     docs = table(spark, sf_dir, "documents")
     w = Window.partitionBy("source").orderBy(
         F.col("n_chars").desc(), F.col("doc_id")
     )
-    return (
+    kept = (
         docs.select("source", "doc_id", "n_chars")
         .withColumn("src_rank", F.row_number().over(w))
         .filter(F.col("src_rank") <= HOST_CAP)
         .withColumn("src_rank", F.col("src_rank").cast("long"))
     )
-
-
-@query(
-    "host_cap_audit",
-    oracle=f"""
-    SELECT source,
-           COUNT(*) AS n_docs,
-           LEAST(COUNT(*), {HOST_CAP}) AS n_kept,
-           GREATEST(COUNT(*) - {HOST_CAP}, 0) AS n_dropped
-    FROM documents
-    GROUP BY source
-    """,
-)
-def host_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-host audit of the cap's effect — how many documents each
-    host contributed and how many the cap dropped. Because
-    ``row_number`` ranks are gap-free within a host, kept =
-    min(n_docs, cap): the audit needs ONLY the per-host count, no
-    window and no second pass over the corpus (the plan is one
-    partial-aggregated groupBy — pinned windowless in
-    tests/test_plans.py)."""
-    docs = table(spark, sf_dir, "documents")
     cap = F.lit(HOST_CAP).cast("long")
-    return (
+    audit = (
         docs.groupBy("source")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .agg(F.count(F.lit(1)).alias("host_n_docs"))
         .select(
             "source",
-            "n_docs",
-            F.least(F.col("n_docs"), cap).alias("n_kept"),
-            F.greatest(F.col("n_docs") - cap, F.lit(0).cast("long")).alias(
-                "n_dropped"
-            ),
+            "host_n_docs",
+            F.least(F.col("host_n_docs"), cap).alias("host_n_kept"),
+            F.greatest(
+                F.col("host_n_docs") - cap, F.lit(0).cast("long")
+            ).alias("host_n_dropped"),
         )
     )
+    return kept.join(audit, "source")
 
 
 # --- priority sampling (weighted, without replacement) -----------------------
@@ -297,7 +307,18 @@ PRIORITY_SAMPLE_ORACLE = f"""
         FROM pri
     ),
     top AS (SELECT * FROM ranked WHERE rk <= {K_PRIORITY + 1}),
-    tau AS (SELECT MIN(priority) AS tau FROM top)
+    -- tau is the (K+1)-th priority and exists ONLY when the top set
+    -- actually has K+1 rows. A corpus with <= K documents is sampled
+    -- in full, and Duffield-Lund-Thorup defines tau = 0 there
+    -- (w_est = weight exactly); taking min(priority) instead would
+    -- inflate every w_est to the smallest priority, since priority
+    -- = weight * MOD / u >= weight (ADVICE r9 item 1).
+    tau AS (
+        SELECT CASE WHEN COUNT(*) = {K_PRIORITY + 1}
+                    THEN MIN(priority)
+                    ELSE CAST(0 AS DOUBLE) END AS tau
+        FROM top
+    )
     SELECT t.doc_id, t.weight, t.priority, t.rk,
            GREATEST(CAST(t.weight AS DOUBLE), tau.tau) AS w_est
     FROM top t, tau
@@ -306,15 +327,23 @@ PRIORITY_SAMPLE_ORACLE = f"""
 
 
 def _priority_rank_est(top: DataFrame) -> DataFrame:
-    """Rank + threshold + estimator over a K+1-row top set: tau is the
-    (K+1)-th priority (= the min of the set), the kept K rows carry
-    ``w_est = max(weight, tau)``. Control-plane sized — the single-
-    partition window moves <= K+1 rows whatever the corpus scale."""
+    """Rank + threshold + estimator over a top-(K+1) set: tau is the
+    (K+1)-th priority, which exists only when the set actually holds
+    K+1 rows — a corpus with <= K documents is sampled in full and
+    tau = 0 (so ``w_est = max(weight, 0) = weight`` exactly, the DLT
+    definition; min(priority) there would inflate every estimate,
+    since priority >= weight — ADVICE r9 item 1). Control-plane sized
+    — the single-partition window moves <= K+1 rows whatever the
+    corpus scale."""
     everything = Window.partitionBy()
     w = Window.orderBy(F.col("priority").desc(), "doc_id")
+    tau = F.when(
+        F.count(F.lit(1)).over(everything) == K_PRIORITY + 1,
+        F.min("priority").over(everything),
+    ).otherwise(F.lit(0.0))
     return (
         top.withColumn("rk", F.row_number().over(w).cast("long"))
-        .withColumn("tau", F.min("priority").over(everything))
+        .withColumn("tau", tau)
         .filter(F.col("rk") <= K_PRIORITY)
         .select(
             "doc_id",
@@ -364,13 +393,25 @@ def priority_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _priority_merge(cands: DataFrame) -> DataFrame:
     """Top-(K+1) by (priority DESC, doc_id) of a candidate union —
     the streaming fold's kernel. Associative (top of tops = top of
-    the union), idempotent (a replayed batch's rows deduplicate away
-    — priority is a pure function of doc_id and weight, so duplicate
-    doc_ids are identical rows), and order-insensitive, exactly like
-    ``_hostcap_merge``. dropDuplicates first so a replay can't shift
-    ranks; limit compiles to TakeOrderedAndProject."""
+    the union), idempotent (a replayed batch's rows collapse into the
+    per-doc_id max — priority is a pure function of doc_id and
+    weight, so a replay's rows are identical and the max is a no-op),
+    and order-insensitive, exactly like ``_hostcap_merge``.
+
+    The per-doc_id collapse keeps the MAX (priority, weight) row
+    rather than an arbitrary duplicate (ADVICE r9 item 2): on the
+    static-corpus fixture every duplicate is identical so this
+    changes nothing, but if a replayed or updated record ever carried
+    a DIFFERENT weight for a doc_id, max-of-struct is deterministic
+    (and, since priority is monotone in weight, means "the heaviest
+    version wins") where ``dropDuplicates`` would pick whichever row
+    a partitioning happened to order first — a run-dependent state.
+    The limit still compiles to TakeOrderedAndProject; the groupBy is
+    over <= 2(K+1) candidate rows."""
     return (
-        cands.dropDuplicates(["doc_id"])
+        cands.groupBy("doc_id")
+        .agg(F.max(F.struct("priority", "weight")).alias("s"))
+        .select("doc_id", F.col("s.weight").alias("weight"), F.col("s.priority").alias("priority"))
         .orderBy(F.col("priority").desc(), "doc_id")
         .limit(K_PRIORITY + 1)
     )
@@ -465,7 +506,7 @@ def streaming_priority_sample_state(
     "priority_sample_estimate_eval",
     oracle=f"""
     WITH est AS (
-        SELECT {dsum_sql("w_est")} AS est_total,
+        SELECT {dsum_wide_sql("w_est")} AS est_total,
                CAST(COUNT(*) AS BIGINT) AS k
         FROM ({PRIORITY_SAMPLE_ORACLE})
     ),
@@ -496,10 +537,15 @@ def priority_sample_estimate_eval(
 
     Scale: one map-side-combined aggregate over the corpus for the
     exact total; the estimate side is the K-row sample (already
-    bounded); the final join is 1 row x 1 row."""
+    bounded); the final join is 1 row x 1 row. The estimate sums at
+    DECIMAL(38,4): each w_est is ~tau ~ total_weight/K, so the K-row
+    sum is ~total_weight — decimal(18,4)'s ~1e14 headroom would
+    overflow to NULL near a ~1e14-character corpus (the 100 TB design
+    point), failing the gate on arithmetic rather than accuracy
+    (ADVICE r9 item 3)."""
     sample = priority_sample_docs(spark, sf_dir)
     est = sample.agg(
-        dsum("w_est").alias("est_total"),
+        dsum_wide("w_est").alias("est_total"),
         F.count(F.lit(1)).cast("bigint").alias("k"),
     )
     ex = table(spark, sf_dir, "documents").agg(

@@ -1,7 +1,9 @@
 """Per-host document caps (llm/sampling.py): batch/audit consistency
 and the streaming state fold's eviction/idempotence/order-insensitivity
 semantics on synthetic hosts. End-to-end values are the DuckDB
-oracle's job (tools/check.py — all three queries hash-checked)."""
+oracle's job (tools/check.py — both queries hash-checked; round 10
+folded the standalone audit query's columns into
+``host_document_caps``)."""
 
 from __future__ import annotations
 
@@ -86,23 +88,33 @@ def test_fold_absorbs_replayed_batch(spark, monkeypatch):
     )
 
 
-def test_audit_matches_cap_output(spark, sf_dir):
-    """kept-from-counts == the capped set's actual per-host sizes."""
-    kept = (
-        sampling.host_document_caps(spark, sf_dir)
-        .groupBy("source")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    audit = sampling.host_cap_audit(spark, sf_dir)
-    joined = audit.join(kept, "source", "left").select(
-        "source", "n_kept", F.coalesce("n", F.lit(0)).alias("n")
-    )
-    assert all(r.n_kept == r.n for r in joined.collect())
+def test_audit_columns_match_cap_output(spark, sf_dir):
+    """The folded audit columns are consistent with the kept rows they
+    ride on: per host, host_n_kept == the actual number of kept rows,
+    and docs = kept + dropped."""
+    rows = sampling.host_document_caps(spark, sf_dir).collect()
+    assert rows
+    by_host: dict = {}
+    for r in rows:
+        by_host.setdefault(r.source, []).append(r)
+    for source, host_rows in by_host.items():
+        kept, docs, dropped = (
+            host_rows[0].host_n_kept,
+            host_rows[0].host_n_docs,
+            host_rows[0].host_n_dropped,
+        )
+        assert len({(r.host_n_docs, r.host_n_kept, r.host_n_dropped)
+                    for r in host_rows}) == 1, source
+        assert kept == len(host_rows), source
+        assert docs == kept + dropped, source
+        assert kept <= sampling.HOST_CAP
 
 
 def test_streaming_state_equals_batch_query(spark, sf_dir):
     """End-to-end through the engine: the final state is row-identical
-    to the batch window answer (shared oracle)."""
+    to the batch window answer's kept rows (the streaming twin keeps
+    the pre-fold 4-column shape; the batch query's audit columns are
+    a per-host constant join on top of the same kept set)."""
     got = sorted(
         map(
             tuple,
@@ -110,6 +122,11 @@ def test_streaming_state_equals_batch_query(spark, sf_dir):
         )
     )
     want = sorted(
-        map(tuple, sampling.host_document_caps(spark, sf_dir).collect())
+        map(
+            tuple,
+            sampling.host_document_caps(spark, sf_dir)
+            .select("source", "doc_id", "n_chars", "src_rank")
+            .collect(),
+        )
     )
     assert got == want and got

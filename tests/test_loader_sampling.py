@@ -240,3 +240,101 @@ def test_epoch_shuffle_no_single_partition_exchange(spark, sf_dir):
 
     plan = plan_str(epoch_shuffle_shards(spark, sf_dir), "simple")
     assert "Exchange SinglePartition" not in plan
+
+
+def _tiny_docs_fixture(spark, tmp_path, n_docs):
+    """A documents.parquet fixture dir with ``n_docs`` rows, for the
+    small-corpus tau semantics (ADVICE r9 item 1). Written as ONE
+    parquet file (the real fixtures' layout — DuckDB's view reads the
+    path directly, not a Spark output directory)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n_docs), pa.int64()),
+            "text": [f"text {i}" for i in range(n_docs)],
+            "lang": ["en"] * n_docs,
+            "source": [f"s{i % 3}" for i in range(n_docs)],
+            "n_chars": pa.array(
+                [100 + 37 * i for i in range(n_docs)], pa.int64()
+            ),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def _oracle_rows(sf_dir):
+    import duckdb
+
+    from go_http_data_pipeline_spark.llm.sampling import (
+        PRIORITY_SAMPLE_ORACLE,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    out = con.execute(PRIORITY_SAMPLE_ORACLE).fetchall()
+    con.close()
+    return sorted(map(tuple, out))
+
+
+def test_small_corpus_tau_is_zero_both_engines(spark, tmp_path):
+    """Corpus <= K docs: the whole corpus is the sample and tau = 0,
+    so every w_est equals the document's own weight EXACTLY (the DLT
+    definition — min(priority) would inflate every estimate since
+    priority >= weight). Pinned cross-engine: Spark and the DuckDB
+    oracle agree row-for-row on the corrected arithmetic, so a future
+    regression on either side hash-mismatches instead of both engines
+    agreeing on the inflated value (ADVICE r9 item 1)."""
+    from go_http_data_pipeline_spark.llm.sampling import (
+        K_PRIORITY,
+        priority_sample_docs,
+    )
+
+    sf_dir = _tiny_docs_fixture(spark, tmp_path, K_PRIORITY - 3)
+    got = priority_sample_docs(spark, sf_dir)
+    rows = got.collect()
+    assert len(rows) == K_PRIORITY - 3  # sampled in full
+    for r in rows:
+        assert r.w_est == float(r.weight), r
+    assert sorted(map(tuple, rows)) == _oracle_rows(sf_dir)
+
+
+def test_k_plus_one_corpus_keeps_real_tau_both_engines(spark, tmp_path):
+    """Exactly K+1 docs: the top set is full, tau is the (K+1)-th
+    priority as before — the small-corpus guard must not disturb the
+    populated-threshold path. Cross-engine row equality again."""
+    from go_http_data_pipeline_spark.llm.sampling import (
+        K_PRIORITY,
+        priority_sample_docs,
+    )
+
+    sf_dir = _tiny_docs_fixture(spark, tmp_path, K_PRIORITY + 1)
+    rows = priority_sample_docs(spark, sf_dir).collect()
+    assert len(rows) == K_PRIORITY
+    tau_floor = [r for r in rows if r.w_est > float(r.weight)]
+    assert tau_floor, "with a populated threshold, some w_est rise to tau"
+    assert sorted(map(tuple, rows)) == _oracle_rows(sf_dir)
+
+
+def test_priority_merge_updated_weight_is_deterministic(spark):
+    """If a doc_id ever arrives with a DIFFERENT weight (replay after
+    an upstream update), the fold keeps the max-(priority, weight)
+    row — deterministically, in either arrival order — instead of
+    whichever duplicate a partitioning ordered first (ADVICE r9
+    item 2)."""
+    from go_http_data_pipeline_spark.llm.sampling import _priority_merge
+
+    schema = "doc_id long, weight long, priority double"
+    v1 = (7, 100, 1000.0)
+    v2 = (7, 300, 3000.0)  # updated weight -> higher priority
+    other = (8, 50, 500.0)
+    for batch in ([v1, v2, other], [v2, other, v1]):
+        out = _priority_merge(
+            spark.createDataFrame(batch, schema)
+        ).collect()
+        got = {r.doc_id: (r.weight, r.priority) for r in out}
+        assert got == {7: (300, 3000.0), 8: (50, 500.0)}
