@@ -127,6 +127,44 @@ def _same_generation(rec: dict, sig: str) -> bool:
     return rs is None or rs == sig
 
 
+def _code_sig() -> str:
+    """Content fingerprint of the query-implementing code: md5 over
+    every .py under the package, path-keyed. Two bench records share
+    a code_sig iff they measured the SAME plans — the unit the
+    recent-median window is capped by (see MAX_SAME_CODE_RECORDS)."""
+    import hashlib
+
+    h = hashlib.md5()
+    pkg = os.path.join(_HERE, "go_http_data_pipeline_spark")
+    for root, dirs, files in os.walk(pkg):
+        dirs.sort()
+        for fn in sorted(files):
+            if fn.endswith(".py"):
+                p = os.path.join(root, fn)
+                h.update(os.path.relpath(p, _HERE).encode())
+                try:
+                    with open(p, "rb") as f:
+                        h.update(f.read())
+                except OSError:
+                    h.update(b"?")
+    return h.hexdigest()[:12]
+
+
+# Bound on how many records of ONE code generation count toward the
+# recent-history window (VERDICT r9 "what's wrong" item 2): without
+# it, appending several same-code records in one sitting — useful for
+# rebuilding history after a fixture regeneration — could fill the
+# whole window, and if that sitting was steal-heavy the baseline
+# median would silently ratchet toward the slow regime, hiding the
+# next genuine regression. Set to MIN_BASELINE_SAMPLES - 1 so one
+# code generation alone can NEVER constitute a confirming baseline:
+# any median deep enough to flag (>= MIN_BASELINE_SAMPLES samples)
+# provably contains at least two generations' evidence. Scanning
+# newest-first keeps the most recent records of each generation;
+# code_sig-less records (pre-round-10) share one grandfather bucket.
+MAX_SAME_CODE_RECORDS = 3
+
+
 def _prev_bench(sf: float, sig: str = "") -> dict:
     """The reference point for per-query deltas: the last full record
     in BENCH_LOCAL.jsonl **at the same scale factor** (a dev run at
@@ -184,13 +222,17 @@ def _recent_benches(sf: float, k: int = 5, sig: str = "") -> list[dict]:
     item 5) can't make the next normal run read as a regression the
     way a last-record-only delta does. Records from a different
     fixture generation measure a different corpus and are excluded
-    (see _fixture_sig)."""
+    (see _fixture_sig). At most MAX_SAME_CODE_RECORDS of the SAME
+    code generation count (newest kept), so one sitting's repeated
+    records cannot fill the window and ratchet the baseline toward
+    whatever regime the box was in that day."""
     try:
         with open(_LOCAL_LOG) as f:
             lines = [ln for ln in f if ln.strip()]
     except OSError:
         return []
     out: list[dict] = []
+    per_code: dict[str, int] = {}
     for ln in reversed(lines):
         try:
             data = json.loads(ln)
@@ -201,6 +243,10 @@ def _recent_benches(sf: float, k: int = 5, sig: str = "") -> list[dict]:
             and data.get("sf") == sf
             and (not sig or _same_generation(data, sig))
         ):
+            csig = data.get("code_sig") or "pre-round-10"
+            if per_code.get(csig, 0) >= MAX_SAME_CODE_RECORDS:
+                continue
+            per_code[csig] = per_code.get(csig, 0) + 1
             out.append(data)
             if len(out) >= k:
                 break
@@ -472,6 +518,7 @@ def main() -> int:
         "qsum_vs_recent": qsum_ratio,
         "confirmed_regressions": confirmed,
         "fixture_sig": fixture_sig,
+        "code_sig": _code_sig(),
         "dedup_cache_build_sec": cache_build,
         "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
     }

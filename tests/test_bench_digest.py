@@ -183,3 +183,58 @@ def test_qsum_ratio_small_sample_and_value():
     assert bench._qsum_ratio({"q": 9.0}, recent_small) is None
     recent = [{"queries": {"a": 1.0, "b": 1.0}}] * bench.MIN_BASELINE_SAMPLES
     assert bench._qsum_ratio({"a": 2.0, "b": 1.0}, recent) == 1.5
+
+
+def test_recent_benches_caps_same_code_generation(tmp_path, monkeypatch):
+    """VERDICT r9 item 5: a sitting that appends many same-code
+    records cannot fill the recent-median window — at most
+    MAX_SAME_CODE_RECORDS of one code_sig count (the newest), so
+    older cross-generation evidence stays in the baseline."""
+    recs = [
+        {"queries": {"q": 1.0}, "sf": 0.1, "ts": "old1", "code_sig": "B"},
+        {"queries": {"q": 1.1}, "sf": 0.1, "ts": "old2", "code_sig": "B"},
+    ] + [
+        {"queries": {"q": 5.0}, "sf": 0.1, "ts": f"a{i}", "code_sig": "A"}
+        for i in range(5)
+    ]
+    monkeypatch.setattr(bench, "_LOCAL_LOG", _write_log(tmp_path, recs))
+    got = bench._recent_benches(0.1)
+    assert [r["ts"] for r in got] == ["old1", "old2", "a2", "a3", "a4"]
+
+
+def test_recent_benches_grandfathers_sigless_as_one_generation(
+    tmp_path, monkeypatch
+):
+    """Pre-round-10 records carry no code_sig: they share ONE
+    grandfather bucket, so they too are capped rather than exempt."""
+    recs = [
+        {"queries": {"q": 1.0}, "sf": 0.1, "ts": f"t{i}"} for i in range(5)
+    ]
+    monkeypatch.setattr(bench, "_LOCAL_LOG", _write_log(tmp_path, recs))
+    got = bench._recent_benches(0.1)
+    assert [r["ts"] for r in got] == ["t2", "t3", "t4"]
+
+
+def test_same_code_cap_below_min_baseline_samples():
+    """The invariant the cap buys: a baseline deep enough to flag
+    (>= MIN_BASELINE_SAMPLES samples) can never consist of one code
+    generation's records alone — any confirming median contains at
+    least two generations' evidence."""
+    assert bench.MAX_SAME_CODE_RECORDS < bench.MIN_BASELINE_SAMPLES
+
+
+def test_code_sig_is_stable_and_content_keyed(tmp_path, monkeypatch):
+    """Same tree -> same sig; touching one query module's CONTENT
+    changes it (mtime alone must not — records from an identical
+    checkout are the same generation)."""
+    pkg = tmp_path / "go_http_data_pipeline_spark"
+    pkg.mkdir()
+    (pkg / "a.py").write_text("x = 1\n")
+    monkeypatch.setattr(bench, "_HERE", str(tmp_path))
+    s1 = bench._code_sig()
+    import os
+
+    os.utime(pkg / "a.py", (1, 1))  # mtime churn: no change
+    assert bench._code_sig() == s1
+    (pkg / "a.py").write_text("x = 2\n")
+    assert bench._code_sig() != s1
