@@ -40,6 +40,62 @@ def read_schemas(df: DataFrame) -> list[str]:
     return re.findall(r"ReadSchema: (struct<[^\n]*)", plan_str(df))
 
 
+def executed_file_scans(df: DataFrame) -> list[dict]:
+    """Every FileSourceScan in the EXECUTED physical plan of an
+    already-run ``df``, as ``{"location", "metrics", "metadata"}``
+    dicts — location is the scan's root path, metrics the executed
+    SQLMetric values (``numFiles``/``filesSize``/``numOutputRows``/…),
+    metadata the planning strings (``PushedFilters``/``ReadSchema``).
+
+    This is the input-bytes evidence plan TEXT can't give: after
+    ``df.collect()``, each scan node's metrics say what the probe
+    actually read — e.g. the PQ wide-probe contract "the corpus flows
+    from the 16-byte codes table; raw floats are read only under the
+    query-side pushed bound" (VERDICT r9 item 4). Walks through AQE
+    query stages and reused exchanges."""
+    out: list[dict] = []
+
+    def walk(node) -> None:
+        cls = node.getClass().getSimpleName()
+        if cls == "FileSourceScanExec":
+            metrics: dict = {}
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                metrics[kv._1()] = kv._2().value()
+            metadata: dict = {}
+            it = node.metadata().iterator()
+            while it.hasNext():
+                kv = it.next()
+                metadata[kv._1()] = kv._2()
+            out.append(
+                {
+                    "location": node.relation()
+                    .location()
+                    .rootPaths()
+                    .apply(0)
+                    .toString(),
+                    "metrics": metrics,
+                    "metadata": metadata,
+                }
+            )
+            return
+        if cls == "AdaptiveSparkPlanExec":
+            walk(node.executedPlan())
+            return
+        if cls.endswith("QueryStageExec"):
+            walk(node.plan())
+            return
+        if cls == "ReusedExchangeExec":
+            walk(node.child())
+            return
+        for i in range(node.children().size()):
+            walk(node.children().apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out
+
+
 def join_strategies(df: DataFrame) -> list[str]:
     """Physical join node names, in plan order."""
     return re.findall(
