@@ -168,6 +168,11 @@ _DEFER: dict[str, int] = {
     "epoch_shuffle_shards": 10,
     "streaming_priority_sample_state": 10,
     "priority_sample_estimate_eval": 10,
+    # Round 10's ONE addition (VERDICT r9 item 6; the item-3 fold
+    # freed 5 rotation slots, which is what pays for it): IVF-index
+    # retraction. First driver check in round 12 with the other
+    # horizon-10 rows.
+    "streaming_ivf_index_with_deletes": 10,
 }
 
 

@@ -63,13 +63,33 @@ _IVF_ARRIVALS = 4
 _STATE_COLS = ("vec_id", "cid", "neighbor_id", "cosine")
 
 
+def _stamped(feats: DataFrame, batch_id: int) -> DataFrame:
+    """Index rows stamped with their arrival batch so retractions can
+    be last-writer-wins (a re-add in a later batch outlives an earlier
+    delete — GenIndex.apply_tombstones); dead weight until a delete
+    batch exists, exactly as the LSH band index stamps its rows."""
+    return feats.withColumn("src_batch", F.lit(batch_id).cast("long"))
+
+
 def _ivf_index(index_dir: str) -> GenIndex:
     return GenIndex(
         index_dir,
         bucket_cols=("cid",),
         n_buckets=_IVF_BUCKETS,
         prefix="ivf_gen",
+        tombstone_cols=("vec_id",),
     )
+
+
+def _ivf_probe_sides(
+    spark: SparkSession, index_dir: str
+) -> list[DataFrame]:
+    """The read view as join-ready sides with live tombstones applied
+    (retractions not yet folded by a compaction) — a pure passthrough
+    when none exist, so delete-free plans are untouched; the same
+    discipline as ``_lsh_probe_sides`` (streaming/core.py)."""
+    idx = _ivf_index(index_dir)
+    return [idx.apply_tombstones(spark, s) for s in idx.probe_sides(spark)]
 
 
 def ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -185,12 +205,12 @@ def ivf_index_step(
     idempotently below."""
     if _newest_state_id(state_dir) >= batch_id:
         idx = _ivf_index(index_dir)
-        idx.append(batch_feats, batch_id)
+        idx.append(_stamped(batch_feats, batch_id), batch_id)
         if idx.pending_appends() >= _IVF_COMPACT_EVERY:
             idx.compact(spark, batch_id)
         return
     feats = batch_feats.persist()
-    sides = _ivf_index(index_dir).probe_sides(spark)
+    sides = _ivf_probe_sides(spark, index_dir)
 
     def directional(joined: DataFrame) -> DataFrame:
         """Both directions of one (new, old) cell collision."""
@@ -259,7 +279,7 @@ def ivf_index_step(
             shutil.rmtree(e.path, ignore_errors=True)
 
     idx = _ivf_index(index_dir)
-    idx.append(feats, batch_id)
+    idx.append(_stamped(feats, batch_id), batch_id)
     feats.unpersist()
     if idx.pending_appends() >= _IVF_COMPACT_EVERY:
         idx.compact(spark, batch_id)
@@ -288,7 +308,19 @@ def _emb_sharded_dir(
     return d
 
 
-def _ivf_stream_oracle() -> str:
+def _ivf_stream_oracle(delete_mod: int | None = None) -> str:
+    """The batch formulation of the maintained state: every vector's
+    nearest same-cell neighbor. With ``delete_mod``, both sides are
+    restricted to SURVIVORS (vec_id % delete_mod != 0) — the
+    post-retraction answer: deleted vectors neither query nor serve
+    as neighbors, while the fixed centroid codebook (offline-trained)
+    keeps defining the cells."""
+    survive = (
+        f"WHERE a.vec_id % {delete_mod} != 0"
+        f" AND b.vec_id % {delete_mod} != 0"
+        if delete_mod
+        else ""
+    )
     return f"""
     WITH {_NORMS_SQL}, {_CENTS_SQL},
     scores AS (
@@ -302,6 +334,7 @@ def _ivf_stream_oracle() -> str:
         JOIN norms na ON na.vec_id = a.vec_id
         JOIN norms nb ON nb.vec_id = b.vec_id,
              (SELECT unnest(generate_series(1, 64)) AS i) i
+        {survive}
         GROUP BY a.vec_id, ca.cid, b.vec_id, na.nrm, nb.nrm
     )
     SELECT vec_id, cid, neighbor_id, cosine
@@ -365,6 +398,176 @@ def streaming_ivf_index_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    final = _newest_state(spark, state_dir)
+    out = (
+        final.select(*_STATE_COLS).localCheckpoint()
+        if final is not None
+        else spark.createDataFrame(
+            [], "vec_id long, cid long, neighbor_id long, cosine double"
+        )
+    )
+    cents.unpersist()
+    _ivf_index(index_dir).drop_generations(spark)
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+# --- retractions ----------------------------------------------------------
+# The LSH band index grew tombstone support in round 9; a training-data
+# pipeline that honors takedowns needs deletes on EVERY index family
+# (VERDICT r9 item 6), so the IVF cell index reuses GenIndex's
+# LWW-tombstone machinery — O(deletes) to record, applied logically on
+# every probe side and physically at the next compaction. The one part
+# the pair-valued LSH index did not need: the maintained TOP-1 STATE
+# must be REPAIRED when a delete removes some vector's recorded
+# nearest neighbor — those vectors re-probe the live index for their
+# next-best same-cell neighbor (O(affected x cell), never the corpus).
+
+# Every _IVF_DELETE_MOD-th vector is retracted in the gate query's
+# delete batch (the LSH twin's convention).
+_IVF_DELETE_MOD = 17
+
+
+def ivf_delete_step(
+    spark: SparkSession,
+    vec_ids: DataFrame,
+    batch_id: int,
+    index_dir: str,
+    state_dir: str,
+) -> None:
+    """One delete batch: record (vec_id, t_batch) tombstones —
+    O(deletes), the index untouched until the next compaction — then
+    repair the top-1 state:
+
+    * rows whose ``vec_id`` died are dropped;
+    * rows whose ``neighbor_id`` died re-probe the LIVE index for the
+      vector's next-best same-cell neighbor (a vector whose whole
+      cell died simply has no row — the batch oracle's inner join
+      shape);
+    * everything else is untouched.
+
+    Replay-safe: tombstone appends overwrite (idempotent), and the
+    ``s{batch_id}`` fixpoint guard skips a repair whose state
+    generation is already complete. Deletes are takedown-sized
+    (bounded per batch), so the broadcast of the dead set is
+    control-plane — the repair cost is O(affected x cell)."""
+    idx = _ivf_index(index_dir)
+    idx.append_tombstones(vec_ids, batch_id)
+    if _newest_state_id(state_dir) >= batch_id:
+        return  # crash between state write and commit: fixpoint
+    prior = _newest_state(spark, state_dir)
+    if prior is None:
+        return
+    dead = vec_ids.select("vec_id").distinct()
+    dead_nb = dead.withColumnRenamed("vec_id", "neighbor_id")
+    survivors = prior.join(F.broadcast(dead), "vec_id", "left_anti")
+    unaffected = survivors.join(
+        F.broadcast(dead_nb), "neighbor_id", "left_anti"
+    ).select(*_STATE_COLS)
+    affected = survivors.join(
+        F.broadcast(dead_nb), "neighbor_id", "left_semi"
+    ).select("vec_id")
+
+    sides = _ivf_probe_sides(spark, index_dir)
+    feat_cols = ("vec_id", "cid", "embedding", "nrm")
+    aff_feats = None
+    for side in sides:
+        f = side.select(*feat_cols).join(
+            F.broadcast(affected), "vec_id", "left_semi"
+        )
+        aff_feats = f if aff_feats is None else aff_feats.unionByName(f)
+    dot = F.expr(_DOT.format(a="n.embedding", b="o.embedding"))
+    repaired = None
+    for side in sides:
+        j = (
+            aff_feats.alias("n")
+            .join(
+                side.alias("o"),
+                (F.col("n.cid") == F.col("o.cid"))
+                & (F.col("n.vec_id") != F.col("o.vec_id")),
+            )
+            .select(
+                F.col("n.vec_id").alias("vec_id"),
+                F.col("n.cid").alias("cid"),
+                F.col("o.vec_id").alias("neighbor_id"),
+                (dot / (F.col("n.nrm") * F.col("o.nrm"))).alias("cosine"),
+            )
+        )
+        repaired = j if repaired is None else repaired.unionByName(j)
+    new_state = unaffected
+    if repaired is not None:
+        new_state = new_state.unionByName(_merge_top1(repaired))
+    out = os.path.join(state_dir, f"s{batch_id}")
+    new_state.write.mode("overwrite").parquet(out)
+    for e in os.scandir(state_dir):
+        m = re.fullmatch(r"s(\d+)", e.name)
+        if m and int(m.group(1)) < batch_id:
+            shutil.rmtree(e.path, ignore_errors=True)
+
+
+@query(
+    "streaming_ivf_index_with_deletes",
+    oracle=_ivf_stream_oracle(_IVF_DELETE_MOD),
+)
+def streaming_ivf_index_with_deletes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The incremental IVF index under RETRACTION: embeddings arrive
+    and build the cell index + top-1 state exactly as
+    ``streaming_ivf_index_top1``; then a delete batch retracts every
+    ``_IVF_DELETE_MOD``-th vector (LWW tombstones — O(deletes)) and
+    REPAIRS the state (vectors whose recorded neighbor died re-probe
+    the live index; dead vectors drop), and a compaction folds the
+    tombstones in physically. The returned state is what the live
+    index answers AFTER the retraction: every surviving vector's
+    nearest surviving same-cell neighbor — the batch oracle restricted
+    to survivors on both sides. Logical-vs-physical apply equality,
+    repair-to-next-best, replayed-delete idempotence, and whole-cell
+    death are unit-pinned in tests/test_annindex.py."""
+    work = tempfile.mkdtemp(prefix="ivf_del_")
+    index_dir = os.path.join(work, "index")
+    state_dir = os.path.join(work, "state")
+    os.makedirs(state_dir, exist_ok=True)
+    cents = ivf_centroids(spark, sf_dir).persist()
+    cents.count()
+    seen: list[int] = []
+
+    emb = (
+        spark.readStream.schema(
+            "vec_id long, embedding array<float>, label int"
+        )
+        .option("maxFilesPerTrigger", 1)  # one shard per micro-batch
+        .parquet(_emb_sharded_dir(spark, sf_dir))
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        ivf_index_step(
+            spark,
+            ivf_batch_feats(batch_df, cents),
+            batch_id,
+            index_dir,
+            state_dir,
+        )
+        seen.append(batch_id)
+
+    q = (
+        emb.writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(work, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    delete_batch = max(seen) + 1
+    deleted = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % _IVF_DELETE_MOD == 0)
+        .select("vec_id")
+    )
+    ivf_delete_step(spark, deleted, delete_batch, index_dir, state_dir)
+    # Fold the retraction in physically; the repaired state is the
+    # answer either way (logical==physical is unit-pinned).
+    _ivf_index(index_dir).compact(spark, delete_batch)
     final = _newest_state(spark, state_dir)
     out = (
         final.select(*_STATE_COLS).localCheckpoint()

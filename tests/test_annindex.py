@@ -234,3 +234,106 @@ def test_singleton_cell_has_no_neighbor_row(spark, tmp_path):
     index_dir, state_dir, _ = _run(spark, tmp_path, [lone])
     assert _state(spark, state_dir) == []
     annindex._ivf_index(index_dir).drop_generations(spark)
+
+
+def _ids_df(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "vec_id long")
+
+
+def _live_rows(spark, index_dir):
+    """Union of the live probe sides (tombstones applied)."""
+    sides = annindex._ivf_probe_sides(spark, index_dir)
+    out = None
+    for s in sides:
+        s = s.select("vec_id", "cid")
+        out = s if out is None else out.unionByName(s)
+    return sorted(map(tuple, out.collect())) if out is not None else []
+
+
+def test_delete_repairs_neighbor_to_next_best(spark, tmp_path):
+    """Deleting a vector that IS someone's recorded top-1 repairs that
+    vector's row to its next-best LIVE cell-mate; the deleted vector
+    disappears on both sides; untouched rows stay."""
+    index_dir, state_dir, cents = _run(spark, tmp_path, [BATCH0, BATCH1])
+    # Pre-delete: vec 1's best neighbor is 4 (nearly parallel).
+    assert (1, 0, 4) in _state(spark, state_dir)
+    annindex.ivf_delete_step(
+        spark, _ids_df(spark, [4]), 2, index_dir, state_dir
+    )
+    survivors = [r for r in BATCH0 + BATCH1 if r[0] != 4]
+    assert _state(spark, state_dir) == _expected_batch_answer(
+        spark, cents, survivors
+    )
+    got = _state(spark, state_dir)
+    assert all(4 not in (v, n) for v, _, n in got)
+    assert (1, 0, 2) in got  # repaired to the next-best live cell-mate
+
+
+def test_replayed_delete_is_idempotent(spark, tmp_path):
+    index_dir, state_dir, cents = _run(spark, tmp_path, [BATCH0, BATCH1])
+    annindex.ivf_delete_step(
+        spark, _ids_df(spark, [4]), 2, index_dir, state_dir
+    )
+    before = _state(spark, state_dir)
+    annindex.ivf_delete_step(
+        spark, _ids_df(spark, [4]), 2, index_dir, state_dir
+    )
+    assert _state(spark, state_dir) == before
+
+
+def test_whole_cell_death_removes_rows(spark, tmp_path):
+    """Deleting every member of cell 1 leaves no cell-1 rows (the
+    batch oracle's inner-join shape: a vector with no live cell-mate
+    has no row), and cell 0 is untouched."""
+    index_dir, state_dir, cents = _run(spark, tmp_path, [BATCH0, BATCH1])
+    annindex.ivf_delete_step(
+        spark, _ids_df(spark, [3, 5]), 2, index_dir, state_dir
+    )
+    got = _state(spark, state_dir)
+    assert got and all(cid == 0 for _, cid, _n in got)
+    assert got == _expected_batch_answer(
+        spark, cents, [r for r in BATCH0 + BATCH1 if r[0] not in (3, 5)]
+    )
+
+
+def test_logical_and_physical_apply_agree(spark, tmp_path):
+    """The live index view after a delete is identical whether the
+    tombstones are applied logically at probe time or folded in
+    physically by a compaction (which then GC's them)."""
+    index_dir, state_dir, cents = _run(spark, tmp_path, [BATCH0, BATCH1])
+    annindex.ivf_delete_step(
+        spark, _ids_df(spark, [4]), 2, index_dir, state_dir
+    )
+    logical = _live_rows(spark, index_dir)
+    state_logical = _state(spark, state_dir)
+    annindex._ivf_index(index_dir).compact(spark, 2)
+    try:
+        assert _live_rows(spark, index_dir) == logical
+        assert _state(spark, state_dir) == state_logical
+        assert annindex._ivf_index(index_dir)._tombstone_dirs() == []
+    finally:
+        annindex._ivf_index(index_dir).drop_generations(spark)
+
+
+def test_readd_after_delete_wins_lww(spark, tmp_path):
+    """A re-add in a LATER batch outlives an earlier delete
+    (last-writer-wins on src_batch vs t_batch), and the state fold
+    restores the re-added vector both as a row and as others'
+    neighbor."""
+    index_dir, state_dir, cents = _run(spark, tmp_path, [BATCH0, BATCH1])
+    annindex.ivf_delete_step(
+        spark, _ids_df(spark, [4]), 2, index_dir, state_dir
+    )
+    assert all(v != 4 for v, _, _n in _state(spark, state_dir))
+    readd = [r for r in BATCH1 if r[0] == 4]
+    annindex.ivf_index_step(
+        spark,
+        annindex.ivf_batch_feats(_batch(spark, readd), cents),
+        3,
+        index_dir,
+        state_dir,
+    )
+    assert _state(spark, state_dir) == _expected_batch_answer(
+        spark, cents, BATCH0 + BATCH1
+    )
+    assert (1, 0, 4) in _state(spark, state_dir)
