@@ -236,3 +236,62 @@ def test_ordering_invariants_hold_for_any_correctness_file_set(monkeypatch, tmp_
     # Restore the real cache for later tests in this process.
     monkeypatch.undo()
     registry._newest_green_rounds._cache = real
+
+
+def test_round11_round12_window_precommitment(monkeypatch):
+    """The round-11/12 rotation pre-commitment (VERDICT r9 item 7),
+    verified against the REAL registry + deferral map under a
+    SIMULATED future: granting round-10 greens to the current round-10
+    window must produce round 11 = the 5 horizon-9 rows + 45 r7-stale,
+    and granting round-11 greens must produce round 12 = the 5
+    horizon-10 rows + the 5 remaining r7 + 40 r8-stale. Hermetic: the
+    future states are injected via the newest-green cache, so the
+    test is stable however many CORRECTNESS files exist — but it DOES
+    read the real current files as the starting state, so a round-10
+    driver window that diverges from the plan fails this test and
+    forces the STATUS plan to be rewritten consciously.
+    """
+    from go_http_data_pipeline_spark import registry
+
+    start = dict(registry._newest_green_rounds())
+
+    def window(state):
+        monkeypatch.setattr(
+            registry._newest_green_rounds, "_cache", state, raising=False
+        )
+        try:
+            return list(registry._ordered(registry._QUERIES))[:50]
+        finally:
+            monkeypatch.delattr(
+                registry._newest_green_rounds, "_cache", raising=False
+            )
+
+    w10 = window(dict(start))
+    h9 = {
+        "pq_ann_top1_wide",
+        "streaming_ivfpq_index_top1",
+        "host_document_caps",
+        "streaming_host_cap_state",
+        "streaming_lsh_index_with_deletes",
+    }
+    h10 = {
+        "priority_sample_docs",
+        "streaming_priority_sample_state",
+        "priority_sample_estimate_eval",
+        "epoch_shuffle_shards",
+        "streaming_ivf_index_with_deletes",
+    }
+    assert not (h9 | h10) & set(w10), "deferred rows leaked into round 10"
+
+    after10 = dict(start, **{q: 10 for q in w10})
+    w11 = window(after10)
+    assert h9 <= set(w11) and not h10 & set(w11)
+    assert sum(1 for q in w11 if after10.get(q) == 7) == 45
+    assert len(w11) == 50
+
+    after11 = dict(after10, **{q: 11 for q in w11})
+    w12 = window(after11)
+    assert h10 <= set(w12)
+    assert sum(1 for q in w12 if after11.get(q) == 7) == 5  # r7 drains fully
+    assert sum(1 for q in w12 if after11.get(q) == 8) == 40
+    assert len(w12) == 50

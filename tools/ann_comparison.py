@@ -265,8 +265,10 @@ def main() -> int:
         "  can only find what the cell contains, scored only as well",
         "  as the codes allow.",
         "- The exact row is the baseline every family's recall is gated",
-        "  against in the registry (`ann_recall_eval`,",
-        "  `ann_multiprobe_recall_eval`, `pq_recall_eval`).",
+        "  against in the registry (`ann_family_recall_eval`,",
+        "  llm/recall.py — round 10 folded the per-family eval rows",
+        "  into that one parameterized gate, one hash-checked row per",
+        "  (family, query) for all six probe configurations).",
         "",
         "Generated by tools/ann_comparison.py.",
         "",
