@@ -302,20 +302,29 @@ ENV_SLOW_TOTAL = 1.10
 
 
 def _qsum_ratio(times: dict[str, float], recent: list[dict]) -> float | None:
-    """This run's query-time sum vs the median of recent records'
-    sums (same sf + fixture generation; cache-build excluded from
-    both sides). None with fewer than MIN_BASELINE_SAMPLES records —
-    same small-sample discipline as the per-query baseline."""
-    sums = [
-        sum(r["queries"].values())
-        for r in recent
-        if isinstance(r.get("queries"), dict) and r["queries"]
-    ]
-    if len(sums) < MIN_BASELINE_SAMPLES:
+    """This run's query-time sum vs recent records' — compared over
+    the INTERSECTION of query names per record, then the median of
+    the per-record ratios. The registry's query set changes across
+    rounds (round 10 retired five rows and added the unified recall
+    gate); summing whole records would bias the ratio by the set
+    difference, letting a genuinely environment-slow run slip under
+    ENV_SLOW_TOTAL for the first few post-change runs. Cache-build
+    excluded from both sides. None with fewer than
+    MIN_BASELINE_SAMPLES comparable records — same small-sample
+    discipline as the per-query baseline."""
+    ratios = []
+    for r in recent:
+        q = r.get("queries")
+        if not isinstance(q, dict):
+            continue
+        shared = [k for k in q if k in times and q[k] and times[k]]
+        denom = sum(q[k] for k in shared)
+        if denom:
+            ratios.append(sum(times[k] for k in shared) / denom)
+    if len(ratios) < MIN_BASELINE_SAMPLES:
         return None
-    sums.sort()
-    med = sums[len(sums) // 2]
-    return round(sum(times.values()) / med, 3) if med else None
+    ratios.sort()
+    return round(ratios[len(ratios) // 2], 3)
 
 
 def _run_median_delta(

@@ -58,25 +58,19 @@ from .similarity import (
     ivf_ann_top1,
 )
 
-# family tag -> (probe fn, score column name in the probe's output).
-# Order fixed here = the oracle's UNION ALL order (rows are compared
+# ONE row per family: (tag, probe fn, probe's DuckDB-twin SQL, score
+# column name in both outputs) — the Spark union and the oracle's
+# UNION ALL are derived from the SAME table, so a family added or
+# renamed on one side cannot silently drift from the other. Order
+# fixed here = the oracle's UNION ALL order (rows are compared
 # sorted, so order only matters for readability).
 _FAMILIES: tuple = (
-    ("lsh", ann_lsh_top1, "cosine"),
-    ("lsh_multiprobe", ann_lsh_multiprobe_top1, "cosine"),
-    ("ivf", ivf_ann_top1, "cosine"),
-    ("ivf_nprobe2", ivf_ann_nprobe2, "cosine"),
-    ("pq", pq_ann_top1, "approx_cosine"),
-    ("ivfpq", ivf_pq_ann_top1, "approx_cosine"),
-)
-
-_FAMILY_ORACLES: tuple = (
-    ("lsh", _ANN_TOP1_ORACLE, "cosine"),
-    ("lsh_multiprobe", _MULTIPROBE_TOP1_ORACLE, "cosine"),
-    ("ivf", _IVF_TOP1_ORACLE, "cosine"),
-    ("ivf_nprobe2", _IVF_NPROBE2_ORACLE, "cosine"),
-    ("pq", _PQ_TOP1_ORACLE, "approx_cosine"),
-    ("ivfpq", _IVF_PQ_TOP1_ORACLE, "approx_cosine"),
+    ("lsh", ann_lsh_top1, _ANN_TOP1_ORACLE, "cosine"),
+    ("lsh_multiprobe", ann_lsh_multiprobe_top1, _MULTIPROBE_TOP1_ORACLE, "cosine"),
+    ("ivf", ivf_ann_top1, _IVF_TOP1_ORACLE, "cosine"),
+    ("ivf_nprobe2", ivf_ann_nprobe2, _IVF_NPROBE2_ORACLE, "cosine"),
+    ("pq", pq_ann_top1, _PQ_TOP1_ORACLE, "approx_cosine"),
+    ("ivfpq", ivf_pq_ann_top1, _IVF_PQ_TOP1_ORACLE, "approx_cosine"),
 )
 
 _RECALL_ORACLE = f"""
@@ -85,7 +79,7 @@ _RECALL_ORACLE = f"""
         {" UNION ALL ".join(
             f"SELECT '{fam}' AS family, qid, neighbor_id, "
             f"{score} AS ann_score FROM ({sql})"
-            for fam, sql, score in _FAMILY_ORACLES
+            for fam, _fn, sql, score in _FAMILIES
         )}
     )
     SELECT f.family, f.qid, f.neighbor_id AS ann_neighbor, f.ann_score,
@@ -113,7 +107,7 @@ def ann_family_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qid", F.col("neighbor_id").alias("ann_neighbor"), "rank"
     )
     fams = None
-    for fam, fn, score in _FAMILIES:
+    for fam, fn, _sql, score in _FAMILIES:
         branch = fn(spark, sf_dir).select(
             F.lit(fam).alias("family"),
             "qid",

@@ -690,8 +690,13 @@ def streaming_host_cap_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     overwrites its own generation, and a batch whose generation is
     already complete skips the fold — it is already the fixpoint).
     The fold is associative, idempotent, and order-insensitive, so
-    the final state equals the batch window answer EXACTLY — the
-    shared oracle is ``host_document_caps``' SQL verbatim."""
+    the final state equals the batch window answer EXACTLY. The
+    oracle above is the kept-rows SQL (the pre-fold 4-column shape);
+    since round 10 ``host_document_caps`` carries additional per-host
+    audit columns, so the two oracles are no longer one shared
+    string — the row-identity between this state and the batch
+    query's kept columns is pinned instead by
+    ``test_streaming_state_equals_batch_query``."""
     import os
     import shutil
     import tempfile

@@ -52,7 +52,15 @@ def executed_file_scans(df: DataFrame) -> list[dict]:
     actually read — e.g. the PQ wide-probe contract "the corpus flows
     from the 16-byte codes table; raw floats are read only under the
     query-side pushed bound" (VERDICT r9 item 4). Walks through AQE
-    query stages and reused exchanges."""
+    query stages and reused exchanges.
+
+    Contract limit: inputs served from a PERSISTED relation surface
+    as ``InMemoryTableScanExec`` with no child plan exposed — the
+    file scan that originally fed the cache is NOT attributed here
+    (its bytes were read at cache-build time, not by this query). A
+    bytes audit must therefore run against freshly-READ inputs (the
+    deployment's materialized-table shape); ``scan_audit`` below is
+    the intended entry point for that pattern."""
     out: list[dict] = []
 
     def walk(node) -> None:
@@ -94,6 +102,29 @@ def executed_file_scans(df: DataFrame) -> list[dict]:
 
     walk(df._jdf.queryExecution().executedPlan())
     return out
+
+
+def scan_audit(df: DataFrame, corpus_path: str) -> dict:
+    """Partition an EXECUTED ``df``'s file scans into the corpus-side
+    scan(s) rooted at ``corpus_path`` and everything else, plus the
+    corpus table's parquet bytes on disk — the shared recipe behind
+    the wide-ADC-probe bytes pin (tests/test_pq.py) and the §M
+    measurement (tools/scaling_study.py), extracted so the test and
+    the published number can't drift. Callers assert; this only
+    gathers."""
+    import glob
+    import os
+
+    scans = executed_file_scans(df)
+    corpus = [s for s in scans if corpus_path in s["location"]]
+    return {
+        "corpus": corpus,
+        "other": [s for s in scans if corpus_path not in s["location"]],
+        "corpus_bytes_on_disk": sum(
+            os.path.getsize(p)
+            for p in glob.glob(os.path.join(corpus_path, "*.parquet"))
+        ),
+    }
 
 
 def join_strategies(df: DataFrame) -> list[str]:

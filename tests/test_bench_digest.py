@@ -185,6 +185,20 @@ def test_qsum_ratio_small_sample_and_value():
     assert bench._qsum_ratio({"a": 2.0, "b": 1.0}, recent) == 1.5
 
 
+def test_qsum_ratio_intersects_keys_across_registry_changes():
+    """A query-set change (round 10 retired five registry rows) must
+    not bias the burst-slow guard: the ratio compares each record
+    over the SHARED query names only, so a record that also timed
+    since-retired queries contributes the same ratio as one that
+    didn't — a uniformly 2x-slow run still reads as 2.0."""
+    old_set = {"a": 1.0, "b": 1.0, "retired": 5.0}
+    recent = [{"queries": dict(old_set)}] * bench.MIN_BASELINE_SAMPLES
+    # This run no longer times "retired"; both shared queries are 2x.
+    assert bench._qsum_ratio({"a": 2.0, "b": 2.0}, recent) == 2.0
+    # Whole-record sums would have said (4.0 / 7.0) ~ 0.57 — an
+    # environment-slow run masquerading as fast.
+
+
 def test_recent_benches_caps_same_code_generation(tmp_path, monkeypatch):
     """VERDICT r9 item 5: a sitting that appends many same-code
     records cannot fill the recent-median window — at most

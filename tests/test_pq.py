@@ -235,7 +235,6 @@ def test_wide_probe_reads_only_the_codes_bytes(spark, sf_dir, tmp_path):
        can't show it in numOutputRows);
     3. the probe's corpus input is a fraction of the raw floats
        (measured ~22x smaller at this fixture; asserted < 1/4)."""
-    import glob
     import os
 
     from go_http_data_pipeline_spark.llm.pq import (
@@ -243,7 +242,7 @@ def test_wide_probe_reads_only_the_codes_bytes(spark, sf_dir, tmp_path):
         _codes_wide_cached,
         adc_probe_wide,
     )
-    from go_http_data_pipeline_spark.plans.inspect import executed_file_scans
+    from go_http_data_pipeline_spark.plans.inspect import scan_audit
 
     codes_path = str(tmp_path / "codes.parquet")
     _codes_wide_cached(spark, sf_dir).coalesce(1).write.mode(
@@ -255,19 +254,17 @@ def test_wide_probe_reads_only_the_codes_bytes(spark, sf_dir, tmp_path):
     # and leaves probe's own scan metrics at zero.
     assert len(probe.collect()) == N_QUERIES
 
-    scans = executed_file_scans(probe)
-    codes_scans = [s for s in scans if "codes.parquet" in s["location"]]
-    float_scans = [s for s in scans if s["location"].endswith("embeddings.parquet")]
-    assert len(codes_scans) == 1, scans
-    assert len(codes_scans) + len(float_scans) == len(scans), scans
+    audit = scan_audit(probe, codes_path)
+    codes_scans, float_scans = audit["corpus"], audit["other"]
+    assert len(codes_scans) == 1, audit
+    assert all(
+        s["location"].endswith("embeddings.parquet") for s in float_scans
+    ), audit
 
     corpus_rows = spark.read.parquet(codes_path).count()
-    on_disk = sum(
-        os.path.getsize(p) for p in glob.glob(codes_path + "/*.parquet")
-    )
     cm = codes_scans[0]["metrics"]
     assert cm["numOutputRows"] == corpus_rows
-    assert cm["filesSize"] == on_disk
+    assert cm["filesSize"] == audit["corpus_bytes_on_disk"]
     assert "cidx" in codes_scans[0]["metadata"].get("ReadSchema", "")
 
     emb_bytes = os.path.getsize(f"{sf_dir}/embeddings.parquet")

@@ -253,6 +253,7 @@ def test_round11_round12_window_precommitment(monkeypatch):
     """
     from go_http_data_pipeline_spark import registry
 
+    registry.all_queries()  # populate _QUERIES: hermetic under -k/xdist
     start = dict(registry._newest_green_rounds())
 
     def window(state):

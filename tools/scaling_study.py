@@ -941,14 +941,10 @@ def _pq_probe_bytes(spark):
     floats" claim as numbers instead of prose. Returns per-leg
     (copies, vectors, codes MB, probe seconds) plus the raw
     embeddings MB the probe avoided."""
-    import glob
-
     from pyspark.sql import functions as F
 
     from go_http_data_pipeline_spark.llm import pq as pqm
-    from go_http_data_pipeline_spark.plans.inspect import (
-        executed_file_scans,
-    )
+    from go_http_data_pipeline_spark.plans.inspect import scan_audit
 
     import shutil
     import tempfile
@@ -977,21 +973,16 @@ def _pq_probe_bytes(spark):
         n_out = len(probe.collect())
         t = round(time.perf_counter() - t0, 3)
         assert n_out, "probe returned nothing"
-        scans = executed_file_scans(probe)
-        codes = [s for s in scans if path in s["location"]]
-        floats = [
-            s
-            for s in scans
-            if s["location"].endswith("embeddings.parquet")
-        ]
-        assert len(codes) == 1 and len(codes) + len(floats) == len(scans)
+        audit = scan_audit(probe, path)
+        codes, floats = audit["corpus"], audit["other"]
+        assert len(codes) == 1
         assert all(
-            "LessThan(vec_id," in s["metadata"].get("PushedFilters", "")
+            s["location"].endswith("embeddings.parquet")
+            and "LessThan(vec_id,"
+            in s["metadata"].get("PushedFilters", "")
             for s in floats
         ), "raw-float scan without the query-side bound"
-        on_disk = sum(
-            os.path.getsize(p) for p in glob.glob(path + "/*.parquet")
-        )
+        on_disk = audit["corpus_bytes_on_disk"]
         cm = codes[0]["metrics"]
         assert cm["filesSize"] == on_disk
         assert cm["numOutputRows"] == base_n * copies
