@@ -43,15 +43,27 @@ from pyspark.sql import functions as F
 
 from ..llm.pq import (
     _IVF_PQ_TOP1_ORACLE,
+    _PQ_CODES_SQL,
+    _PQ_LUT_SQL,
     _query_lut_rows,
     dense_code_ids,
     pq_assign,
     trained_codebook,
     widen_codes,
 )
-from ..llm.similarity import N_QUERIES, ivf_assign_cached
+from ..llm.similarity import (
+    _CENTS_SQL,
+    _NORMS_SQL,
+    N_QUERIES,
+    ivf_assign_cached,
+)
 from ..registry import query
-from .annindex import _emb_sharded_dir, ivf_batch_feats, ivf_centroids
+from .annindex import (
+    _emb_sharded_dir,
+    _stamped,
+    ivf_batch_feats,
+    ivf_centroids,
+)
 from .genindex import GenIndex
 
 # Fold the per-batch dirs into one (cid)-bucketed generation every
@@ -66,6 +78,7 @@ def _pq_index(index_dir: str) -> GenIndex:
         bucket_cols=("cid",),
         n_buckets=_PQ_BUCKETS,
         prefix="ivfpq_gen",
+        tombstone_cols=("vec_id",),
     )
 
 
@@ -87,13 +100,37 @@ def pq_index_step(
     cells = ivf_batch_feats(batch_df, cents).select("vec_id", "cid")
     wide = widen_codes(pq_assign(batch_df, codebook, int_codebook=True), code_ids)
     idx = _pq_index(index_dir)
-    idx.append(wide.join(cells, "vec_id"), batch_id)
+    idx.append(_stamped(wide.join(cells, "vec_id"), batch_id), batch_id)
     if idx.pending_appends() >= _PQ_COMPACT_EVERY:
         idx.compact(spark, batch_id)
 
 
+def _pq_probe_sides(spark: SparkSession, index_dir: str) -> list[DataFrame]:
+    """The read view as join-ready sides with live tombstones applied
+    (retractions not yet folded by a compaction) — a pure passthrough
+    when none exist, so delete-free plans are untouched; the same
+    discipline as ``_lsh_probe_sides`` / ``_ivf_probe_sides``."""
+    idx = _pq_index(index_dir)
+    return [idx.apply_tombstones(spark, s) for s in idx.probe_sides(spark)]
+
+
+def pq_delete_step(vec_ids: DataFrame, batch_id: int, index_dir: str) -> None:
+    """One delete batch: record (vec_id, t_batch) tombstones —
+    O(deletes), the codes untouched until the next compaction folds
+    the retraction in physically. Unlike the IVF top-1 twin
+    (``annindex.ivf_delete_step``) there is NO state to repair: the
+    codes index holds nothing derived across vectors, so retracting a
+    vector is exactly "its 16-byte row stops being probe-visible" —
+    probes recompute every answer from the surviving rows. Replaying
+    a delete batch overwrites its own d-dir (idempotent)."""
+    _pq_index(index_dir).append_tombstones(vec_ids, batch_id)
+
+
 def ivfpq_probe(
-    spark: SparkSession, sf_dir: str, sides: list[DataFrame]
+    spark: SparkSession,
+    sf_dir: str,
+    sides: list[DataFrame],
+    q_filter=None,
 ) -> DataFrame:
     """ADC-probe the accumulated index: each query's broadcast row
     carries its cell id, its 16xK LUT of partial dots, and the
@@ -101,10 +138,17 @@ def ivfpq_probe(
     ONE broadcast join against the (cid)-bucketed index — per-row
     BIGINT lookup sums in codegen, then a per-query partial max (the
     wide-ADC shape of ``pq_ann_top1_wide``, cell-restricted). Output
-    columns match ``ivf_pq_ann_top1``."""
+    columns match ``ivf_pq_ann_top1``. ``q_filter`` (a Column over
+    the raw ``vec_id``) restricts the query set — the retraction
+    twin uses it so deleted vectors stop querying as well as
+    serving."""
     q_cells = (
         ivf_assign_cached(spark, sf_dir)
         .filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("qid"), "cid")
+        if q_filter is None
+        else ivf_assign_cached(spark, sf_dir)
+        .filter((F.col("vec_id") < N_QUERIES) & q_filter)
         .select(F.col("vec_id").alias("qid"), "cid")
     )
     qtab = _query_lut_rows(spark, sf_dir).join(q_cells, "qid")
@@ -198,9 +242,135 @@ def streaming_ivfpq_index_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    idx = _pq_index(index_dir)
-    out = ivfpq_probe(spark, sf_dir, idx.probe_sides(spark)).localCheckpoint()
+    out = ivfpq_probe(
+        spark, sf_dir, _pq_probe_sides(spark, index_dir)
+    ).localCheckpoint()
     cents.unpersist()
-    idx.drop_generations(spark)
+    _pq_index(index_dir).drop_generations(spark)
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+# --- retractions ----------------------------------------------------------
+# Round 10 gave the LSH band index (r9) and the IVF cell index LWW
+# tombstones; the codes index is the third and last family (VERDICT r9
+# item 6: "deletes on every index family"). It is also the easiest:
+# there is no maintained state to repair — a probe recomputes every
+# answer from the surviving 16-byte rows, so a retraction is complete
+# the moment the tombstone lands (logical apply on the probe sides,
+# physical fold at the next compaction).
+#
+# The gate-twin below is implemented, unit-pinned (tests/test_pqindex)
+# and exact-value-checked against its DuckDB oracle in pytest, but it
+# is deliberately NOT registered: the registry is frozen while the
+# deferral backlog drains (VERDICT r9 "Next round" #1/#3; the
+# round-11/12 windows are pre-committed and test-pinned). Register it
+# with ``@query("streaming_ivfpq_index_with_deletes",
+# oracle=_IVFPQ_DELETE_ORACLE)`` once a window slot frees (round 13).
+
+# Every _IVFPQ_DELETE_MOD-th vector is retracted in the twin's delete
+# batch (the LSH/IVF convention).
+_IVFPQ_DELETE_MOD = 17
+
+# _IVF_PQ_TOP1_ORACLE (llm/pq.py) restricted to SURVIVORS on both
+# sides: deleted vectors neither query nor serve as neighbors, while
+# the offline-trained codebooks keep defining cells and codes. Kept as
+# a separate literal (not a parameterization of the batch oracle) so
+# the deferred batch queries' oracle strings stay byte-identical.
+_IVFPQ_DELETE_ORACLE = f"""
+    WITH {_NORMS_SQL}, {_CENTS_SQL}, {_PQ_CODES_SQL},
+    {_PQ_LUT_SQL},
+    adc AS (
+        SELECT l.qid, aq.cid, p.vec_id,
+               SUM(l.pdot) AS adot, SUM(n.pn2) AS rn2
+        FROM pq_codes p
+        JOIN cassign ae ON ae.vec_id = p.vec_id
+        JOIN cassign aq ON aq.cid = ae.cid AND aq.vec_id < {N_QUERIES}
+        JOIN lut l ON l.qid = aq.vec_id AND l.sub = p.sub AND l.code = p.code
+        JOIN cn2 n ON n.sub = p.sub AND n.code = p.code
+        WHERE p.vec_id <> aq.vec_id
+          AND p.vec_id % {_IVFPQ_DELETE_MOD} != 0
+          AND aq.vec_id % {_IVFPQ_DELETE_MOD} != 0
+        GROUP BY l.qid, aq.cid, p.vec_id
+    )
+    SELECT a.qid, a.cid, a.vec_id AS neighbor_id,
+           a.adot / sqrt(a.rn2) / qn.nrm AS approx_cosine
+    FROM (
+        SELECT qid, cid, vec_id, adot, rn2,
+               ROW_NUMBER() OVER (
+                   PARTITION BY qid
+                   ORDER BY adot / sqrt(rn2) DESC, vec_id
+               ) AS rn
+        FROM adc
+    ) a
+    JOIN norms qn ON qn.vec_id = a.qid
+    WHERE a.rn = 1
+    """
+
+
+def streaming_ivfpq_index_with_deletes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The incremental IVFPQ codes index under RETRACTION: embeddings
+    arrive and build the (cid)-bucketed codes index exactly as
+    ``streaming_ivfpq_index_top1``; then a delete batch retracts every
+    ``_IVFPQ_DELETE_MOD``-th vector (LWW tombstones — O(deletes)) and
+    a compaction folds the retraction in physically. The ADC probe
+    over the surviving rows — deleted vectors neither query nor serve
+    — is the answer, and it equals the batch IVFPQ answer restricted
+    to survivors on both sides (``_IVFPQ_DELETE_ORACLE``). No state
+    repair exists to do: codes are per-vector, so the retraction is
+    complete when the tombstone lands. Logical==physical apply,
+    replayed-delete idempotence, and LWW re-add are unit-pinned in
+    tests/test_pqindex.py. Held unregistered while the registry
+    drains its deferral backlog (see module comment above)."""
+    work = tempfile.mkdtemp(prefix="ivfpq_del_")
+    index_dir = os.path.join(work, "index")
+    cents = ivf_centroids(spark, sf_dir).persist()
+    cents.count()
+    codebook = trained_codebook(spark, sf_dir)
+    code_ids = dense_code_ids(spark, sf_dir)
+    seen: list[int] = []
+
+    emb = (
+        spark.readStream.schema(
+            "vec_id long, embedding array<float>, label int"
+        )
+        .option("maxFilesPerTrigger", 1)  # one shard per micro-batch
+        .parquet(_emb_sharded_dir(spark, sf_dir))
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        pq_index_step(
+            spark, batch_df, cents, codebook, code_ids, batch_id, index_dir
+        )
+        seen.append(batch_id)
+
+    q = (
+        emb.writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(work, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    delete_batch = max(seen) + 1
+    deleted = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") % _IVFPQ_DELETE_MOD == 0)
+        .select("vec_id")
+    )
+    pq_delete_step(deleted, delete_batch, index_dir)
+    # Fold the retraction in physically; the probe answers the same
+    # either way (logical==physical is unit-pinned).
+    _pq_index(index_dir).compact(spark, delete_batch)
+    out = ivfpq_probe(
+        spark,
+        sf_dir,
+        _pq_probe_sides(spark, index_dir),
+        q_filter=F.col("vec_id") % _IVFPQ_DELETE_MOD != 0,
+    ).localCheckpoint()
+    cents.unpersist()
+    _pq_index(index_dir).drop_generations(spark)
     shutil.rmtree(work, ignore_errors=True)
     return out

@@ -145,6 +145,164 @@ def test_compaction_folds_and_probe_is_unchanged(
     pqindex._pq_index(plain_dir).drop_generations(spark)
 
 
+# --- retractions (LWW tombstones; no state to repair) ----------------------
+
+
+def _probe_rows(spark, sf_dir, index_dir, q_filter=None):
+    return sorted(
+        map(
+            tuple,
+            pqindex.ivfpq_probe(
+                spark,
+                sf_dir,
+                pqindex._pq_probe_sides(spark, index_dir),
+                q_filter=q_filter,
+            ).collect(),
+        )
+    )
+
+
+def _live_rows(spark, index_dir):
+    rows = []
+    for side in pqindex._pq_probe_sides(spark, index_dir):
+        rows.extend(
+            (r.vec_id, r.cid, tuple(r.cidx)) for r in side.collect()
+        )
+    return sorted(rows)
+
+
+def test_delete_equals_survivor_built_index(spark, sf_dir, tmp_path):
+    """After retracting every 5th vector, the live rows are EXACTLY an
+    index built from the survivors alone — a retraction is complete
+    the moment the tombstone lands, because the codes index holds
+    nothing derived across vectors."""
+    batches = _fixture_batches(spark, sf_dir, n=2)
+    index_dir, cents, cb, code_ids = _run_steps(
+        spark, sf_dir, tmp_path, batches
+    )
+    dead = F.col("vec_id") % 5 == 0
+    pqindex.pq_delete_step(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(dead)
+        .select("vec_id"),
+        2,
+        index_dir,
+    )
+    survivor_dir, *_ = _run_steps(
+        spark,
+        sf_dir,
+        tmp_path / "surv",
+        [b.filter(~dead) for b in batches],
+    )
+    assert _live_rows(spark, index_dir) == _live_rows(spark, survivor_dir)
+    pqindex._pq_index(index_dir).drop_generations(spark)
+    pqindex._pq_index(survivor_dir).drop_generations(spark)
+
+
+def test_logical_and_physical_apply_agree(spark, sf_dir, tmp_path):
+    """The probe answers the same whether the tombstones are applied
+    logically (probe-side filter) or folded in physically by a
+    compaction — and the compaction GC's the applied d-dirs."""
+    batches = _fixture_batches(spark, sf_dir, n=2)
+    index_dir, *_ = _run_steps(spark, sf_dir, tmp_path, batches)
+    pqindex.pq_delete_step(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") % 5 == 0)
+        .select("vec_id"),
+        2,
+        index_dir,
+    )
+    logical = _probe_rows(spark, sf_dir, index_dir)
+    idx = pqindex._pq_index(index_dir)
+    idx.compact(spark, 2)
+    assert [os.path.basename(p) for p in idx.visible_dirs()] == ["c2"]
+    assert idx._tombstone_dirs() == []
+    assert _probe_rows(spark, sf_dir, index_dir) == logical and logical
+    idx.drop_generations(spark)
+
+
+def test_replayed_delete_is_idempotent(spark, sf_dir, tmp_path):
+    """Replaying a delete batch (same batch id) overwrites its own
+    d-dir and leaves the live rows unchanged."""
+    batches = _fixture_batches(spark, sf_dir, n=2)
+    index_dir, *_ = _run_steps(spark, sf_dir, tmp_path, batches)
+    dead = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") % 5 == 0)
+        .select("vec_id")
+    )
+    pqindex.pq_delete_step(dead, 2, index_dir)
+    before = _live_rows(spark, index_dir)
+    pqindex.pq_delete_step(dead, 2, index_dir)
+    assert _live_rows(spark, index_dir) == before
+    pqindex._pq_index(index_dir).drop_generations(spark)
+
+
+def test_readd_after_delete_wins_lww(spark, sf_dir, tmp_path):
+    """A vector re-added in a LATER batch outlives an earlier delete
+    (last-writer-wins), while vectors the delete covered and nothing
+    re-added stay dead."""
+    batches = _fixture_batches(spark, sf_dir, n=2)
+    index_dir, cents, cb, code_ids = _run_steps(
+        spark, sf_dir, tmp_path, batches
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    dead = emb.filter(F.col("vec_id") % 5 == 0)
+    pqindex.pq_delete_step(dead.select("vec_id"), 2, index_dir)
+    # Re-add half the dead set in batch 3.
+    readd = dead.filter(F.col("vec_id") % 10 == 0)
+    pqindex.pq_index_step(
+        spark, readd, cents, cb, code_ids, 3, index_dir
+    )
+    live = {v for v, _, _ in _live_rows(spark, index_dir)}
+    readd_ids = {r.vec_id for r in readd.select("vec_id").collect()}
+    gone_ids = {
+        r.vec_id
+        for r in dead.select("vec_id").collect()
+        if r.vec_id not in readd_ids
+    }
+    assert readd_ids and readd_ids <= live
+    assert gone_ids and not (gone_ids & live)
+    pqindex._pq_index(index_dir).drop_generations(spark)
+
+
+def test_with_deletes_twin_matches_duckdb_oracle(spark, sf_dir):
+    """End-to-end through the engine: the retraction twin's answer is
+    value-identical to its DuckDB oracle (the batch IVFPQ answer
+    restricted to survivors on both sides) — the exact-value check the
+    driver gate would run, kept in pytest while the query is held
+    unregistered (registry frozen until the deferral backlog drains)."""
+    import duckdb
+
+    got = sorted(
+        map(
+            tuple,
+            pqindex.streaming_ivfpq_index_with_deletes(
+                spark, sf_dir
+            ).collect(),
+        )
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
+    )
+    want = sorted(
+        map(tuple, con.execute(pqindex._IVFPQ_DELETE_ORACLE).fetchall())
+    )
+    assert len(got) == len(want) and got
+    for g, w in zip(got, want):
+        assert g[:3] == w[:3]
+        assert abs(g[3] - w[3]) < 1e-9
+    # Query 0 (vec_id % 17 == 0) was retracted: it must neither query...
+    assert all(qid % pqindex._IVFPQ_DELETE_MOD != 0 for qid, *_ in got)
+    # ...nor serve as a neighbor.
+    assert all(
+        nb % pqindex._IVFPQ_DELETE_MOD != 0 for _, _, nb, _ in got
+    )
+
+
 def test_gate_query_equals_batch_ivf_pq(spark, sf_dir):
     """End-to-end through the engine (availableNow stream over the
     sharded fixture): the accumulated-index probe is row-identical to
