@@ -685,7 +685,16 @@ def pq_ann_top1_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
 # codes table — pruning AND compression compose multiplicatively, and
 # neither the raw floats nor out-of-cell codes are read.
 
-_IVF_PQ_TOP1_ORACLE = f"""
+def _ivf_pq_top1_oracle(survive: str = "") -> str:
+    """Render the batch IVFPQ top-1 oracle. The registered queries use
+    the empty-``survive`` render (``_IVF_PQ_TOP1_ORACLE`` below, byte-
+    identical to the pre-factory literal); the retraction twin
+    (streaming/pqindex.py) passes extra ``AND`` lines restricting both
+    sides to survivors — one SQL body, so a future fix to the shared
+    ADC arithmetic propagates to every consumer (the
+    ``_ivf_stream_oracle(delete_mod)`` pattern from
+    streaming/annindex.py)."""
+    return f"""
     WITH {_NORMS_SQL}, {_CENTS_SQL}, {_PQ_CODES_SQL},
     {_PQ_LUT_SQL},
     adc AS (
@@ -696,7 +705,7 @@ _IVF_PQ_TOP1_ORACLE = f"""
         JOIN cassign aq ON aq.cid = ae.cid AND aq.vec_id < {N_QUERIES}
         JOIN lut l ON l.qid = aq.vec_id AND l.sub = p.sub AND l.code = p.code
         JOIN cn2 n ON n.sub = p.sub AND n.code = p.code
-        WHERE p.vec_id <> aq.vec_id
+        WHERE p.vec_id <> aq.vec_id{survive}
         GROUP BY l.qid, aq.cid, p.vec_id
     )
     SELECT a.qid, a.cid, a.vec_id AS neighbor_id,
@@ -712,6 +721,9 @@ _IVF_PQ_TOP1_ORACLE = f"""
     JOIN norms qn ON qn.vec_id = a.qid
     WHERE a.rn = 1
     """
+
+
+_IVF_PQ_TOP1_ORACLE = _ivf_pq_top1_oracle()
 
 
 @query("ivf_pq_ann_top1", oracle=_IVF_PQ_TOP1_ORACLE)

@@ -558,7 +558,7 @@ def streaming_ivf_index_with_deletes(
     )
     q.awaitTermination()
 
-    delete_batch = max(seen) + 1
+    delete_batch = max(seen, default=-1) + 1
     deleted = (
         table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") % _IVF_DELETE_MOD == 0)

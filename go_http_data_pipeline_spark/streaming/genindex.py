@@ -141,6 +141,17 @@ class GenIndex:
             sides.append(spark.read.parquet(*deltas))
         return sides
 
+    def live_sides(self, spark: SparkSession) -> list[DataFrame]:
+        """``probe_sides`` with live tombstones applied (retractions
+        not yet folded by a compaction) — a pure passthrough when none
+        exist, so delete-free plans are untouched. The per-family
+        ``_lsh_probe_sides`` / ``_ivf_probe_sides`` wrappers predate
+        this method and can fold into it when their modules next
+        change."""
+        return [
+            self.apply_tombstones(spark, s) for s in self.probe_sides(spark)
+        ]
+
     # -- tombstones (retractions) -------------------------------------
 
     def append_tombstones(self, df: DataFrame, batch_id: int) -> None:

@@ -41,22 +41,17 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..catalog import table
 from ..llm.pq import (
     _IVF_PQ_TOP1_ORACLE,
-    _PQ_CODES_SQL,
-    _PQ_LUT_SQL,
+    _ivf_pq_top1_oracle,
     _query_lut_rows,
     dense_code_ids,
     pq_assign,
     trained_codebook,
     widen_codes,
 )
-from ..llm.similarity import (
-    _CENTS_SQL,
-    _NORMS_SQL,
-    N_QUERIES,
-    ivf_assign_cached,
-)
+from ..llm.similarity import N_QUERIES, ivf_assign_cached
 from ..registry import query
 from .annindex import (
     _emb_sharded_dir,
@@ -107,11 +102,8 @@ def pq_index_step(
 
 def _pq_probe_sides(spark: SparkSession, index_dir: str) -> list[DataFrame]:
     """The read view as join-ready sides with live tombstones applied
-    (retractions not yet folded by a compaction) — a pure passthrough
-    when none exist, so delete-free plans are untouched; the same
-    discipline as ``_lsh_probe_sides`` / ``_ivf_probe_sides``."""
-    idx = _pq_index(index_dir)
-    return [idx.apply_tombstones(spark, s) for s in idx.probe_sides(spark)]
+    — see ``GenIndex.live_sides``."""
+    return _pq_index(index_dir).live_sides(spark)
 
 
 def pq_delete_step(vec_ids: DataFrame, batch_id: int, index_dir: str) -> None:
@@ -142,15 +134,12 @@ def ivfpq_probe(
     the raw ``vec_id``) restricts the query set — the retraction
     twin uses it so deleted vectors stop querying as well as
     serving."""
-    q_cells = (
-        ivf_assign_cached(spark, sf_dir)
-        .filter(F.col("vec_id") < N_QUERIES)
-        .select(F.col("vec_id").alias("qid"), "cid")
-        if q_filter is None
-        else ivf_assign_cached(spark, sf_dir)
-        .filter((F.col("vec_id") < N_QUERIES) & q_filter)
-        .select(F.col("vec_id").alias("qid"), "cid")
+    q_cells = ivf_assign_cached(spark, sf_dir).filter(
+        F.col("vec_id") < N_QUERIES
     )
+    if q_filter is not None:
+        q_cells = q_cells.filter(q_filter)
+    q_cells = q_cells.select(F.col("vec_id").alias("qid"), "cid")
     qtab = _query_lut_rows(spark, sf_dir).join(q_cells, "qid")
 
     look = (
@@ -204,128 +193,15 @@ def ivfpq_probe(
     )
 
 
-@query("streaming_ivfpq_index_top1", oracle=_IVF_PQ_TOP1_ORACLE)
-def streaming_ivfpq_index_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental IVFPQ index maintenance: embeddings arrive in
-    micro-batches; each batch is cell-assigned and PQ-coded against
-    the FIXED offline codebooks and appended to a (cid)-bucketed
-    generational index — per-arrival cost O(batch), independent of
-    corpus size, because codes are per-vector (no probe, no state
-    fold; contrast §I's linearly-growing IVF top-1 maintenance).
-    After the final arrival the demo queries ADC-probe the
-    accumulated index; the answer is EXACTLY the batch
-    ``ivf_pq_ann_top1`` (shared oracle)."""
-    work = tempfile.mkdtemp(prefix="ivfpq_inc_")
-    index_dir = os.path.join(work, "index")
-    cents = ivf_centroids(spark, sf_dir).persist()
-    cents.count()
-    codebook = trained_codebook(spark, sf_dir)
-    code_ids = dense_code_ids(spark, sf_dir)
-
-    emb = (
-        spark.readStream.schema(
-            "vec_id long, embedding array<float>, label int"
-        )
-        .option("maxFilesPerTrigger", 1)  # one shard per micro-batch
-        .parquet(_emb_sharded_dir(spark, sf_dir))
-    )
-
-    def process(batch_df: DataFrame, batch_id: int) -> None:
-        pq_index_step(
-            spark, batch_df, cents, codebook, code_ids, batch_id, index_dir
-        )
-
-    q = (
-        emb.writeStream.foreachBatch(process)
-        .option("checkpointLocation", os.path.join(work, "_ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    out = ivfpq_probe(
-        spark, sf_dir, _pq_probe_sides(spark, index_dir)
-    ).localCheckpoint()
-    cents.unpersist()
-    _pq_index(index_dir).drop_generations(spark)
-    shutil.rmtree(work, ignore_errors=True)
-    return out
-
-
-# --- retractions ----------------------------------------------------------
-# Round 10 gave the LSH band index (r9) and the IVF cell index LWW
-# tombstones; the codes index is the third and last family (VERDICT r9
-# item 6: "deletes on every index family"). It is also the easiest:
-# there is no maintained state to repair — a probe recomputes every
-# answer from the surviving 16-byte rows, so a retraction is complete
-# the moment the tombstone lands (logical apply on the probe sides,
-# physical fold at the next compaction).
-#
-# The gate-twin below is implemented, unit-pinned (tests/test_pqindex)
-# and exact-value-checked against its DuckDB oracle in pytest, but it
-# is deliberately NOT registered: the registry is frozen while the
-# deferral backlog drains (VERDICT r9 "Next round" #1/#3; the
-# round-11/12 windows are pre-committed and test-pinned). Register it
-# with ``@query("streaming_ivfpq_index_with_deletes",
-# oracle=_IVFPQ_DELETE_ORACLE)`` once a window slot frees (round 13).
-
-# Every _IVFPQ_DELETE_MOD-th vector is retracted in the twin's delete
-# batch (the LSH/IVF convention).
-_IVFPQ_DELETE_MOD = 17
-
-# _IVF_PQ_TOP1_ORACLE (llm/pq.py) restricted to SURVIVORS on both
-# sides: deleted vectors neither query nor serve as neighbors, while
-# the offline-trained codebooks keep defining cells and codes. Kept as
-# a separate literal (not a parameterization of the batch oracle) so
-# the deferred batch queries' oracle strings stay byte-identical.
-_IVFPQ_DELETE_ORACLE = f"""
-    WITH {_NORMS_SQL}, {_CENTS_SQL}, {_PQ_CODES_SQL},
-    {_PQ_LUT_SQL},
-    adc AS (
-        SELECT l.qid, aq.cid, p.vec_id,
-               SUM(l.pdot) AS adot, SUM(n.pn2) AS rn2
-        FROM pq_codes p
-        JOIN cassign ae ON ae.vec_id = p.vec_id
-        JOIN cassign aq ON aq.cid = ae.cid AND aq.vec_id < {N_QUERIES}
-        JOIN lut l ON l.qid = aq.vec_id AND l.sub = p.sub AND l.code = p.code
-        JOIN cn2 n ON n.sub = p.sub AND n.code = p.code
-        WHERE p.vec_id <> aq.vec_id
-          AND p.vec_id % {_IVFPQ_DELETE_MOD} != 0
-          AND aq.vec_id % {_IVFPQ_DELETE_MOD} != 0
-        GROUP BY l.qid, aq.cid, p.vec_id
-    )
-    SELECT a.qid, a.cid, a.vec_id AS neighbor_id,
-           a.adot / sqrt(a.rn2) / qn.nrm AS approx_cosine
-    FROM (
-        SELECT qid, cid, vec_id, adot, rn2,
-               ROW_NUMBER() OVER (
-                   PARTITION BY qid
-                   ORDER BY adot / sqrt(rn2) DESC, vec_id
-               ) AS rn
-        FROM adc
-    ) a
-    JOIN norms qn ON qn.vec_id = a.qid
-    WHERE a.rn = 1
-    """
-
-
-def streaming_ivfpq_index_with_deletes(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """The incremental IVFPQ codes index under RETRACTION: embeddings
-    arrive and build the (cid)-bucketed codes index exactly as
-    ``streaming_ivfpq_index_top1``; then a delete batch retracts every
-    ``_IVFPQ_DELETE_MOD``-th vector (LWW tombstones — O(deletes)) and
-    a compaction folds the retraction in physically. The ADC probe
-    over the surviving rows — deleted vectors neither query nor serve
-    — is the answer, and it equals the batch IVFPQ answer restricted
-    to survivors on both sides (``_IVFPQ_DELETE_ORACLE``). No state
-    repair exists to do: codes are per-vector, so the retraction is
-    complete when the tombstone lands. Logical==physical apply,
-    replayed-delete idempotence, and LWW re-add are unit-pinned in
-    tests/test_pqindex.py. Held unregistered while the registry
-    drains its deferral backlog (see module comment above)."""
-    work = tempfile.mkdtemp(prefix="ivfpq_del_")
-    index_dir = os.path.join(work, "index")
+def _run_arrivals(
+    spark: SparkSession, sf_dir: str, work: str, index_dir: str
+) -> int:
+    """Build the codes index by streaming the sharded embeddings
+    fixture through the engine (availableNow, one shard per
+    micro-batch), quantizing each batch against the FIXED offline
+    codebooks. Shared by the gate query and the retraction twin so
+    the arrival loop exists once. Returns the last arrival's batch id
+    (-1 if the stream produced no micro-batches)."""
     cents = ivf_centroids(spark, sf_dir).persist()
     cents.count()
     codebook = trained_codebook(spark, sf_dir)
@@ -353,10 +229,87 @@ def streaming_ivfpq_index_with_deletes(
         .start()
     )
     q.awaitTermination()
+    cents.unpersist()
+    return max(seen, default=-1)
 
-    delete_batch = max(seen) + 1
+
+@query("streaming_ivfpq_index_top1", oracle=_IVF_PQ_TOP1_ORACLE)
+def streaming_ivfpq_index_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVFPQ index maintenance: embeddings arrive in
+    micro-batches; each batch is cell-assigned and PQ-coded against
+    the FIXED offline codebooks and appended to a (cid)-bucketed
+    generational index — per-arrival cost O(batch), independent of
+    corpus size, because codes are per-vector (no probe, no state
+    fold; contrast §I's linearly-growing IVF top-1 maintenance).
+    After the final arrival the demo queries ADC-probe the
+    accumulated index; the answer is EXACTLY the batch
+    ``ivf_pq_ann_top1`` (shared oracle)."""
+    work = tempfile.mkdtemp(prefix="ivfpq_inc_")
+    index_dir = os.path.join(work, "index")
+    _run_arrivals(spark, sf_dir, work, index_dir)
+    out = ivfpq_probe(
+        spark, sf_dir, _pq_probe_sides(spark, index_dir)
+    ).localCheckpoint()
+    _pq_index(index_dir).drop_generations(spark)
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+# --- retractions ----------------------------------------------------------
+# Round 10 gave the LSH band index (r9) and the IVF cell index LWW
+# tombstones; the codes index is the third and last family (VERDICT r9
+# item 6: "deletes on every index family"). It is also the easiest:
+# there is no maintained state to repair — a probe recomputes every
+# answer from the surviving 16-byte rows, so a retraction is complete
+# the moment the tombstone lands (logical apply on the probe sides,
+# physical fold at the next compaction).
+#
+# The gate-twin below is implemented, unit-pinned (tests/test_pqindex)
+# and exact-value-checked against its DuckDB oracle in pytest, but it
+# is deliberately NOT registered: the registry is frozen while the
+# deferral backlog drains (VERDICT r9 "Next round" #1/#3; the
+# round-11/12 windows are pre-committed and test-pinned). Register it
+# with ``@query("streaming_ivfpq_index_with_deletes",
+# oracle=_IVFPQ_DELETE_ORACLE)`` once a window slot frees (round 13).
+
+# Every _IVFPQ_DELETE_MOD-th vector is retracted in the twin's delete
+# batch (the LSH/IVF convention).
+_IVFPQ_DELETE_MOD = 17
+
+# The batch IVFPQ oracle restricted to SURVIVORS on both sides:
+# deleted vectors neither query nor serve as neighbors, while the
+# offline-trained codebooks keep defining cells and codes. Rendered
+# from the ONE shared SQL body in llm/pq.py (the registered queries'
+# oracle is the empty-``survive`` render of the same factory).
+_IVFPQ_DELETE_ORACLE = _ivf_pq_top1_oracle(
+    survive=(
+        f"\n          AND p.vec_id % {_IVFPQ_DELETE_MOD} != 0"
+        f"\n          AND aq.vec_id % {_IVFPQ_DELETE_MOD} != 0"
+    )
+)
+
+
+def streaming_ivfpq_index_with_deletes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The incremental IVFPQ codes index under RETRACTION: embeddings
+    arrive and build the (cid)-bucketed codes index exactly as
+    ``streaming_ivfpq_index_top1``; then a delete batch retracts every
+    ``_IVFPQ_DELETE_MOD``-th vector (LWW tombstones — O(deletes)) and
+    a compaction folds the retraction in physically. The ADC probe
+    over the surviving rows — deleted vectors neither query nor serve
+    — is the answer, and it equals the batch IVFPQ answer restricted
+    to survivors on both sides (``_IVFPQ_DELETE_ORACLE``). No state
+    repair exists to do: codes are per-vector, so the retraction is
+    complete when the tombstone lands. Logical==physical apply,
+    replayed-delete idempotence, and LWW re-add are unit-pinned in
+    tests/test_pqindex.py. Held unregistered while the registry
+    drains its deferral backlog (see module comment above)."""
+    work = tempfile.mkdtemp(prefix="ivfpq_del_")
+    index_dir = os.path.join(work, "index")
+    delete_batch = _run_arrivals(spark, sf_dir, work, index_dir) + 1
     deleted = (
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") % _IVFPQ_DELETE_MOD == 0)
         .select("vec_id")
     )
@@ -370,7 +323,6 @@ def streaming_ivfpq_index_with_deletes(
         _pq_probe_sides(spark, index_dir),
         q_filter=F.col("vec_id") % _IVFPQ_DELETE_MOD != 0,
     ).localCheckpoint()
-    cents.unpersist()
     _pq_index(index_dir).drop_generations(spark)
     shutil.rmtree(work, ignore_errors=True)
     return out
