@@ -268,6 +268,46 @@ def test_readd_after_delete_wins_lww(spark, sf_dir, tmp_path):
     pqindex._pq_index(index_dir).drop_generations(spark)
 
 
+def test_tombstone_apply_is_passthrough_then_broadcast(
+    spark, sf_dir, tmp_path
+):
+    """Pins the two plan claims the retraction docstrings make across
+    all three index families. (1) With NO tombstones on disk,
+    ``apply_tombstones`` returns the very same DataFrame object — the
+    delete-free probe plan cannot change by construction. (2) With
+    tombstones, the dead-row filter joins the index side against a
+    BROADCAST of the tombstone keys (never a sort-merge join), and the
+    plan's ONLY shuffle is the tombstone-side groupBy-max — sized by
+    the d-dir scan, O(deletes) — while the index side contributes the
+    same zero shuffles it does delete-free. The retraction cost a
+    probe pays never includes a corpus shuffle."""
+    from go_http_data_pipeline_spark.plans.inspect import (
+        exchange_count,
+        join_strategies,
+    )
+
+    batches = _fixture_batches(spark, sf_dir, n=2)
+    index_dir, *_ = _run_steps(spark, sf_dir, tmp_path, batches)
+    idx = pqindex._pq_index(index_dir)
+    side = idx.probe_sides(spark)[0]
+    assert idx.apply_tombstones(spark, side) is side
+
+    pqindex.pq_delete_step(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") % 5 == 0)
+        .select("vec_id"),
+        2,
+        index_dir,
+    )
+    live = idx.apply_tombstones(spark, idx.probe_sides(spark)[0])
+    strategies = join_strategies(live)
+    assert any("Broadcast" in s for s in strategies)
+    assert not any("SortMerge" in s for s in strategies)
+    assert exchange_count(side) == 0
+    assert exchange_count(live) == 1  # the O(deletes) tombstone groupBy
+    idx.drop_generations(spark)
+
+
 def test_with_deletes_twin_matches_duckdb_oracle(spark, sf_dir):
     """End-to-end through the engine: the retraction twin's answer is
     value-identical to its DuckDB oracle (the batch IVFPQ answer
