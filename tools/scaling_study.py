@@ -346,63 +346,107 @@ def _legacy_ntile_zorder(spark, sf_dir):
     )
 
 
+# The double's handler, run in a CHILD process (argv: body-file,
+# ranges-flag). The first cut served from a daemon thread inside the
+# driver; in a long-lived study session (~1200 stages in) the handler
+# threads waited on the driver's GIL for minutes at a time — §E
+# crawled at one range task per ~40 s and run 1 froze outright, while
+# the identical server on a fresh session served the same race in
+# seconds. A child process owns its own GIL, so serving can never
+# contend with whatever the driver is doing.
+_RANGE_SERVER_SCRIPT = r"""
+import http.server
+import sys
+
+body = open(sys.argv[1], "rb").read()
+ranges = sys.argv[2] == "1"
+
+
+class H(http.server.BaseHTTPRequestHandler):
+    def do_HEAD(self):  # noqa: N802
+        self.send_response(200)
+        if ranges:
+            self.send_header("Accept-Ranges", "bytes")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+
+    def do_GET(self):  # noqa: N802
+        rng = self.headers.get("Range") if ranges else None
+        if rng:
+            spec = rng.split("=", 1)[1]
+            lo_s, hi_s = spec.split("-", 1)
+            lo = int(lo_s)
+            hi = int(hi_s) + 1 if hi_s else len(body)
+            if lo >= len(body):
+                self.send_response(416)
+                self.send_header("Content-Range", f"bytes */{len(body)}")
+                self.end_headers()
+                return
+            chunk = body[lo:hi]
+            self.send_response(206)
+            self.send_header("Content-Length", str(len(chunk)))
+            self.send_header(
+                "Content-Range",
+                f"bytes {lo}-{lo + len(chunk) - 1}/{len(body)}",
+            )
+            self.end_headers()
+            self.wfile.write(chunk)
+            return
+        self.send_response(200)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, *a):
+        pass
+
+
+srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+print(srv.server_address[1], flush=True)
+srv.serve_forever()
+"""
+
+
 class _RangeLogServer:
     """Minimal localhost double serving one fixed body with byte-Range
     support (206/416 + Content-Range) and a HEAD probe advertising
     Accept-Ranges — the contract the URL transport's split planner
     needs. ``ranges=False`` models a dumb endpoint (no Accept-Ranges,
-    full-body GETs only) for the §J fan-in race. (Compact twin of the
+    full-body GETs only) for the §J fan-in race. Served from a CHILD
+    process (see _RANGE_SERVER_SCRIPT for why). (Compact twin of the
     tests' _AppendLogServer, inlined so tools/ never imports tests/.)"""
 
     def __init__(self, body: bytes, ranges: bool = True):
-        import http.server
-        import threading
+        import subprocess
+        import tempfile
 
-        class H(http.server.BaseHTTPRequestHandler):
-            def do_HEAD(self):  # noqa: N802
-                self.send_response(200)
-                if ranges:
-                    self.send_header("Accept-Ranges", "bytes")
-                self.send_header("Content-Length", str(len(body)))
-                self.end_headers()
-
-            def do_GET(self):  # noqa: N802
-                rng = self.headers.get("Range") if ranges else None
-                if rng:
-                    spec = rng.split("=", 1)[1]
-                    lo_s, hi_s = spec.split("-", 1)
-                    lo = int(lo_s)
-                    hi = int(hi_s) + 1 if hi_s else len(body)
-                    if lo >= len(body):
-                        self.send_response(416)
-                        self.send_header("Content-Range", f"bytes */{len(body)}")
-                        self.end_headers()
-                        return
-                    chunk = body[lo:hi]
-                    self.send_response(206)
-                    self.send_header("Content-Length", str(len(chunk)))
-                    self.send_header(
-                        "Content-Range",
-                        f"bytes {lo}-{lo + len(chunk) - 1}/{len(body)}",
-                    )
-                    self.end_headers()
-                    self.wfile.write(chunk)
-                    return
-                self.send_response(200)
-                self.send_header("Content-Length", str(len(body)))
-                self.end_headers()
-                self.wfile.write(body)
-
-            def log_message(self, *a):
-                pass
-
-        self._srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
-        threading.Thread(target=self._srv.serve_forever, daemon=True).start()
-        self.url = f"http://127.0.0.1:{self._srv.server_address[1]}/"
+        fd, self._body_path = tempfile.mkstemp(prefix="urlbody_")
+        with os.fdopen(fd, "wb") as f:
+            f.write(body)
+        self._proc = subprocess.Popen(
+            [
+                sys.executable,
+                "-c",
+                _RANGE_SERVER_SCRIPT,
+                self._body_path,
+                "1" if ranges else "0",
+            ],
+            stdout=subprocess.PIPE,
+            text=True,
+        )
+        port = int(self._proc.stdout.readline())
+        self.url = f"http://127.0.0.1:{port}/"
 
     def close(self):
-        self._srv.shutdown()
-        self._srv.server_close()
+        self._proc.terminate()
+        try:
+            self._proc.wait(timeout=10)
+        except Exception:
+            self._proc.kill()
+        try:
+            os.unlink(self._body_path)
+        except OSError:
+            pass
 
 
 def _url_split_race(spark):
@@ -990,6 +1034,103 @@ def _pq_probe_bytes(spark):
     emb_mb = round(os.path.getsize(f"{BIG}/embeddings.parquet") / 1e6, 2)
     shutil.rmtree(work, ignore_errors=True)
     return legs, emb_mb
+
+
+# §N: what a takedown costs the codes index. The delete batch stays
+# the SAME size at both corpus scales — a takedown is sized by the
+# request, not the corpus — so flat columns mean O(deletes)/O(probe).
+RETRACT_DELETES = 500
+
+
+def _codes_retraction_race(spark):
+    """Section N measurement: retraction cost on the IVFPQ codes
+    index (the round-10 capability, streaming/pqindex.py). For x1 and
+    x{PQ_PROBE_COPIES} corpora, the cell-tagged wide codes (rotated
+    per copy, as §K/§M) are maintained as a GenIndex — 4 src_batch-
+    stamped appends folding into one (cid)-bucketed generation, the
+    gate query's exact layout — then a {RETRACT_DELETES}-vector
+    delete batch (fixed vec_id range, no demo queries) is recorded
+    and the ADC probe timed in three states: delete-free, live
+    tombstones (logical apply: a broadcast anti-filter on every probe
+    side), and after the next compaction folds the retraction in
+    (physical). The tombstone record and the fold are single-shot
+    walls (state-mutating); probes are min-of-REPEATS. Probe outputs
+    asserted EQUAL between the logical and physical states, and no
+    retracted vector may appear as a neighbor in either."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from go_http_data_pipeline_spark.llm import pq as pqm
+    from go_http_data_pipeline_spark.llm.similarity import (
+        ivf_assign_cached,
+    )
+    from go_http_data_pipeline_spark.streaming import pqindex as pqi
+
+    base = pqm._codes_wide_cached(spark, BIG).join(
+        ivf_assign_cached(spark, BIG), "vec_id"
+    )
+    code_k = len(pqm.dense_code_ids(spark, BIG))
+    base_n = base.agg(F.max("vec_id")).collect()[0][0] + 1
+    dead = spark.range(100, 100 + RETRACT_DELETES).withColumnRenamed(
+        "id", "vec_id"
+    )
+    dead_ids = set(range(100, 100 + RETRACT_DELETES))
+    legs = []
+    for copies in (1, PQ_PROBE_COPIES):
+        rows = base
+        if copies > 1:
+            rows = base.crossJoin(
+                spark.range(copies).withColumnRenamed("id", "copy")
+            ).select(
+                (F.col("vec_id") + F.col("copy") * base_n).alias(
+                    "vec_id"
+                ),
+                "cid",
+                F.transform(
+                    "cidx",
+                    lambda c: ((c + F.col("copy")) % code_k).cast("int"),
+                ).alias("cidx"),
+            )
+        work = tempfile.mkdtemp(prefix=f"retract_x{copies}_")
+        idx = pqi._pq_index(work)
+        for b in range(4):
+            idx.append(
+                rows.filter(F.col("vec_id") % 4 == b).withColumn(
+                    "src_batch", F.lit(b).cast("long")
+                ),
+                b,
+            )
+        idx.compact(spark, 3)
+
+        def probe():
+            return pqi.ivfpq_probe(spark, BIG, idx.live_sides(spark))
+
+        t_free = _timed(probe)
+        t0 = time.perf_counter()
+        idx.append_tombstones(dead, 4)
+        t_record = round(time.perf_counter() - t0, 3)
+        t_live = _timed(probe)
+        live_rows = sorted(map(tuple, probe().collect()))
+        t0 = time.perf_counter()
+        idx.compact(spark, 4)
+        t_fold = round(time.perf_counter() - t0, 3)
+        t_after = _timed(probe)
+        after_rows = sorted(map(tuple, probe().collect()))
+        assert live_rows == after_rows and live_rows, (
+            "logical and physical retraction diverge"
+        )
+        assert all(
+            r[2] not in dead_ids for r in live_rows
+        ), "retracted vector served as a neighbor"
+        legs.append(
+            (copies, base_n * copies, t_free, t_record, t_live, t_fold,
+             t_after)
+        )
+        idx.drop_generations(spark)
+        shutil.rmtree(work, ignore_errors=True)
+    return legs
 
 
 def _ivf_incremental_race(spark):
@@ -1596,6 +1737,19 @@ def main() -> int:
         flush=True,
     )
 
+    # N. retraction cost on the codes index: tombstone record,
+    # logical-apply probe overhead, physical fold — x1 vs amplified.
+    n_legs = _codes_retraction_race(spark)
+    print(
+        "# codes retraction race: "
+        + " | ".join(
+            f"x{c}: {n} vectors, free {tf}s, record {tr}s, "
+            f"live {tl}s, fold {tc}s, after {ta}s"
+            for c, n, tf, tr, tl, tc, ta in n_legs
+        ),
+        flush=True,
+    )
+
     lines = [
         "# SCALING — measured scale-stress evidence (rounds 5-10)",
         "",
@@ -2026,6 +2180,42 @@ def main() -> int:
         "vector — parquet framing costs both sides), so at 100 TB of",
         "embeddings the probe's scan is a few TB of codes, cell-pruned",
         "further by the IVFPQ composite's bucketing.",
+        "",
+        "## N. Retraction cost on the codes index (round 10)",
+        "",
+        "What a takedown costs the IVFPQ codes index",
+        "(streaming/pqindex.py): the cell-tagged wide codes maintained",
+        "as a GenIndex (4 src_batch-stamped appends folded into one",
+        "(cid)-bucketed generation — the gate query's layout), then a",
+        f"{RETRACT_DELETES}-vector delete batch recorded and the ADC",
+        "probe timed delete-free, with LIVE tombstones (logical",
+        "apply: a broadcast anti-filter on each probe side), and",
+        "after the next compaction folds the retraction in. The",
+        "delete batch stays the SAME size at both corpus scales — a",
+        "takedown is sized by the request, not the corpus. Probe",
+        "outputs asserted equal between the logical and physical",
+        "states; no retracted vector served as a neighbor (also",
+        "plan-pinned:",
+        "test_pqindex.py::test_tombstone_apply_is_passthrough_then_broadcast).",
+        "",
+        "| corpus | vectors | probe, no deletes (s) | tombstone"
+        " record (s) | probe, live tombstones (s) | fold (s) |"
+        " probe, after fold (s) |",
+        "|---|---|---|---|---|---|---|",
+    ] + [
+        f"| x{c} | {n} | {tf} | {tr} | {tl} | {tc} | {ta} |"
+        for c, n, tf, tr, tl, tc, ta in n_legs
+    ] + [
+        "",
+        "Recording a takedown is corpus-independent (a distinct+write",
+        "of the delete keys); the logical-apply overhead a probe pays",
+        "until the next fold is a broadcast hash join against the",
+        "O(deletes) tombstone table — no corpus shuffle, no index",
+        "rewrite on the takedown path — and the fold returns the",
+        "probe to its delete-free plan. At 100 TB this is the",
+        "difference between takedowns costing an index rebuild and",
+        "costing a small write plus one broadcast per probe until the",
+        "next scheduled compaction.",
         "",
         "Generated by tools/scaling_study.py.",
         "",
