@@ -423,26 +423,36 @@ class _RangeLogServer:
         fd, self._body_path = tempfile.mkstemp(prefix="urlbody_")
         with os.fdopen(fd, "wb") as f:
             f.write(body)
-        self._proc = subprocess.Popen(
-            [
-                sys.executable,
-                "-c",
-                _RANGE_SERVER_SCRIPT,
-                self._body_path,
-                "1" if ranges else "0",
-            ],
-            stdout=subprocess.PIPE,
-            text=True,
-        )
-        port = int(self._proc.stdout.readline())
+        self._proc = None
+        try:
+            self._proc = subprocess.Popen(
+                [
+                    sys.executable,
+                    "-c",
+                    _RANGE_SERVER_SCRIPT,
+                    self._body_path,
+                    "1" if ranges else "0",
+                ],
+                stdout=subprocess.PIPE,
+                text=True,
+            )
+            port = int(self._proc.stdout.readline())
+        except Exception:
+            # A daemon thread died with the interpreter; a child does
+            # not — clean up our own child (and body file) so a failed
+            # construction can't orphan a serve_forever() process.
+            self.close()
+            raise
         self.url = f"http://127.0.0.1:{port}/"
 
     def close(self):
-        self._proc.terminate()
-        try:
-            self._proc.wait(timeout=10)
-        except Exception:
-            self._proc.kill()
+        if self._proc is not None:
+            self._proc.terminate()
+            try:
+                self._proc.wait(timeout=10)
+            except Exception:
+                self._proc.kill()
+                self._proc.wait()  # reap: a SIGKILLed child must not zombie
         try:
             os.unlink(self._body_path)
         except OSError:
@@ -1001,15 +1011,7 @@ def _pq_probe_bytes(spark):
     for copies in (1, PQ_PROBE_COPIES):
         wide = base_wide
         if copies > 1:
-            wide = base_wide.crossJoin(
-                spark.range(copies).withColumnRenamed("id", "copy")
-            ).select(
-                (F.col("vec_id") + F.col("copy") * base_n).alias("vec_id"),
-                F.transform(
-                    "cidx",
-                    lambda c: ((c + F.col("copy")) % code_k).cast("int"),
-                ).alias("cidx"),
-            )
+            wide = _amp_wide_codes(spark, base_wide, copies, base_n, code_k)
         path = os.path.join(work, f"codes_x{copies}.parquet")
         wide.write.mode("overwrite").parquet(path)
         probe = pqm.adc_probe_wide(spark, BIG, spark.read.parquet(path))
@@ -1034,6 +1036,25 @@ def _pq_probe_bytes(spark):
     emb_mb = round(os.path.getsize(f"{BIG}/embeddings.parquet") / 1e6, 2)
     shutil.rmtree(work, ignore_errors=True)
     return legs, emb_mb
+
+
+def _amp_wide_codes(spark, wide, copies, base_n, code_k, keep=()):
+    """Replicate a wide-codes table x ``copies`` with disjoint vec_ids
+    and per-copy-ROTATED dense indexes — the §K amplification
+    convention, shared by §M and §N so both sections measure the same
+    amplified corpus shape. ``keep`` names extra columns carried
+    through unchanged (§N keeps the cell id)."""
+    from pyspark.sql import functions as F
+
+    return wide.crossJoin(
+        spark.range(copies).withColumnRenamed("id", "copy")
+    ).select(
+        (F.col("vec_id") + F.col("copy") * base_n).alias("vec_id"),
+        *keep,
+        F.transform(
+            "cidx", lambda c: ((c + F.col("copy")) % code_k).cast("int")
+        ).alias("cidx"),
+    )
 
 
 # §N: what a takedown costs the codes index. The delete batch stays
@@ -1067,6 +1088,7 @@ def _codes_retraction_race(spark):
         ivf_assign_cached,
     )
     from go_http_data_pipeline_spark.streaming import pqindex as pqi
+    from go_http_data_pipeline_spark.streaming.annindex import _stamped
 
     base = pqm._codes_wide_cached(spark, BIG).join(
         ivf_assign_cached(spark, BIG), "vec_id"
@@ -1081,26 +1103,14 @@ def _codes_retraction_race(spark):
     for copies in (1, PQ_PROBE_COPIES):
         rows = base
         if copies > 1:
-            rows = base.crossJoin(
-                spark.range(copies).withColumnRenamed("id", "copy")
-            ).select(
-                (F.col("vec_id") + F.col("copy") * base_n).alias(
-                    "vec_id"
-                ),
-                "cid",
-                F.transform(
-                    "cidx",
-                    lambda c: ((c + F.col("copy")) % code_k).cast("int"),
-                ).alias("cidx"),
+            rows = _amp_wide_codes(
+                spark, base, copies, base_n, code_k, keep=("cid",)
             )
         work = tempfile.mkdtemp(prefix=f"retract_x{copies}_")
         idx = pqi._pq_index(work)
         for b in range(4):
             idx.append(
-                rows.filter(F.col("vec_id") % 4 == b).withColumn(
-                    "src_batch", F.lit(b).cast("long")
-                ),
-                b,
+                _stamped(rows.filter(F.col("vec_id") % 4 == b), b), b
             )
         idx.compact(spark, 3)
 
