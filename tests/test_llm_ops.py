@@ -374,6 +374,33 @@ def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
         assert multi[qid] >= cos - 1e-12
 
 
+def test_ann_recall_gate_family_query_coverage(spark, sf_dir):
+    """Silent-miss guard for the unified recall gate (VERDICT r10 item
+    4): a family that finds NO candidate for a query contributes no
+    row to ``ann_family_recall_eval``, so per-family ``avg(in_top5)``
+    would silently exclude that family's worst case and overstate its
+    recall. Until the round-13 ``_REFRESH`` slot changes the query to
+    emit explicit miss rows (``ann_neighbor`` NULL, ``in_top5`` 0),
+    this pins the EXACT (family, qid) coverage on the fixture: every
+    family answers all ten queries except single-bucket LSH, whose two
+    singleton-bucket queries are the known misses here (one at
+    sf0.01, where the driver recorded 59 rows, not 60). A coverage
+    drop — a family going quiet on a query it used to answer — fails
+    this test without touching the driver-green query."""
+    from go_http_data_pipeline_spark.llm.recall import (
+        _FAMILIES,
+        ann_family_recall_eval,
+    )
+
+    rows = ann_family_recall_eval(spark, sf_dir).collect()
+    got = {(r.family, r.qid) for r in rows}
+    assert len(rows) == len(got), "duplicate (family, qid) rows"
+    families = {fam for fam, _fn, _sql, _score in _FAMILIES}
+    full_grid = {(fam, qid) for fam in families for qid in range(10)}
+    known_lsh_misses = {("lsh", 2), ("lsh", 3)}
+    assert got == full_grid - known_lsh_misses
+
+
 def test_recursive_cte_depth_covers_fixture_diameter(spark, sf_dir):
     """`sql_api_components_recursive` truncates its UNION-ALL walk at
     `_RECURSION_DEPTH`; its oracle truncates IDENTICALLY, so the gate
