@@ -71,8 +71,14 @@ class GenIndex:
     def gen_table(self, batch_id: int) -> str:
         """Deterministic catalog name for a compacted generation —
         keyed by (index location, high-water batch id) so a replayed
-        compaction recreates the SAME table over the SAME path
-        (idempotent), and two concurrent indexes never collide."""
+        compaction recreates the SAME table over the SAME path, and
+        two concurrent indexes never collide. The replay safety this
+        buys is for CRASHED attempts only — one that died before its
+        ``_SUCCESS`` landed; re-running a COMPLETED fold would
+        overwrite the generation from a read view that the fold
+        itself already rewrote, a caller-discipline violation (the
+        GenIndex property test documents and deliberately skips that
+        interleaving)."""
         return f"{self._table_stem()}_b{batch_id}"
 
     def drop_generations(self, spark: SparkSession) -> None:
@@ -188,7 +194,16 @@ class GenIndex:
         tombstone twice is a no-op — survivors, by definition, are
         the rows it does not kill — which is what makes the physical
         apply during compaction crash-safe: a crash between the fold
-        and the d-dir GC just re-applies at the next fold."""
+        and the d-dir GC just re-applies at the next fold.
+
+        Size assumption behind the unconditional ``F.broadcast``: the
+        accumulated tombstone set is delete-request-sized (key columns
+        only, deduplicated, and physically folded away at every
+        compaction — at most ``compact_every`` batches of deletes are
+        ever live), so it fits the driver/executor broadcast budget by
+        construction. A deployment whose un-compacted delete volume
+        could approach the corpus itself should drop the hint above a
+        row-count threshold and let AQE pick the join strategy."""
         dirs = self._tombstone_dirs()
         if not dirs:
             return df
@@ -232,9 +247,11 @@ class GenIndex:
     def compact(self, spark: SparkSession, batch_id: int) -> None:
         """Fold the current read view into ONE generation
         ``c{batch_id}`` (keyed by the high-water batch id, so a
-        replayed compaction overwrites the same dir and table —
-        idempotent), written as an external table BUCKETED by the
-        probe key. Ordering is what makes this crash-safe: the new
+        compaction attempt REPLAYED AFTER A CRASH — before its
+        ``_SUCCESS`` landed — overwrites the same dir and table; a
+        completed fold must not be re-run, see :meth:`gen_table`),
+        written as an external table BUCKETED by the probe key.
+        Ordering is what makes this crash-safe: the new
         generation becomes the read view the moment its ``_SUCCESS``
         lands (visible_dirs switches to it atomically), and only THEN
         are superseded dirs deleted — a crash anywhere leaves either

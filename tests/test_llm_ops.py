@@ -401,6 +401,50 @@ def test_ann_recall_gate_family_query_coverage(spark, sf_dir):
     assert got == full_grid - known_lsh_misses
 
 
+def test_staged_recall_with_misses_matches_oracle(spark, sf_dir):
+    """The round-13 refresh candidate
+    ``ann_family_recall_eval_with_misses`` (explicit miss rows) is
+    exact-value checked against its staged DuckDB oracle while it
+    waits for the refresh slot — the ``_IVFPQ_DELETE_ORACLE`` staging
+    discipline. Its miss rows must be EXACTLY the registered gate's
+    silent gaps, made loud (ann_neighbor NULL, in_top5 0), and the
+    answered rows must be the registered gate's rows unchanged."""
+    import duckdb
+
+    from go_http_data_pipeline_spark.llm.recall import (
+        _RECALL_MISS_ORACLE,
+        ann_family_recall_eval,
+        ann_family_recall_eval_with_misses,
+    )
+
+    got = sorted(
+        map(tuple, ann_family_recall_eval_with_misses(spark, sf_dir).collect()),
+        key=lambda t: (t[0], t[1]),
+    )
+    con = duckdb.connect()
+    for t in ("embeddings", "documents"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    want = sorted(
+        con.execute(_RECALL_MISS_ORACLE).fetchall(), key=lambda t: (t[0], t[1])
+    )
+    assert len(got) == len(want) == 60  # full grid: 6 families x 10 queries
+    assert len({(g[0], g[1]) for g in got}) == 60
+    for g, w in zip(got, want):
+        assert g[:3] == w[:3]  # family, qid, neighbor (or NULL miss)
+        assert (g[3] is None) == (w[3] is None)
+        if g[3] is not None:
+            assert abs(g[3] - w[3]) < 1e-9
+        assert g[4] == w[4] and g[5] == w[5]
+
+    base = {
+        (r.family, r.qid)
+        for r in ann_family_recall_eval(spark, sf_dir).collect()
+    }
+    misses = {(g[0], g[1]) for g in got if g[2] is None}
+    assert misses == {(g[0], g[1]) for g in got} - base
+    assert all(g[5] == 0 and g[4] is None for g in got if g[2] is None)
+
+
 def test_recursive_cte_depth_covers_fixture_diameter(spark, sf_dir):
     """`sql_api_components_recursive` truncates its UNION-ALL walk at
     `_RECURSION_DEPTH`; its oracle truncates IDENTICALLY, so the gate

@@ -375,8 +375,20 @@ class H(http.server.BaseHTTPRequestHandler):
         if rng:
             spec = rng.split("=", 1)[1]
             lo_s, hi_s = spec.split("-", 1)
-            lo = int(lo_s)
-            hi = int(hi_s) + 1 if hi_s else len(body)
+            if lo_s:
+                lo = int(lo_s)
+                hi = int(hi_s) + 1 if hi_s else len(body)
+            elif hi_s:
+                # Suffix range (bytes=-N): the final N bytes. The
+                # first cut crashed here (int('') in the handler,
+                # traceback on the study run's inherited stderr).
+                lo = max(0, len(body) - int(hi_s))
+                hi = len(body)
+            else:
+                self.send_response(416)
+                self.send_header("Content-Range", f"bytes */{len(body)}")
+                self.end_headers()
+                return
             if lo >= len(body):
                 self.send_response(416)
                 self.send_header("Content-Range", f"bytes */{len(body)}")
@@ -416,7 +428,26 @@ class _RangeLogServer:
     process (see _RANGE_SERVER_SCRIPT for why). (Compact twin of the
     tests' _AppendLogServer, inlined so tools/ never imports tests/.)"""
 
+    @staticmethod
+    def _pdeathsig():
+        # Child-side: die with the parent. A daemon thread died with
+        # the interpreter, but a subprocess outlives a hard-killed or
+        # crashed study run (close() only runs on clean paths) —
+        # PDEATHSIG makes the kernel deliver SIGTERM to the child the
+        # moment the parent exits, however it exits.
+        import ctypes
+        import signal
+
+        PR_SET_PDEATHSIG = 1
+        try:
+            ctypes.CDLL(None, use_errno=True).prctl(
+                PR_SET_PDEATHSIG, signal.SIGTERM, 0, 0, 0
+            )
+        except (OSError, AttributeError):
+            pass  # non-Linux libc: fall back to the atexit hook alone
+
     def __init__(self, body: bytes, ranges: bool = True):
+        import atexit
         import subprocess
         import tempfile
 
@@ -424,6 +455,12 @@ class _RangeLogServer:
         with os.fdopen(fd, "wb") as f:
             f.write(body)
         self._proc = None
+        # Belt (atexit: any sys.exit / uncaught exception) and braces
+        # (PDEATHSIG: SIGKILLed parent) so an abnormal study exit
+        # cannot orphan the serve_forever() child or leak the body
+        # file; close() is idempotent so the clean path double-calling
+        # it is harmless.
+        atexit.register(self.close)
         try:
             self._proc = subprocess.Popen(
                 [
@@ -435,6 +472,7 @@ class _RangeLogServer:
                 ],
                 stdout=subprocess.PIPE,
                 text=True,
+                preexec_fn=self._pdeathsig,
             )
             port = int(self._proc.stdout.readline())
         except Exception:
@@ -453,6 +491,8 @@ class _RangeLogServer:
             except Exception:
                 self._proc.kill()
                 self._proc.wait()  # reap: a SIGKILLed child must not zombie
+            self._proc.stdout.close()
+            self._proc = None
         try:
             os.unlink(self._body_path)
         except OSError:
