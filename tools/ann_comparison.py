@@ -23,10 +23,18 @@ Columns:
                    and PQ rows score the whole corpus — PQ's point is
                    that each score is 16 table lookups, not a 64-dim
                    dot);
-* top1∈top5      — fraction of queries whose approximate top-1 lands
-                   in the EXACT brute-force top-5 (the recall each
-                   family's own *_recall_eval query gates);
-* top1=top1      — stricter: fraction matching the exact top-1.
+* answered       — queries the family found ANY candidate for, out of
+                   the queries asked (single-bucket LSH can land a
+                   query in a singleton bucket and answer nothing);
+* top1∈top5      — fraction of queries ASKED whose approximate top-1
+                   lands in the EXACT brute-force top-5 (the recall
+                   the registry's `ann_family_recall_eval` gates); an
+                   unanswered query counts as a MISS, not a skipped
+                   trial — dividing by answered queries only would
+                   overstate the pruning-hardest family exactly where
+                   it fails (VERDICT r10 item 4);
+* top1=top1      — stricter: fraction matching the exact top-1,
+                   same miss-counting denominator.
 
 Usage: python tools/ann_comparison.py [out_md] [sf_dir]
 """
@@ -197,23 +205,30 @@ def main() -> int:
             )
             if d.get("rank", 1) == 1:
                 pick[qid] = nid
-        in5 = sum(1 for q, n in pick.items() if n in top5.get(q, ())) / max(
-            1, len(pick)
-        )
-        is1 = sum(1 for q, n in pick.items() if n == top1.get(q)) / max(
-            1, len(pick)
-        )
+        # Denominator is n_q, the queries ASKED — a query the family
+        # finds no candidate for counts as a recall MISS, not a
+        # skipped trial. The first cut divided by len(pick) (queries
+        # answered), which silently overstated single-bucket LSH
+        # (VERDICT r10 item 4's silent-miss hole, fixed in the doc
+        # now; the registered gate gains explicit miss rows in the
+        # round-13 refresh — llm/recall.py).
+        in5 = sum(1 for q, n in pick.items() if n in top5.get(q, ())) / n_q
+        is1 = sum(1 for q, n in pick.items() if n == top1.get(q)) / n_q
         rows.append(
             (
                 fam,
                 label,
                 t,
                 "all" if cand >= n_corpus - 1 else round(cand, 1),
+                f"{len(pick)}/{n_q}",
                 round(in5, 2),
                 round(is1, 2),
             )
         )
-        print(f"# {label}: {t}s cand={rows[-1][3]} in5={in5} top1={is1}")
+        print(
+            f"# {label}: {t}s cand={rows[-1][3]}"
+            f" answered={len(pick)}/{n_q} in5={in5} top1={is1}"
+        )
 
     lines = [
         "# ANN — the index families measured on one corpus",
@@ -224,11 +239,13 @@ def main() -> int:
         "= corpus vectors scored per probe, from the index's own",
         "assignment; recall is against the exact brute-force top-5/top-1.",
         "",
-        "| family | variant | probe (s) | cand/query | top1 in top5 | top1 = top1 |",
-        "|---|---|---|---|---|---|",
+        "| family | variant | probe (s) | cand/query | answered | top1 in top5 | top1 = top1 |",
+        "|---|---|---|---|---|---|---|",
     ]
-    for fam, label, t, cand, in5, is1 in rows:
-        lines.append(f"| {fam} | {label} | {t} | {cand} | {in5} | {is1} |")
+    for fam, label, t, cand, ans, in5, is1 in rows:
+        lines.append(
+            f"| {fam} | {label} | {t} | {cand} | {ans} | {in5} | {is1} |"
+        )
     lines += [
         "",
         "Reading the trade:",
