@@ -286,6 +286,41 @@ def _green_rounds_through(cdir, max_round):
     return newest
 
 
+_CANON_ORDER: list | None = None
+
+
+def _canonical_query_order() -> list:
+    """Registered query names in DRIVER order — computed in a fresh
+    interpreter and cached for the session. ``_QUERIES`` insertion
+    order is import-ENCOUNTER order: inside a long pytest process,
+    whichever test module touched ``llm.pq`` (or any query module)
+    first has already registered its rows, so the in-process dict
+    order differs from the order the driver sees and the stalest-tie
+    break inside a tranche shifts (observed: the round-13 test passed
+    standalone and failed in the full suite because 'which 6 r8 rows
+    slip' is a tie-break question). Window derivations must use the
+    driver's order, which only a fresh interpreter reproduces."""
+    global _CANON_ORDER
+    if _CANON_ORDER is None:
+        import json
+
+        code = (
+            "import sys, json; sys.path.insert(0, '/root/repo');"
+            "from go_http_data_pipeline_spark import registry;"
+            "registry.all_queries();"
+            "print(json.dumps(list(registry._QUERIES)))"
+        )
+        out = subprocess.run(
+            [sys.executable, "-c", code],
+            check=True,
+            capture_output=True,
+            text=True,
+            timeout=180,
+        )
+        _CANON_ORDER = json.loads(out.stdout.strip().splitlines()[-1])
+    return _CANON_ORDER
+
+
 def _window_chain(cdir, monkeypatch, through_round, universe=None):
     """Derive the round-10..``through_round`` driver windows from the
     frozen <=r9 history plus simulated per-round grants. Whenever the
@@ -308,7 +343,9 @@ def _window_chain(cdir, monkeypatch, through_round, universe=None):
     from go_http_data_pipeline_spark import registry
 
     registry.all_queries()  # populate _QUERIES: hermetic under -k/xdist
-    qdict = registry._QUERIES
+    # Driver order, NOT the in-process dict order (see
+    # _canonical_query_order): stale-tranche tie-breaks depend on it.
+    qdict = {k: registry._QUERIES[k] for k in _canonical_query_order()}
     if universe is not None:
         qdict = {k: v for k, v in qdict.items() if k in universe}
     state = _green_rounds_through(cdir, 9)
