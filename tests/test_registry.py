@@ -265,10 +265,12 @@ def _green_rounds_through(cdir, max_round):
     import json
     import re
 
+    from go_http_data_pipeline_spark import registry
+
     newest: dict[str, int] = {}
     for path in cdir.glob("CORRECTNESS_r*.json"):
-        rnd = int(re.fullmatch(r"CORRECTNESS_r(\d+)\.json", path.name).group(1))
-        if rnd > max_round:
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", path.name)
+        if not m or int(m.group(1)) > max_round:
             continue
         try:
             body = json.loads(path.read_text())
@@ -277,12 +279,8 @@ def _green_rounds_through(cdir, max_round):
         if not isinstance(body, dict):
             continue
         for name, rec in body.items():
-            if not isinstance(rec, dict):
-                continue
-            full = rec.get("rows_match") and rec.get("schema_match") and rec.get("hash_match")
-            rows_only = rec.get("err") == "no_oracle" and rec.get("spark_rows") is not None
-            if full or rows_only:
-                newest[name] = max(newest.get(name, 0), rnd)
+            if isinstance(rec, dict) and registry._row_green(rec):
+                newest[name] = max(newest.get(name, 0), int(m.group(1)))
     return newest
 
 
@@ -353,7 +351,17 @@ def _window_chain(cdir, monkeypatch, through_round, universe=None):
     for rnd in range(10, through_round + 1):
         real = cdir / f"CORRECTNESS_r{rnd}.json"
         if real.exists():
-            w = list(json.loads(real.read_text()))
+            body = json.loads(real.read_text())
+            w = list(body)
+            # Only GREEN rows advance newest-green (a recorded red
+            # stays stale and the driver's next window re-includes
+            # it); granting every key would silently derive a plan
+            # the real registry will not follow.
+            grants = {
+                q: rnd
+                for q, rec in body.items()
+                if isinstance(rec, dict) and registry._row_green(rec)
+            }
         else:
             monkeypatch.setattr(
                 registry._newest_green_rounds, "_cache", dict(state), raising=False
@@ -364,8 +372,9 @@ def _window_chain(cdir, monkeypatch, through_round, universe=None):
                 monkeypatch.delattr(
                     registry._newest_green_rounds, "_cache", raising=False
                 )
+            grants = {q: rnd for q in w}  # the plan assumes green
         chain[rnd] = (w, dict(state))
-        state.update({q: rnd for q in w})
+        state.update(grants)
     return chain
 
 
@@ -411,11 +420,16 @@ def test_round11_round12_window_precommitment(monkeypatch, tmp_path):
     # Cross-check: every REAL recorded window equals the plan the
     # chain derives for it (recompute the derived side from a copy of
     # the history with that round's file absent).
+    import re
+
     hist = tmp_path / "hist"
     hist.mkdir()
     plan_era = set(registry._DEFER)  # plan-era names: recorded <=r12 + deferrals
     for p in real_dir.glob("CORRECTNESS_r*.json"):
-        rnd = int(p.name[len("CORRECTNESS_r"):-len(".json")])
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", p.name)
+        if not m:
+            continue  # stray near-miss file: not a driver record
+        rnd = int(m.group(1))
         if rnd <= 12:
             plan_era |= set(json.loads(p.read_text()))
         if rnd <= 9:

@@ -358,6 +358,21 @@ _RANGE_SERVER_SCRIPT = r"""
 import http.server
 import sys
 
+# Die with the parent: a subprocess outlives a hard-killed or crashed
+# study run (close() only runs on clean paths; atexit covers normal
+# exits but not SIGKILL). Set POST-exec, in this fresh single-threaded
+# child — running ctypes/dlopen in a preexec_fn between fork and exec
+# of the multithreaded Spark driver is a documented deadlock hazard.
+# The fork-to-prctl race window (parent dying first) is acceptable for
+# a test double.
+try:
+    import ctypes
+    import signal
+
+    ctypes.CDLL(None, use_errno=True).prctl(1, signal.SIGTERM, 0, 0, 0)
+except Exception:
+    pass  # non-Linux libc: the parent's atexit hook still cleans up
+
 body = open(sys.argv[1], "rb").read()
 ranges = sys.argv[2] == "1"
 
@@ -428,24 +443,6 @@ class _RangeLogServer:
     process (see _RANGE_SERVER_SCRIPT for why). (Compact twin of the
     tests' _AppendLogServer, inlined so tools/ never imports tests/.)"""
 
-    @staticmethod
-    def _pdeathsig():
-        # Child-side: die with the parent. A daemon thread died with
-        # the interpreter, but a subprocess outlives a hard-killed or
-        # crashed study run (close() only runs on clean paths) —
-        # PDEATHSIG makes the kernel deliver SIGTERM to the child the
-        # moment the parent exits, however it exits.
-        import ctypes
-        import signal
-
-        PR_SET_PDEATHSIG = 1
-        try:
-            ctypes.CDLL(None, use_errno=True).prctl(
-                PR_SET_PDEATHSIG, signal.SIGTERM, 0, 0, 0
-            )
-        except (OSError, AttributeError):
-            pass  # non-Linux libc: fall back to the atexit hook alone
-
     def __init__(self, body: bytes, ranges: bool = True):
         import atexit
         import subprocess
@@ -456,10 +453,10 @@ class _RangeLogServer:
             f.write(body)
         self._proc = None
         # Belt (atexit: any sys.exit / uncaught exception) and braces
-        # (PDEATHSIG: SIGKILLed parent) so an abnormal study exit
-        # cannot orphan the serve_forever() child or leak the body
-        # file; close() is idempotent so the clean path double-calling
-        # it is harmless.
+        # (the script's own PDEATHSIG: SIGKILLed parent) so an
+        # abnormal study exit cannot orphan the serve_forever() child
+        # or leak the body file; close() is idempotent so the clean
+        # path double-calling it is harmless.
         atexit.register(self.close)
         try:
             self._proc = subprocess.Popen(
@@ -472,7 +469,6 @@ class _RangeLogServer:
                 ],
                 stdout=subprocess.PIPE,
                 text=True,
-                preexec_fn=self._pdeathsig,
             )
             port = int(self._proc.stdout.readline())
         except Exception:
