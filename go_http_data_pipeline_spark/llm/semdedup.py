@@ -59,8 +59,22 @@ _NORM2 = (
 
 # Shared oracle prefix: quantized vectors, long form, nearest-seed
 # assignment (clustering.py CTEs), exact squared norms, intra-cluster
-# candidate pairs, exact integer dots, cosine-filtered pairs.
-_PAIRS_SQL = f"""
+# candidate pairs, exact integer dots, cosine-filtered pairs. A
+# FACTORY (the llm/pq.py ``_ivf_pq_top1_oracle`` discipline) so the
+# streaming retraction twin (streaming/semindex.py) renders the same
+# text restricted to survivors instead of copying it; the empty
+# render below is BYTE-IDENTICAL to the pre-factory literal, so the
+# three registered queries' oracles are unchanged.
+
+
+def _pairs_sql(delete_mod: int | None = None) -> str:
+    survive = (
+        f"\n         AND a1.vec_id % {delete_mod} != 0"
+        f" AND a2.vec_id % {delete_mod} != 0"
+        if delete_mod
+        else ""
+    )
+    return f"""
     {_QVECS_SQL}, {_QLONG_SQL}, {_ASSIGN1_SQL},
     norms AS (
         SELECT vec_id, CAST(SUM(qd * qd) AS BIGINT) AS nrm2
@@ -69,7 +83,7 @@ _PAIRS_SQL = f"""
     cand AS (
         SELECT a1.vec_id AS vec_a, a2.vec_id AS vec_b
         FROM assign1 a1
-        JOIN assign1 a2 ON a1.cid = a2.cid AND a1.vec_id < a2.vec_id
+        JOIN assign1 a2 ON a1.cid = a2.cid AND a1.vec_id < a2.vec_id{survive}
     ),
     dots AS (
         SELECT c.vec_a, c.vec_b, CAST(SUM(va.qd * vb.qd) AS BIGINT) AS dot
@@ -88,6 +102,43 @@ _PAIRS_SQL = f"""
               >= {TAU}
     )
 """
+
+
+_PAIRS_SQL = _pairs_sql()
+
+
+def _verdicts_oracle(delete_mod: int | None = None) -> str:
+    """The SemDeDup verdict oracle; with ``delete_mod``, pairs and
+    verdict rows are restricted to SURVIVORS (vec_id % mod != 0) —
+    the post-retraction answer. The fixed seed-centroid codebook
+    (vec_id < K, offline-trained) keeps defining the clusters either
+    way: a deleted vector stops being corpus but its centroid role is
+    the quantizer's, not the data's. Empty render = the registered
+    ``semantic_dedup_verdicts`` oracle byte-for-byte."""
+    survive = (
+        f"\n    WHERE a.vec_id % {delete_mod} != 0" if delete_mod else ""
+    )
+    return f"""
+    WITH {_pairs_sql(delete_mod)},
+    sides AS (
+        SELECT vec_a AS vec_id, vec_b AS partner FROM pairs
+        UNION ALL
+        SELECT vec_b AS vec_id, vec_a AS partner FROM pairs
+    ),
+    per_vec AS (
+        SELECT vec_id,
+               CAST(COUNT(*) AS BIGINT) AS n_neardups,
+               MAX(CASE WHEN partner < vec_id THEN 1 ELSE 0 END) AS dropped
+        FROM sides GROUP BY vec_id
+    )
+    SELECT a.vec_id, a.cid,
+           COALESCE(p.n_neardups, 0) AS n_neardups,
+           CASE WHEN COALESCE(p.dropped, 0) = 1 THEN FALSE ELSE TRUE END AS keep
+    FROM assign1 a LEFT JOIN per_vec p ON p.vec_id = a.vec_id{survive}
+    """
+
+
+_VERDICTS_ORACLE = _verdicts_oracle()
 
 
 # Seed-centroid best-expr memo: the K centroid rows are control-plane
@@ -206,27 +257,7 @@ def _cluster_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "semantic_dedup_verdicts",
-    oracle=f"""
-    WITH {_PAIRS_SQL},
-    sides AS (
-        SELECT vec_a AS vec_id, vec_b AS partner FROM pairs
-        UNION ALL
-        SELECT vec_b AS vec_id, vec_a AS partner FROM pairs
-    ),
-    per_vec AS (
-        SELECT vec_id,
-               CAST(COUNT(*) AS BIGINT) AS n_neardups,
-               MAX(CASE WHEN partner < vec_id THEN 1 ELSE 0 END) AS dropped
-        FROM sides GROUP BY vec_id
-    )
-    SELECT a.vec_id, a.cid,
-           COALESCE(p.n_neardups, 0) AS n_neardups,
-           CASE WHEN COALESCE(p.dropped, 0) = 1 THEN FALSE ELSE TRUE END AS keep
-    FROM assign1 a LEFT JOIN per_vec p ON p.vec_id = a.vec_id
-    """,
-)
+@query("semantic_dedup_verdicts", oracle=_VERDICTS_ORACLE)
 def semantic_dedup_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup verdict per vector: nearest-centroid cluster, number
     of intra-cluster semantic duplicates (cosine >= TAU), and the
