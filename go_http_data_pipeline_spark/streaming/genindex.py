@@ -25,11 +25,41 @@ than a re-implementation.
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 import re
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+
+# Above this many bytes of un-compacted tombstone parquet, drop the
+# broadcast hint in apply_tombstones and let AQE pick the join
+# strategy (see that docstring): 64 MiB of compressed key columns is
+# already far past "delete-request-sized" but still well inside any
+# executor's memory, so the hint is kept exactly where it is known
+# safe and the oversized-delete deployment degrades to a shuffle
+# join instead of OOMing the driver.
+_TOMBSTONE_BROADCAST_MAX_BYTES = 64 * 1024 * 1024
+
+# Sidecar carrying the schema of a generation whose fold was ALL-DEAD
+# (every visible row killed by tombstones): Spark's bucketed
+# saveAsTable writes no part files for an empty DataFrame — only
+# ``_SUCCESS`` — so there is no parquet footer to infer a schema from
+# and a raw-path read of the dir would throw UNABLE_TO_INFER_SCHEMA.
+# (Plain ``df.write.parquet`` always emits one schema-bearing file,
+# even for an empty frame, so b/d/state dirs never need this.) The
+# underscore prefix keeps Spark's file listing from reading it as
+# data.
+_SCHEMA_SIDECAR = "_schema.json"
+
+
+def _data_files(path: str) -> bool:
+    """Whether a generation dir holds any data files (underscore- and
+    dot-prefixed entries are Spark metadata, not data)."""
+    return any(
+        e.is_file() and not e.name.startswith(("_", "."))
+        for e in os.scandir(path)
+    )
 
 
 class GenIndex:
@@ -129,23 +159,55 @@ class GenIndex:
         delta dirs as one plain parquet read. Falls back to a plain
         read of the c-dir when the catalog entry is gone (a fresh
         session inheriting an index directory) — same rows, the join
-        just shuffles both sides."""
+        just shuffles both sides. A generation whose fold was
+        all-dead holds no data files (see ``_SCHEMA_SIDECAR``): its
+        side is an empty frame built from the sidecar schema, and if
+        even the sidecar is missing (a pre-sidecar index, or a crash
+        between ``_SUCCESS`` and the sidecar write) the dir is simply
+        skipped — it contributes zero rows either way."""
         sides: list[DataFrame] = []
         deltas: list[str] = []
         for p in self.visible_dirs():
             name = os.path.basename(p)
             if name.startswith("c"):
                 tbl = self.gen_table(int(name[1:]))
-                sides.append(
-                    spark.table(tbl)
-                    if spark.catalog.tableExists(tbl)
-                    else spark.read.parquet(p)
-                )
+                if spark.catalog.tableExists(tbl):
+                    sides.append(spark.table(tbl))
+                elif _data_files(p):
+                    sides.append(spark.read.parquet(p))
+                else:
+                    schema = self._sidecar_schema(p)
+                    if schema is not None:
+                        sides.append(spark.createDataFrame([], schema))
             else:
                 deltas.append(p)
         if deltas:
             sides.append(spark.read.parquet(*deltas))
         return sides
+
+    def _sidecar_schema(self, path: str):
+        """The schema persisted beside an all-dead generation's (zero)
+        data files, or None when no sidecar exists."""
+        sc = os.path.join(path, _SCHEMA_SIDECAR)
+        if not os.path.isfile(sc):
+            return None
+        from pyspark.sql.types import StructType
+
+        with open(sc, encoding="utf-8") as f:
+            return StructType.fromJson(json.load(f))
+
+    def _gen_schema(self, spark: SparkSession, path: str):
+        """Recover the schema of a generation dir that holds no data
+        files: the sidecar first, then the catalog table (which stores
+        the schema independently of the files, so in-session reads of
+        an all-dead generation survive even without the sidecar)."""
+        schema = self._sidecar_schema(path)
+        if schema is not None:
+            return schema
+        tbl = self.gen_table(int(os.path.basename(path)[1:]))
+        if spark.catalog.tableExists(tbl):
+            return spark.table(tbl).schema
+        return None
 
     def live_sides(self, spark: SparkSession) -> list[DataFrame]:
         """``probe_sides`` with live tombstones applied (retractions
@@ -196,14 +258,17 @@ class GenIndex:
         apply during compaction crash-safe: a crash between the fold
         and the d-dir GC just re-applies at the next fold.
 
-        Size assumption behind the unconditional ``F.broadcast``: the
+        Size assumption behind the ``F.broadcast`` hint: the
         accumulated tombstone set is delete-request-sized (key columns
         only, deduplicated, and physically folded away at every
         compaction — at most ``compact_every`` batches of deletes are
         ever live), so it fits the driver/executor broadcast budget by
-        construction. A deployment whose un-compacted delete volume
-        could approach the corpus itself should drop the hint above a
-        row-count threshold and let AQE pick the join strategy."""
+        construction. That assumption is ENFORCED, not just assumed:
+        the hint is applied only while the live ``d{N}`` dirs total at
+        most ``_TOMBSTONE_BROADCAST_MAX_BYTES`` of parquet (a cheap
+        local file-size check, no Spark job); an oversized delete
+        volume degrades to a plain join and AQE picks the strategy
+        instead of the driver OOMing on the broadcast."""
         dirs = self._tombstone_dirs()
         if not dirs:
             return df
@@ -215,8 +280,16 @@ class GenIndex:
             .groupBy(*key)
             .agg(F.max("t_batch").alias("_t_batch"))
         )
+        tomb_bytes = sum(
+            e.stat().st_size
+            for d in dirs
+            for e in os.scandir(d)
+            if e.is_file() and not e.name.startswith(("_", "."))
+        )
+        if tomb_bytes <= _TOMBSTONE_BROADCAST_MAX_BYTES:
+            tomb = F.broadcast(tomb)
         return (
-            df.join(F.broadcast(tomb), key, "left")
+            df.join(tomb, key, "left")
             .filter(
                 F.col("_t_batch").isNull()
                 | (F.col("src_batch") >= F.col("_t_batch"))
@@ -259,12 +332,46 @@ class GenIndex:
 
         The repartition puts each bucket's rows in one task so each
         bucket is ONE file (sorted-by-key: SMJ can also skip the
-        index-side sort)."""
+        index-side sort).
+
+        An ALL-DEAD fold (every visible row killed by tombstones —
+        e.g. a full-source takedown) produces an EMPTY generation,
+        which the bucketed write materializes with zero part files;
+        the fold then persists the schema as a ``_schema.json``
+        sidecar so later compactions and fresh sessions can still
+        read the (empty) view instead of failing schema inference.
+        Symmetrically, the fold READ here tolerates such a
+        generation: dirs without data files contribute no rows (only
+        c-dirs can be file-less — plain per-batch writes always emit
+        a schema-bearing file), and when the WHOLE view is file-less
+        the fold input is rebuilt empty from the recovered schema.
+        When even that fails (a pre-sidecar index whose catalog entry
+        is gone), the fold is skipped: the view is empty either way,
+        and leaving the old generation in place just defers the GC to
+        a later fold. The common all-dirs-have-data path reads
+        exactly as before — ``spark.read.parquet(*vis)`` — so
+        non-empty-fold plans are byte-identical."""
         vis = self.visible_dirs()
         if not vis:
             return
         out = os.path.join(self.index_dir, f"c{batch_id}")
-        rows = spark.read.parquet(*vis)
+        with_data = [p for p in vis if _data_files(p)]
+        if len(with_data) == len(vis):
+            rows = spark.read.parquet(*vis)
+        elif with_data:
+            rows = spark.read.parquet(*with_data)
+        else:
+            schema = next(
+                (
+                    s
+                    for s in (self._gen_schema(spark, p) for p in vis)
+                    if s is not None
+                ),
+                None,
+            )
+            if schema is None:
+                return
+            rows = spark.createDataFrame([], schema)
         if self.tombstone_cols:
             # Physical apply: dead rows never enter the new
             # generation, and the tombstones that killed them can be
@@ -281,6 +388,17 @@ class GenIndex:
             .option("path", out)
             .saveAsTable(self.gen_table(batch_id))
         )
+        if not _data_files(out):
+            # All-dead fold: persist the schema beside the (zero)
+            # data files so raw-path reads of this generation keep
+            # working. Lands just after ``_SUCCESS``; a crash in
+            # between leaves a schema-less empty generation, which
+            # readers degrade on gracefully (catalog in-session,
+            # skip-as-empty in a fresh one) — row-correct either way.
+            with open(
+                os.path.join(out, _SCHEMA_SIDECAR), "w", encoding="utf-8"
+            ) as f:
+                f.write(rows.schema.json())
         # GC: everything at or below the new high-water mark is
         # superseded (read view already ignores it; applied tombstones
         # are folded in); best-effort, self-healing — a failed delete

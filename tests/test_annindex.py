@@ -337,3 +337,38 @@ def test_readd_after_delete_wins_lww(spark, tmp_path):
         spark, cents, BATCH0 + BATCH1
     )
     assert (1, 0, 4) in _state(spark, state_dir)
+
+
+def test_ivf_full_takedown_then_recompaction_and_fresh_session(
+    spark, tmp_path
+):
+    """Full-source takedown (VERDICT r11 #1): retract EVERY indexed
+    vector, compact (all-dead fold -> zero-part-file generation),
+    compact AGAIN, and read in a catalog-cleared session —
+    empty-but-healthy at every step (state empty, probe sides empty),
+    and a later re-add rebuilds live top-1 rows. Pre-fix the second
+    compact and the fresh-session read threw UNABLE_TO_INFER_SCHEMA."""
+    index_dir, state_dir, cents = _run(spark, tmp_path, [BATCH0, BATCH1])
+    all_ids = [r[0] for r in BATCH0 + BATCH1]
+    annindex.ivf_delete_step(
+        spark, _ids_df(spark, all_ids), 2, index_dir, state_dir
+    )
+    assert _state(spark, state_dir) == []
+    idx = annindex._ivf_index(index_dir)
+    idx.compact(spark, 2)  # all-dead fold
+    idx.compact(spark, 3)  # re-fold of the empty view
+    assert _live_rows(spark, index_dir) == []
+    idx.drop_generations(spark)  # catalog-cleared session
+    assert _live_rows(spark, index_dir) == []
+    # The index keeps WORKING after the takedown.
+    annindex.ivf_index_step(
+        spark,
+        annindex.ivf_batch_feats(_batch(spark, BATCH0), cents),
+        4,
+        index_dir,
+        state_dir,
+    )
+    assert _state(spark, state_dir) == _expected_batch_answer(
+        spark, cents, BATCH0
+    )
+    idx.drop_generations(spark)

@@ -355,3 +355,39 @@ def test_gate_query_equals_batch_ivf_pq(spark, sf_dir):
     )
     want = sorted(map(tuple, pqm.ivf_pq_ann_top1(spark, sf_dir).collect()))
     assert got == want and got
+
+
+def test_ivfpq_full_takedown_then_recompaction_and_fresh_session(
+    spark, sf_dir, tmp_path
+):
+    """Full-source takedown (VERDICT r11 #1): retract EVERY indexed
+    vector, compact (all-dead fold -> zero-part-file generation),
+    compact AGAIN, and read in a catalog-cleared session — the live
+    rows and the ADC probe are empty-but-healthy at every step, and a
+    later re-add serves again. Pre-fix the second compact and the
+    fresh-session read threw UNABLE_TO_INFER_SCHEMA."""
+    batches = _fixture_batches(spark, sf_dir, n=2)
+    index_dir, cents, cb, code_ids = _run_steps(
+        spark, sf_dir, tmp_path, batches
+    )
+    pqindex.pq_delete_step(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id"),
+        2,
+        index_dir,
+    )
+    idx = pqindex._pq_index(index_dir)
+    idx.compact(spark, 2)  # all-dead fold
+    idx.compact(spark, 3)  # re-fold of the empty view
+    assert _live_rows(spark, index_dir) == []
+    assert _probe_rows(spark, sf_dir, index_dir) == []
+    idx.drop_generations(spark)  # catalog-cleared session
+    assert _live_rows(spark, index_dir) == []
+    assert _probe_rows(spark, sf_dir, index_dir) == []
+    # The index keeps WORKING after the takedown.
+    pqindex.pq_index_step(
+        spark, batches[0], cents, cb, code_ids, 4, index_dir
+    )
+    assert _live_rows(spark, index_dir) and _probe_rows(
+        spark, sf_dir, index_dir
+    )
+    idx.drop_generations(spark)

@@ -3,14 +3,19 @@ paired, import works without a SparkSession."""
 
 from __future__ import annotations
 
+import os
 import subprocess
 import sys
+
+# The checkout root, derived from this file's location (ADVICE r11:
+# the fresh-interpreter subprocesses must not hardcode /root/repo).
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def test_registry_loads_without_session():
     # Run in a fresh interpreter so no fixture-created session leaks in.
     code = (
-        "import sys; sys.path.insert(0, '/root/repo');"
+        f"import sys; sys.path.insert(0, {_REPO_ROOT!r});"
         "from go_http_data_pipeline_spark import registry;"
         "qs = registry.all_queries(); assert len(qs) >= 50, len(qs)"
     )
@@ -303,7 +308,7 @@ def _canonical_query_order() -> list:
         import json
 
         code = (
-            "import sys, json; sys.path.insert(0, '/root/repo');"
+            f"import sys, json; sys.path.insert(0, {_REPO_ROOT!r});"
             "from go_http_data_pipeline_spark import registry;"
             "registry.all_queries();"
             "print(json.dumps(list(registry._QUERIES)))"
@@ -467,12 +472,21 @@ def test_round13_window_precommitment(monkeypatch):
     r9-stale tranche. The round-13 session's PLANNED registry edits —
     register ``streaming_ivfpq_index_with_deletes``
     (streaming/pqindex.py, oracle literal staged), fold
-    ``semdedup_multiassign_recall`` into ``semdedup_recall_eval``, and
+    ``semdedup_multiassign_recall`` into ``semdedup_recall_eval``,
     ``_REFRESH`` ``ann_family_recall_eval`` for the explicit-miss-rows
-    change — each rank at the front and displace the newest r9-stale
-    rows; the conditional assertions below stay green across both eras
-    (pre- and post-edit) and fail loudly on any OTHER composition
-    drift."""
+    change, and ``_REFRESH`` the four driver-green GenIndex queries
+    (``streaming_lsh_index_candidates``,
+    ``streaming_lsh_index_with_deletes``, ``streaming_ivf_index_top1``,
+    ``streaming_ivfpq_index_top1``) whose shared core took the
+    round-12 all-dead-fold fix (plans proven byte-identical, but the
+    rotation rule re-enters green queries whose code changed; the
+    fifth GenIndex query, ``streaming_ivf_index_with_deletes``, gets
+    its FIRST driver row in the r12 window on the fixed code already)
+    — each rank at the front and displace the newest r9-stale rows
+    (6 + 1 + 1 + 4 = 12 front rows, 38 r9-stale slots; the rest of the
+    r9 tranche slips to r14); the conditional assertions below stay
+    green across both eras (pre- and post-edit) and fail loudly on any
+    OTHER composition drift."""
     from go_http_data_pipeline_spark import registry
 
     chain = _window_chain(registry._correctness_dir(), monkeypatch, 13)

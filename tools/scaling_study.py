@@ -1263,7 +1263,11 @@ def _sem_retraction_race(spark):
         pairs_dropped = pairs_before - si._newest_pairs(
             spark, state_dir
         ).count()
-        assert pairs_dropped >= 0
+        # The delete modulus is chosen so the takedown removes REAL
+        # pairs (ADVICE r11: >= 0 was vacuous — the post-delete state
+        # is an anti-join subset, so the difference can't be negative;
+        # a takedown that removed nothing would gate nothing).
+        assert pairs_dropped > 0, "takedown removed no pairs"
         legs.append(
             (copies, n_vecs, pairs_before, pairs_dropped, t_build,
              t_free, t_record, t_live, t_fold, t_after)
