@@ -1,10 +1,11 @@
 """Generational bucketed index — shared machinery for incrementally
 maintained probe indexes (the MinHash-LSH band index in
 ``streaming/core.py``, the IVF ANN cell index in
-``streaming/annindex.py``, and the IVFPQ codes index in
-``streaming/pqindex.py``).
+``streaming/annindex.py``, the IVFPQ codes index in
+``streaming/pqindex.py``, and the SemDeDup cell index in
+``streaming/semindex.py``).
 
-The shape both share: micro-batches append ``b{N}`` parquet dirs; the
+The shape all four share: micro-batches append ``b{N}`` parquet dirs; the
 read view is the newest COMPLETE compacted generation ``c{HW}`` plus
 every ``b{N}`` with ``N > HW``; every K appends the view folds into
 one new generation written as an external catalog table BUCKETED by

@@ -1198,7 +1198,13 @@ def _sem_retraction_race(spark):
     to repair its top-1 state (streaming/annindex.py
     ``ivf_delete_step``). Verdict outputs asserted EQUAL between the
     logical and physical states; no retracted vector keeps a verdict
-    row."""
+    row.
+
+    Also returns the §P legs: after the fixed-size leg, the SAME
+    index takes a FULL-corpus takedown (retract every vector, fold
+    all-dead into an empty generation, read it — including from a
+    catalog-cleared session off the ``_schema.json`` sidecar — then
+    re-add a batch), the edge the round-12 GenIndex fix enabled."""
     import shutil
     import tempfile
 
@@ -1212,6 +1218,7 @@ def _sem_retraction_race(spark):
     )
     dead_ids = set(range(100, 100 + RETRACT_DELETES))
     legs = []
+    take_legs = []
     for copies in (1, EMB_COPIES):
         if copies == 1:
             emb = spark.read.parquet(f"{BIG}/embeddings.parquet")
@@ -1272,9 +1279,51 @@ def _sem_retraction_race(spark):
             (copies, n_vecs, pairs_before, pairs_dropped, t_build,
              t_free, t_record, t_live, t_fold, t_after)
         )
+        # §P (round 12): the FULL-corpus takedown on the same built
+        # index — the all-dead-fold edge the round-12 GenIndex fix
+        # enabled (pre-fix this path crashed the next compaction and
+        # any fresh-session read with UNABLE_TO_INFER_SCHEMA). The
+        # delete request names EVERY vector, so the record and fold
+        # legs are corpus-sized BY DEFINITION (the last cost the
+        # index ever pays); the claim worth measuring is the state it
+        # leaves behind: the post-takedown read and the
+        # catalog-cleared (fresh-session) read of the empty
+        # generation, which must be near-zero and corpus-flat, and a
+        # re-add arrival must bring the index back to life.
+        nb = len(batches)
+        all_ids = batches[0].select("vec_id")
+        for bdf in batches[1:]:
+            all_ids = all_ids.union(bdf.select("vec_id"))
+        t0 = time.perf_counter()
+        si.sem_delete_step(
+            spark, all_ids.distinct(), nb + 1, index_dir, state_dir
+        )
+        t_record_all = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        si._sem_index(index_dir).compact(spark, nb + 1)  # all-dead fold
+        t_fold_all = round(time.perf_counter() - t0, 3)
+        t_read_empty = _timed(verdicts)
+        assert verdicts().count() == 0, "full takedown left verdict rows"
+        si._sem_index(index_dir).drop_generations(spark)
+        t_fresh = _timed(verdicts)  # catalog-cleared: sidecar-schema read
+        assert verdicts().count() == 0
+        t0 = time.perf_counter()
+        si.sem_index_step(
+            spark,
+            si.sem_batch_feats(spark, batches[0], BIG),
+            nb + 2,
+            index_dir,
+            state_dir,
+        )
+        t_readd = round(time.perf_counter() - t0, 3)
+        assert verdicts().count() > 0, "index dead after full takedown"
+        take_legs.append(
+            (copies, n_vecs, t_record_all, t_fold_all, t_read_empty,
+             t_fresh, t_readd)
+        )
         si._sem_index(index_dir).drop_generations(spark)
         shutil.rmtree(work, ignore_errors=True)
-    return legs
+    return legs, take_legs
 
 
 def _ivf_incremental_race(spark):
@@ -1896,13 +1945,24 @@ def main() -> int:
 
     # O. retraction cost on the semantic-dedup index: tombstone +
     # O(pairs) state filter, no re-probe — x1 vs amplified.
-    o_legs = _sem_retraction_race(spark)
+    # P. full-corpus takedown on the same index: the all-dead-fold
+    # edge (round-12 GenIndex fix) — empty-but-healthy, measured.
+    o_legs, p_legs = _sem_retraction_race(spark)
     print(
         "# semdedup retraction race: "
         + " | ".join(
             f"x{c}: {n} vectors, {pb} pairs ({pd} dropped), build {tb}s, "
             f"free {tf}s, record {tr}s, live {tl}s, fold {tc}s, after {ta}s"
             for c, n, pb, pd, tb, tf, tr, tl, tc, ta in o_legs
+        ),
+        flush=True,
+    )
+    print(
+        "# full takedown race: "
+        + " | ".join(
+            f"x{c}: {n} vectors, record-all {tr}s, all-dead fold {tc}s, "
+            f"read {te}s, fresh read {tf}s, re-add {ta}s"
+            for c, n, tr, tc, te, tf, ta in p_legs
         ),
         flush=True,
     )
@@ -2411,6 +2471,34 @@ def main() -> int:
         "At 100 TB the takedown on this family is the cheapest of the",
         "four indexes: one small write plus one pair-state filter,",
         "no repair probe.",
+        "",
+        "## P. Full-corpus takedown (the all-dead-fold edge, round 12)",
+        "",
+        "The §O index takes a takedown that retracts EVERY vector —",
+        "the right-to-be-forgotten edge where the compaction fold is",
+        "all-dead and the generation materializes with ZERO part",
+        "files (bucketed saveAsTable writes none for an empty frame).",
+        "Before the round-12 GenIndex fix this path crashed the next",
+        "compact() and any fresh-session read with",
+        "UNABLE_TO_INFER_SCHEMA; now the fold persists a _schema.json",
+        "sidecar and readers recover the schema from it. The record",
+        "and fold legs are corpus-sized BY DEFINITION (the request",
+        "names everyone — the last cost the index ever pays); the",
+        "structural claims are the OTHER columns: the post-takedown",
+        "read and the catalog-cleared fresh-session read are",
+        "near-zero and corpus-flat (the view is one empty generation,",
+        "whatever the corpus was), and a re-add arrival brings the",
+        "index back to life at O(batch). Asserted: zero verdict rows",
+        "after the takedown in both sessions; verdicts reappear after",
+        "the re-add.",
+        "",
+        "| corpus | vectors | record-all (s) | all-dead fold (s) |"
+        " read, after (s) | read, fresh session (s) | re-add (s) |",
+        "|---|---|---|---|---|---|---|",
+    ] + [
+        f"| x{c} | {n} | {tr} | {tc} | {te} | {tf} | {ta} |"
+        for c, n, tr, tc, te, tf, ta in p_legs
+    ] + [
         "",
         "Generated by tools/scaling_study.py.",
         "",
