@@ -35,12 +35,15 @@ from pyspark.sql import DataFrame, SparkSession
 
 # Above this many bytes of un-compacted tombstone parquet, drop the
 # broadcast hint in apply_tombstones and let AQE pick the join
-# strategy (see that docstring): 64 MiB of compressed key columns is
-# already far past "delete-request-sized" but still well inside any
-# executor's memory, so the hint is kept exactly where it is known
-# safe and the oversized-delete deployment degrades to a shuffle
-# join instead of OOMing the driver.
-_TOMBSTONE_BROADCAST_MAX_BYTES = 64 * 1024 * 1024
+# strategy (see that docstring). 8 MiB — just under Spark's own
+# 10 MB autoBroadcastJoinThreshold convention for file sources —
+# because this measures COMPRESSED key-only parquet, which can
+# expand 5-20x when materialized on the driver (dictionary/delta
+# encoding on long/string keys); a generous cap here would force
+# the exact driver OOM the guard exists to prevent. Still orders of
+# magnitude past "delete-request-sized" (d-dirs are deduplicated
+# keys, folded away at every compaction).
+_TOMBSTONE_BROADCAST_MAX_BYTES = 8 * 1024 * 1024
 
 # Sidecar carrying the schema of a generation whose fold was ALL-DEAD
 # (every visible row killed by tombstones): Spark's bucketed
@@ -188,14 +191,21 @@ class GenIndex:
 
     def _sidecar_schema(self, path: str):
         """The schema persisted beside an all-dead generation's (zero)
-        data files, or None when no sidecar exists."""
+        data files, or None when no sidecar exists. A sidecar that
+        does not parse is treated as absent — the write below is
+        atomic (temp + rename), so this can only be pre-rename debris
+        from a crashed fold, and absent degrades row-correctly (the
+        generation holds zero rows either way)."""
         sc = os.path.join(path, _SCHEMA_SIDECAR)
         if not os.path.isfile(sc):
             return None
         from pyspark.sql.types import StructType
 
-        with open(sc, encoding="utf-8") as f:
-            return StructType.fromJson(json.load(f))
+        try:
+            with open(sc, encoding="utf-8") as f:
+                return StructType.fromJson(json.load(f))
+        except (OSError, ValueError, KeyError):
+            return None
 
     def _gen_schema(self, spark: SparkSession, path: str):
         """Recover the schema of a generation dir that holds no data
@@ -357,9 +367,11 @@ class GenIndex:
             return
         out = os.path.join(self.index_dir, f"c{batch_id}")
         with_data = [p for p in vis if _data_files(p)]
-        if len(with_data) == len(vis):
-            rows = spark.read.parquet(*vis)
-        elif with_data:
+        if with_data:
+            # Order-preserving subset of vis: in the common case every
+            # dir has data files and this is exactly the pre-round-12
+            # spark.read.parquet(*vis) call (plans byte-identical);
+            # a file-less generation contributes zero rows either way.
             rows = spark.read.parquet(*with_data)
         else:
             schema = next(
@@ -392,14 +404,18 @@ class GenIndex:
         if not _data_files(out):
             # All-dead fold: persist the schema beside the (zero)
             # data files so raw-path reads of this generation keep
-            # working. Lands just after ``_SUCCESS``; a crash in
-            # between leaves a schema-less empty generation, which
-            # readers degrade on gracefully (catalog in-session,
-            # skip-as-empty in a fresh one) — row-correct either way.
-            with open(
-                os.path.join(out, _SCHEMA_SIDECAR), "w", encoding="utf-8"
-            ) as f:
+            # working. Written atomically (temp + rename: a crash
+            # mid-write must not leave a half-file that poisons every
+            # later read — _sidecar_schema also treats an unparseable
+            # file as absent, belt and braces) and it lands just
+            # after ``_SUCCESS``; a crash between the two leaves a
+            # schema-less empty generation, which readers degrade on
+            # gracefully (catalog in-session, skip-as-empty in a
+            # fresh one) — row-correct either way.
+            tmp = os.path.join(out, f".{_SCHEMA_SIDECAR}.tmp")
+            with open(tmp, "w", encoding="utf-8") as f:
                 f.write(rows.schema.json())
+            os.replace(tmp, os.path.join(out, _SCHEMA_SIDECAR))
         # GC: everything at or below the new high-water mark is
         # superseded (read view already ignores it; applied tombstones
         # are folded in); best-effort, self-healing — a failed delete

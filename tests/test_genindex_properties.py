@@ -233,6 +233,26 @@ def test_all_dead_fold_fresh_session_probe_is_empty(spark, tmp_path):
     assert _live_rows(spark, idx) == []
 
 
+def test_corrupt_sidecar_degrades_to_skip(spark, tmp_path):
+    """A sidecar that does not parse (pre-rename debris from a
+    crashed fold — the write itself is temp+rename atomic) is treated
+    as ABSENT: the catalog-cleared read skips the empty generation
+    instead of crashing, row-correct because it holds zero rows."""
+    import os
+
+    idx = _mk_idx(tmp_path, "genfixs")
+    idx.append(_rows(spark, [1], 0), 0)
+    idx.append_tombstones(_keys(spark, [1]), 1)
+    idx.compact(spark, 2)
+    with open(
+        os.path.join(str(tmp_path), "c2", "_schema.json"), "w"
+    ) as f:
+        f.write("{truncated")
+    idx.drop_generations(spark)  # catalog gone: sidecar is the only hope
+    assert idx.probe_sides(spark) == []
+    assert _live_rows(spark, idx) == []
+
+
 def test_all_dead_fold_hypothesis_example_shape(spark, tmp_path):
     """The shape of the cached hypothesis counterexample that exposed
     the bug (append, append, delete, append — all replays of batch 0
