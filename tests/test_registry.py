@@ -471,9 +471,15 @@ def test_round13_window_precommitment(monkeypatch):
     stratified_sample_per_lang, the 4 media queries) + the start of the
     r9-stale tranche. The round-13 session's PLANNED registry edits —
     register ``streaming_ivfpq_index_with_deletes``
-    (streaming/pqindex.py, oracle literal staged), fold
-    ``semdedup_multiassign_recall`` into ``semdedup_recall_eval``,
-    ``_REFRESH`` ``ann_family_recall_eval`` for the explicit-miss-rows
+    (streaming/pqindex.py, oracle literal staged), the semdedup
+    recall fold (direction fixed in round 12: RETIRE
+    ``semdedup_recall_eval``, whose row is a strict subset of
+    ``semdedup_multiassign_recall``'s — n_true_pairs/n_bucketed_pairs/
+    recall appear there as n_true_pairs/n_single_pairs/recall_single
+    and n_missed is their difference, verified value-for-value at
+    sf0.001 — so the fold is a pure registry deletion, zero body or
+    oracle changes, no extra ``_REFRESH``), ``_REFRESH``
+    ``ann_family_recall_eval`` for the explicit-miss-rows
     change, and ``_REFRESH`` the four driver-green GenIndex queries
     (``streaming_lsh_index_candidates``,
     ``streaming_lsh_index_with_deletes``, ``streaming_ivf_index_top1``,
