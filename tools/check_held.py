@@ -1,0 +1,160 @@
+"""Certification harness for the HELD (unregistered) queries — the
+capabilities staged for future registration whose oracles are written
+but which the driver cannot check while the registry is frozen
+(docs/STATUS.md rotation plan). Mirrors tools/check.py's comparison
+(row count + column names + type drift + exact order-insensitive
+values) so the pre-registration evidence is the same strictness the
+driver gate will apply, and adds the robustness axes the registered
+queries get from tools/robustness.py (3-replay byte determinism, and
+partition + AQE invariance across session shapes).
+
+The held roster lives HERE, in one place: registering a query in
+registry.py means deleting its row below (the driver covers it from
+then on).
+
+Usage:
+    python tools/check_held.py [sf_dir ...]      # oracle compare
+    python tools/check_held.py --axes            # robustness axes
+Default sf_dir is /root/testdata/sf0.01; pass several to certify at
+multiple scales (the house evidence bar for registration is
+sf0.001 + sf0.01 + sf0.1 + a fuzz fixture).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def held_queries():
+    """name -> (query_fn, staged_oracle_sql). Import inside so a bare
+    --help never pays the Spark import."""
+    from go_http_data_pipeline_spark.llm import recall as rc
+    from go_http_data_pipeline_spark.streaming import pqindex as pqi
+    from go_http_data_pipeline_spark.streaming import semindex as si
+
+    return {
+        "streaming_semdedup_verdicts": (
+            si.streaming_semdedup_verdicts,
+            si._SEM_STREAM_ORACLE,
+        ),
+        "streaming_semdedup_with_deletes": (
+            si.streaming_semdedup_with_deletes,
+            si._SEM_DELETE_ORACLE,
+        ),
+        "streaming_ivfpq_index_with_deletes": (
+            pqi.streaming_ivfpq_index_with_deletes,
+            pqi._IVFPQ_DELETE_ORACLE,
+        ),
+        # Staged _REFRESH swap for ann_family_recall_eval (r13 plan).
+        "ann_family_recall_eval_with_misses": (
+            rc.ann_family_recall_eval_with_misses,
+            rc._RECALL_MISS_ORACLE,
+        ),
+    }
+
+
+def _compare(spark, con, name, fn, osql, sf_dir) -> bool:
+    from check import canon, type_drift
+
+    t0 = time.time()
+    sdf = fn(spark, sf_dir)
+    scols, srows = sdf.columns, sdf.collect()
+    otbl = con.execute(osql).arrow()
+    ocols = otbl.schema.names
+    orows = (
+        list(zip(*[c.to_pylist() for c in otbl.columns])) if ocols else []
+    )
+    problems = []
+    if len(srows) != len(orows):
+        problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
+    if sorted(scols) != sorted(ocols):
+        problems.append(f"cols {sorted(scols)} vs {sorted(ocols)}")
+    else:
+        drift = type_drift(sdf, otbl.schema)
+        if drift:
+            problems.append("type drift: " + "; ".join(drift))
+    if not problems and canon(srows, scols) != canon(orows, ocols):
+        problems.append("values differ")
+    tag = "PASS" if not problems else "FAIL " + "; ".join(problems)
+    print(
+        f"{os.path.basename(sf_dir)} {name}: {tag} "
+        f"({len(srows)} rows) [{time.time() - t0:.1f}s]",
+        flush=True,
+    )
+    return not problems
+
+
+def run_oracles(sf_dirs: list[str]) -> int:
+    import duckdb
+
+    from check import TABLES
+    from go_http_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("check_held")
+    fails = 0
+    for sf_dir in sf_dirs:
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            )
+        for name, (fn, osql) in held_queries().items():
+            fails += not _compare(spark, con, name, fn, osql, sf_dir)
+        con.close()
+    return 1 if fails else 0
+
+
+def run_axes(sf_dir: str) -> int:
+    """The registered-query robustness axes for the held roster:
+    3-replay byte determinism in one session, then invariance across
+    (local[3], shuffle=5, AQE on) vs (local[8], shuffle=32, AQE off)
+    — partition count and adaptive planning must never reach
+    VALUES."""
+    from robustness import _canon, _session
+
+    rc_code = 0
+    spark = _session("local[8]", "8")
+    qs = held_queries()
+    flaky = []
+    for name, (fn, _) in qs.items():
+        outs = [_canon(fn(spark, sf_dir).collect()) for _ in range(3)]
+        if not (outs[0] == outs[1] == outs[2]):
+            flaky.append(name)
+    print(f"held replay determinism: {len(qs)} queries, flaky={flaky}")
+    rc_code |= bool(flaky)
+    spark.stop()
+
+    results = {}
+    for tag, master, sp, aqe in (
+        ("A", "local[3]", "5", True),
+        ("C", "local[8]", "32", False),
+    ):
+        spark = _session(master, sp, aqe)
+        results[tag] = {
+            name: _canon(fn(spark, sf_dir).collect())
+            for name, (fn, _) in held_queries().items()
+        }
+        spark.stop()
+    bad = [n for n in results["A"] if results["A"][n] != results["C"][n]]
+    print(
+        f"held partition+AQE invariance: {len(results['A'])} queries,"
+        f" mismatches={bad}"
+    )
+    rc_code |= bool(bad)
+    return rc_code
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if a != "--axes"]
+    if "--axes" in sys.argv[1:]:
+        return run_axes(args[0] if args else "/root/testdata/sf0.01")
+    return run_oracles(args or ["/root/testdata/sf0.01"])
+
+
+if __name__ == "__main__":
+    sys.exit(main())
