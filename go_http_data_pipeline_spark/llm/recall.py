@@ -73,37 +73,17 @@ _FAMILIES: tuple = (
     ("ivfpq", ivf_pq_ann_top1, _IVF_PQ_TOP1_ORACLE, "approx_cosine"),
 )
 
-_RECALL_ORACLE = f"""
-    WITH brute AS ({_COSINE_TOPK_ORACLE}),
-    fams AS (
-        {" UNION ALL ".join(
-            f"SELECT '{fam}' AS family, qid, neighbor_id, "
-            f"{score} AS ann_score FROM ({sql})"
-            for fam, _fn, sql, score in _FAMILIES
-        )}
-    )
-    SELECT f.family, f.qid, f.neighbor_id AS ann_neighbor, f.ann_score,
-           b.rank AS brute_rank,
-           CASE WHEN b.rank IS NOT NULL THEN 1 ELSE 0 END AS in_top5
-    FROM fams f
-    LEFT JOIN brute b
-           ON b.qid = f.qid AND b.neighbor_id = f.neighbor_id
-    """
-
-
-# STAGED for the round-13 _REFRESH slot (VERDICT r10 item 4, window-
-# safely: the registered query below is driver-r10 green and rounds
-# 11/12 have no refresh slot): the explicit-miss variant closes the
-# gate's silent-miss hole — a family that finds NO candidate for a
-# query currently contributes no row, so per-family avg(in_top5)
-# excludes its worst case and OVERSTATES recall (59 rows at sf0.01,
-# not 6 families x 10 queries = 60; the gap is single-bucket LSH's
-# singleton-bucket query). This variant emits the full (family, qid)
-# grid with miss rows carried explicitly (ann_neighbor NULL, in_top5
-# 0). Both sides derive the grid from the SAME _FAMILIES table and
-# the brute side's own query set, so they cannot drift. Until the
-# swap, tests/test_llm_ops.py pins the registered gate's exact
-# coverage so a silent coverage DROP still fails loudly.
+# Round-13 _REFRESH swap (VERDICT r10 item 4, executed per the
+# pre-committed r13 window): the registered gate now carries miss
+# rows EXPLICITLY. The pre-swap shape had a silent-miss hole — a
+# family that finds NO candidate for a query contributed no row, so
+# per-family avg(in_top5) excluded its worst case and OVERSTATED
+# recall (59 rows at sf0.01, not 6 families x 10 queries = 60; the
+# gap was single-bucket LSH's singleton-bucket query). The swapped
+# gate emits the full (family, qid) grid with misses carried as
+# ann_neighbor NULL / in_top5 0. Both sides derive the grid from the
+# SAME _FAMILIES table and the brute side's own query set, so they
+# cannot drift.
 _RECALL_MISS_ORACLE = f"""
     WITH brute AS ({_COSINE_TOPK_ORACLE}),
     fams AS (
@@ -130,17 +110,22 @@ _RECALL_MISS_ORACLE = f"""
     """
 
 
-def ann_family_recall_eval_with_misses(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """``ann_family_recall_eval`` with miss rows made explicit: every
-    (family, query) pair gets a row, a family that found no candidate
-    for a query carrying ``ann_neighbor`` NULL / ``in_top5`` 0 — so
-    per-family recall averages over ALL queries, misses included.
+@query("ann_family_recall_eval", oracle=_RECALL_MISS_ORACLE)
+def ann_family_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unified ANN quality harness: for each (family, query), the
+    family's top-1 neighbor and whether it lands inside the exact
+    brute-force top-5 — six probe configurations (LSH, multiprobe
+    LSH, IVF nprobe 1 and 2, PQ-ADC, IVFPQ), one hash-checked row set,
+    with miss rows made explicit: every (family, query) pair gets a
+    row, a family that found no candidate for a query carrying
+    ``ann_neighbor`` NULL / ``in_top5`` 0 — so per-family recall
+    averages over ALL queries, misses included (the round-13 swap of
+    the pre-r13 silent-gap shape; see the oracle comment above).
 
-    Same probe branches, same broadcast exact side; the only new work
-    is a cross join of two control-plane-sized frames (|families| x
-    |queries| = 60 rows) the answers left-join onto."""
+    Each branch reuses its probe function unchanged, so the certified
+    values ARE the standalone probes' answers; the only work beyond
+    the probes is a cross join of two control-plane-sized frames
+    (|families| x |queries| = 60 rows) the answers left-join onto."""
     brute = cosine_topk(spark, sf_dir).select(
         "qid", F.col("neighbor_id").alias("ann_neighbor"), "rank"
     )
@@ -170,38 +155,4 @@ def ann_family_recall_eval_with_misses(
             F.col("rank").alias("brute_rank"),
             F.when(F.col("rank").isNotNull(), 1).otherwise(0).alias("in_top5"),
         )
-    )
-
-
-@query("ann_family_recall_eval", oracle=_RECALL_ORACLE)
-def ann_family_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unified ANN quality harness: for each (family, query), the
-    family's top-1 neighbor and whether it lands inside the exact
-    brute-force top-5 — six probe configurations (LSH, multiprobe
-    LSH, IVF nprobe 1 and 2, PQ-ADC, IVFPQ), one hash-checked row set.
-
-    The left join onto the broadcast exact top-5 is the retired
-    per-family evals' shape verbatim; only the approximate side grew
-    a ``family`` tag and five more branches. Each branch reuses its
-    probe function unchanged, so the certified values ARE the
-    standalone probes' answers."""
-    brute = cosine_topk(spark, sf_dir).select(
-        "qid", F.col("neighbor_id").alias("ann_neighbor"), "rank"
-    )
-    fams = None
-    for fam, fn, _sql, score in _FAMILIES:
-        branch = fn(spark, sf_dir).select(
-            F.lit(fam).alias("family"),
-            "qid",
-            F.col("neighbor_id").alias("ann_neighbor"),
-            F.col(score).alias("ann_score"),
-        )
-        fams = branch if fams is None else fams.unionByName(branch)
-    return fams.join(F.broadcast(brute), ["qid", "ann_neighbor"], "left").select(
-        "family",
-        "qid",
-        "ann_neighbor",
-        "ann_score",
-        F.col("rank").alias("brute_rank"),
-        F.when(F.col("rank").isNotNull(), 1).otherwise(0).alias("in_top5"),
     )

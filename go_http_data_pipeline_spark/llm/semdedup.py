@@ -12,10 +12,13 @@ balanced clusters that is O(N^1.5) pair evaluations, each a cheap
 64-element integer fold, and the only corpus-sized shuffle is the
 hash partition by cluster id.
 
-The approximation is quantified, not assumed: ``semdedup_recall_eval``
-joins the cluster-bucketed pairs against the exact all-pairs result
-and reports recall (bucketed pairs are a strict subset, so precision
-is 1.0 by construction).
+The approximation is quantified, not assumed:
+``semdedup_multiassign_recall`` joins the cluster-bucketed pairs
+against the exact all-pairs result and reports recall for BOTH the
+single-assignment and two-nearest-cluster variants (bucketed pairs are
+a strict subset, so precision is 1.0 by construction; the standalone
+single-assignment row ``semdedup_recall_eval`` folded into it in
+round 13).
 
 Exactness: the shared ``floor(x*1e7)`` BIGINT quantization
 (similarity.py convention) makes dot products and squared norms exact
@@ -306,69 +309,14 @@ def semantic_dedup_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "semdedup_recall_eval",
-    oracle=f"""
-    WITH {_PAIRS_SQL},
-    brute AS (
-        -- Pairwise list_dot_product over the quantized arrays, NOT a
-        -- per-dimension join: the long-form join materializes
-        -- n(n-1)/2 x 64 rows (800M at sf0.1 -- it spilled ~90 GB of
-        -- DuckDB temp before failing), while the array form stays at
-        -- n(n-1)/2 rows. Exact: all products and partial sums are
-        -- integers < 2^53, so the double accumulation is lossless.
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               CAST(list_dot_product(a.q, b.q) AS BIGINT) AS dot
-        FROM qvecs a JOIN qvecs b ON a.vec_id < b.vec_id
-    ),
-    true_pairs AS (
-        SELECT b.vec_a, b.vec_b
-        FROM brute b
-        JOIN norms na ON na.vec_id = b.vec_a
-        JOIN norms nb ON nb.vec_id = b.vec_b
-        WHERE CAST(b.dot AS DOUBLE)
-              / (sqrt(CAST(na.nrm2 AS DOUBLE)) * sqrt(CAST(nb.nrm2 AS DOUBLE)))
-              >= {TAU}
-    )
-    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM true_pairs) AS n_true_pairs,
-           (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_bucketed_pairs,
-           (SELECT CAST(COUNT(*) AS BIGINT) FROM true_pairs)
-               - (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_missed,
-           CAST((SELECT COUNT(*) FROM pairs) AS DOUBLE)
-               / NULLIF((SELECT COUNT(*) FROM true_pairs), 0) AS recall
-    """,
-)
-def semdedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quantify the SemDeDup approximation: exact all-pairs
-    near-duplicates (the blocked-cogroup ``embedding_neardup_pairs``
-    path, same TAU) vs the cluster-bucketed pairs. Bucketed pairs are
-    a strict subset of the true pairs (identical arithmetic on a
-    restricted candidate set), so the one number that matters is
-    recall = bucketed / true; the pairs a single-centroid assignment
-    misses are exactly the near-dup pairs straddling a cluster
-    boundary — the knob is K (fewer, larger clusters → higher recall,
-    more pair work).
-
-    Both counts are DataFrame aggregates joined as 1-row scalars —
-    no driver-side collect of either pair set."""
-    true_cnt = _exact_pairs_cached(spark, sf_dir).agg(
-        F.count(F.lit(1)).alias("n_true_pairs")
-    )
-    buck_cnt = _cluster_pairs_cached(spark, sf_dir).agg(
-        F.count(F.lit(1)).alias("n_bucketed_pairs")
-    )
-    return (
-        true_cnt.crossJoin(F.broadcast(buck_cnt))
-        .select(
-            "n_true_pairs",
-            "n_bucketed_pairs",
-            (F.col("n_true_pairs") - F.col("n_bucketed_pairs")).alias("n_missed"),
-            (
-                F.col("n_bucketed_pairs").cast("double")
-                / F.nullif(F.col("n_true_pairs"), F.lit(0))
-            ).alias("recall"),
-        )
-    )
+# Round-13 fold (pre-committed in the r13 window plan): the registered
+# row ``semdedup_recall_eval`` retired here as a PURE registry deletion
+# -- its three numbers are a verified strict subset of
+# ``semdedup_multiassign_recall``'s row (n_true_pairs /
+# n_bucketed_pairs / recall appear there as n_true_pairs /
+# n_single_pairs / recall_single, and n_missed is their difference;
+# value-for-value at sf0.001, docs/STATUS.md round-12 log). The
+# surviving query's body and oracle are untouched.
 
 
 def _multiassign_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -227,8 +227,10 @@ class GenIndex:
         ``_lsh_probe_sides`` / ``_ivf_probe_sides`` wrappers predate
         this method and can fold into it when their modules next
         change."""
+        sized = self._sized_tombstone_dirs()
         return [
-            self.apply_tombstones(spark, s) for s in self.probe_sides(spark)
+            self.apply_tombstones(spark, s, _sized=sized)
+            for s in self.probe_sides(spark)
         ]
 
     # -- tombstones (retractions) -------------------------------------
@@ -257,8 +259,26 @@ class GenIndex:
             if e.is_dir() and re.fullmatch(r"d\d+", e.name)
         ]
 
+    def _sized_tombstone_dirs(self) -> tuple[list[str], int]:
+        """The live ``d{N}`` dirs plus their total parquet bytes (the
+        broadcast-gate input), measured ONCE so a multi-side caller
+        (``live_sides``) doesn't repeat the local scandir walk per
+        probe side — the walk is cheap but strictly redundant: the
+        dirs cannot change between sides of one read view."""
+        dirs = self._tombstone_dirs()
+        tomb_bytes = sum(
+            e.stat().st_size
+            for d in dirs
+            for e in os.scandir(d)
+            if e.is_file() and not e.name.startswith(("_", "."))
+        )
+        return dirs, tomb_bytes
+
     def apply_tombstones(
-        self, spark: SparkSession, df: DataFrame
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        _sized: tuple[list[str], int] | None = None,
     ) -> DataFrame:
         """Filter dead rows out of an index-row DataFrame (must carry
         ``tombstone_cols`` + ``src_batch``). A row is live iff no
@@ -279,8 +299,15 @@ class GenIndex:
         most ``_TOMBSTONE_BROADCAST_MAX_BYTES`` of parquet (a cheap
         local file-size check, no Spark job); an oversized delete
         volume degrades to a plain join and AQE picks the strategy
-        instead of the driver OOMing on the broadcast."""
-        dirs = self._tombstone_dirs()
+        instead of the driver OOMing on the broadcast. ``_sized``
+        lets a multi-side caller (``live_sides``) pass the measured
+        ``_sized_tombstone_dirs()`` result in once instead of
+        re-walking the d-dirs per probe side; the measurement is
+        identical either way, so the gate decision — and therefore
+        the plan — cannot differ between the two paths."""
+        dirs, tomb_bytes = (
+            _sized if _sized is not None else self._sized_tombstone_dirs()
+        )
         if not dirs:
             return df
         from pyspark.sql import functions as F
@@ -290,12 +317,6 @@ class GenIndex:
             spark.read.parquet(*dirs)
             .groupBy(*key)
             .agg(F.max("t_batch").alias("_t_batch"))
-        )
-        tomb_bytes = sum(
-            e.stat().st_size
-            for d in dirs
-            for e in os.scandir(d)
-            if e.is_file() and not e.name.startswith(("_", "."))
         )
         if tomb_bytes <= _TOMBSTONE_BROADCAST_MAX_BYTES:
             tomb = F.broadcast(tomb)

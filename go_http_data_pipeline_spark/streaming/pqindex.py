@@ -264,13 +264,11 @@ def streaming_ivfpq_index_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the moment the tombstone lands (logical apply on the probe sides,
 # physical fold at the next compaction).
 #
-# The gate-twin below is implemented, unit-pinned (tests/test_pqindex)
-# and exact-value-checked against its DuckDB oracle in pytest, but it
-# is deliberately NOT registered: the registry is frozen while the
-# deferral backlog drains (VERDICT r9 "Next round" #1/#3; the
-# round-11/12 windows are pre-committed and test-pinned). Register it
-# with ``@query("streaming_ivfpq_index_with_deletes",
-# oracle=_IVFPQ_DELETE_ORACLE)`` once a window slot frees (round 13).
+# The gate-twin below was held unregistered through rounds 10-12
+# (registry frozen while the deferral backlog drained; certified the
+# whole time by tools/check_held.py at sf0.001+sf0.01+sf0.1) and is
+# REGISTERED as of round 13 — the pre-committed r13 window's one
+# registration slot (VERDICT r12 "Next round" #2).
 
 # Every _IVFPQ_DELETE_MOD-th vector is retracted in the twin's delete
 # batch (the LSH/IVF convention).
@@ -289,6 +287,7 @@ _IVFPQ_DELETE_ORACLE = _ivf_pq_top1_oracle(
 )
 
 
+@query("streaming_ivfpq_index_with_deletes", oracle=_IVFPQ_DELETE_ORACLE)
 def streaming_ivfpq_index_with_deletes(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -303,8 +302,8 @@ def streaming_ivfpq_index_with_deletes(
     repair exists to do: codes are per-vector, so the retraction is
     complete when the tombstone lands. Logical==physical apply,
     replayed-delete idempotence, and LWW re-add are unit-pinned in
-    tests/test_pqindex.py. Held unregistered while the registry
-    drains its deferral backlog (see module comment above)."""
+    tests/test_pqindex.py. Registered in round 13 after three rounds
+    held under tools/check_held.py (see comment above)."""
     work = tempfile.mkdtemp(prefix="ivfpq_del_")
     index_dir = os.path.join(work, "index")
     delete_batch = _run_arrivals(spark, sf_dir, work, index_dir) + 1

@@ -374,19 +374,17 @@ def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
         assert multi[qid] >= cos - 1e-12
 
 
-def test_ann_recall_gate_family_query_coverage(spark, sf_dir):
-    """Silent-miss guard for the unified recall gate (VERDICT r10 item
-    4): a family that finds NO candidate for a query contributes no
-    row to ``ann_family_recall_eval``, so per-family ``avg(in_top5)``
-    would silently exclude that family's worst case and overstate its
-    recall. Until the round-13 ``_REFRESH`` slot changes the query to
-    emit explicit miss rows (``ann_neighbor`` NULL, ``in_top5`` 0),
-    this pins the EXACT (family, qid) coverage on the fixture: every
-    family answers all ten queries except single-bucket LSH, whose two
-    singleton-bucket queries are the known misses here (one at
-    sf0.01, where the driver recorded 59 rows, not 60). A coverage
-    drop — a family going quiet on a query it used to answer — fails
-    this test without touching the driver-green query."""
+def test_recall_gate_carries_explicit_miss_rows(spark, sf_dir):
+    """The round-13 swapped gate (VERDICT r10 item 4, executed per the
+    pre-committed r13 ``_REFRESH`` slot): every (family, qid) pair gets
+    a row — a family that finds NO candidate for a query carries
+    ``ann_neighbor`` NULL / ``in_top5`` 0 instead of a silent gap, so
+    per-family ``avg(in_top5)`` averages over ALL queries, worst cases
+    included. Pins the fixture's exact miss set (single-bucket LSH's
+    two singleton-bucket queries) so BOTH regressions fail loudly: a
+    coverage drop (a family going quiet on a query it used to answer —
+    a NEW miss row appears) and a silent-gap reintroduction (a miss
+    row lost from the grid)."""
     from go_http_data_pipeline_spark.llm.recall import (
         _FAMILIES,
         ann_family_recall_eval,
@@ -396,29 +394,29 @@ def test_ann_recall_gate_family_query_coverage(spark, sf_dir):
     got = {(r.family, r.qid) for r in rows}
     assert len(rows) == len(got), "duplicate (family, qid) rows"
     families = {fam for fam, _fn, _sql, _score in _FAMILIES}
-    full_grid = {(fam, qid) for fam in families for qid in range(10)}
-    known_lsh_misses = {("lsh", 2), ("lsh", 3)}
-    assert got == full_grid - known_lsh_misses
+    assert got == {(fam, qid) for fam in families for qid in range(10)}
+    misses = {(r.family, r.qid) for r in rows if r.ann_neighbor is None}
+    assert misses == {("lsh", 2), ("lsh", 3)}
+    for r in rows:
+        if r.ann_neighbor is None:
+            assert r.in_top5 == 0
+            assert r.brute_rank is None and r.ann_score is None
 
 
-def test_staged_recall_with_misses_matches_oracle(spark, sf_dir):
-    """The round-13 refresh candidate
-    ``ann_family_recall_eval_with_misses`` (explicit miss rows) is
-    exact-value checked against its staged DuckDB oracle while it
-    waits for the refresh slot — the ``_IVFPQ_DELETE_ORACLE`` staging
-    discipline. Its miss rows must be EXACTLY the registered gate's
-    silent gaps, made loud (ann_neighbor NULL, in_top5 0), and the
-    answered rows must be the registered gate's rows unchanged."""
+def test_recall_gate_matches_oracle(spark, sf_dir):
+    """Exact-value check of the swapped gate against its DuckDB twin
+    (``_RECALL_MISS_ORACLE``) — the held-query staging discipline's
+    check, kept after the r13 registration as the in-suite twin of the
+    driver's hash row."""
     import duckdb
 
     from go_http_data_pipeline_spark.llm.recall import (
         _RECALL_MISS_ORACLE,
         ann_family_recall_eval,
-        ann_family_recall_eval_with_misses,
     )
 
     got = sorted(
-        map(tuple, ann_family_recall_eval_with_misses(spark, sf_dir).collect()),
+        map(tuple, ann_family_recall_eval(spark, sf_dir).collect()),
         key=lambda t: (t[0], t[1]),
     )
     con = duckdb.connect()
@@ -435,14 +433,6 @@ def test_staged_recall_with_misses_matches_oracle(spark, sf_dir):
         if g[3] is not None:
             assert abs(g[3] - w[3]) < 1e-9
         assert g[4] == w[4] and g[5] == w[5]
-
-    base = {
-        (r.family, r.qid)
-        for r in ann_family_recall_eval(spark, sf_dir).collect()
-    }
-    misses = {(g[0], g[1]) for g in got if g[2] is None}
-    assert misses == {(g[0], g[1]) for g in got} - base
-    assert all(g[5] == 0 and g[4] is None for g in got if g[2] is None)
 
 
 def test_recursive_cte_depth_covers_fixture_diameter(spark, sf_dir):

@@ -324,7 +324,7 @@ def _canonical_query_order() -> list:
     return _CANON_ORDER
 
 
-def _window_chain(cdir, monkeypatch, through_round, universe=None):
+def _window_chain(cdir, monkeypatch, through_round, universe=None, refresh=None):
     """Derive the round-10..``through_round`` driver windows from the
     frozen <=r9 history plus simulated per-round grants. Whenever the
     REAL file for a round exists in ``cdir`` its keys REPLACE the
@@ -340,7 +340,16 @@ def _window_chain(cdir, monkeypatch, through_round, universe=None):
     queries known in the plan's era — used when RE-deriving an
     already-recorded round for a plan-equality cross-check, so a
     later-era registration cannot retroactively shift the derived
-    window it is compared against."""
+    window it is compared against. ``refresh`` (optional frozenset)
+    likewise pins ``registry._REFRESH`` to the plan era's value during
+    derivation: ``_REFRESH`` is transient (populated for the round
+    being driven, cleared once its file lands), so re-deriving a
+    RECORDED round must use that round's refresh set (empty for every
+    round through 12), not whatever the current session staged —
+    otherwise the round-13 ``_REFRESH`` rows would retroactively
+    rank-0 into the re-derived round-10 plan. Default ``None`` keeps
+    the live registry value (correct when deriving the CURRENT
+    not-yet-recorded round)."""
     import json
 
     from go_http_data_pipeline_spark import registry
@@ -371,9 +380,13 @@ def _window_chain(cdir, monkeypatch, through_round, universe=None):
             monkeypatch.setattr(
                 registry._newest_green_rounds, "_cache", dict(state), raising=False
             )
+            live_refresh = registry._REFRESH
+            if refresh is not None:
+                registry._REFRESH = frozenset(refresh)
             try:
                 w = list(registry._ordered(qdict))[:50]
             finally:
+                registry._REFRESH = live_refresh
                 monkeypatch.delattr(
                     registry._newest_green_rounds, "_cache", raising=False
                 )
@@ -439,7 +452,9 @@ def test_round11_round12_window_precommitment(monkeypatch, tmp_path):
             plan_era |= set(json.loads(p.read_text()))
         if rnd <= 9:
             shutil.copy(p, hist / p.name)
-    derived = _window_chain(hist, monkeypatch, 12, universe=plan_era)
+    # refresh=∅: rounds 10-12 all ran with an empty _REFRESH (the r13
+    # refresh rows must not retroactively rank into re-derived plans).
+    derived = _window_chain(hist, monkeypatch, 12, universe=plan_era, refresh=frozenset())
     for rnd in (10, 11, 12):
         real = real_dir / f"CORRECTNESS_r{rnd}.json"
         if real.exists():
@@ -516,3 +531,46 @@ def test_round13_window_precommitment(monkeypatch):
         "registration / refreshes must drain the r9-stale tranche"
     )
     assert len(w13) == 50
+
+
+def test_round14_window_precommitment(monkeypatch):
+    """Round-14 plan (VERDICT r12 item 5), pre-committed in the SAME
+    commit as the round-13 registry edits, with the same hermetic
+    pattern: once the r13 window lands (6 slipped r8 rows + the
+    ``streaming_ivfpq_index_with_deletes`` registration + the 5
+    ``_REFRESH`` rows + 38 r9-stale), round 14 = the REMAINDER of the
+    r9-stale tranche (drained FULLY — these are the oldest driver rows
+    left) + the planned SemDeDup-family registrations (the r14
+    session's edit: add ``streaming/semindex.py`` to
+    ``registry._MODULES``, registering the held twins
+    ``streaming_semdedup_verdicts`` / ``streaming_semdedup_with_deletes``
+    and deleting their tools/check_held.py roster rows) + whatever
+    ``_REFRESH`` the r14 session stages (the r13 set retires when the
+    r14 session clears ``_REFRESH`` — a registry edit that must keep
+    this test green in the same commit) + r10-stale rows filling the
+    rest. The conditional assertions hold across eras — r13 recorded
+    or derived, twins registered or not yet, ``_REFRESH`` in its r13
+    or r14 state — and fail loudly on any OTHER composition drift
+    (e.g. an unplanned registration rank-0ing into the window, or an
+    r9-stale row slipping past round 14)."""
+    from go_http_data_pipeline_spark import registry
+
+    chain = _window_chain(registry._correctness_dir(), monkeypatch, 14)
+    w14, at14 = chain[14]
+    refresh = set(registry._REFRESH)
+    planned_new = {
+        "streaming_semdedup_verdicts",
+        "streaming_semdedup_with_deletes",
+    } & set(registry._QUERIES)
+    r9_remaining = {
+        q for q in registry._QUERIES if at14.get(q) == 9 and q not in refresh
+    }
+    assert r9_remaining <= set(w14), "the r9-stale tranche must drain fully"
+    assert planned_new <= set(w14)
+    assert refresh <= set(w14)
+    rest = [q for q in w14 if q not in r9_remaining | planned_new | refresh]
+    assert all(at14.get(q) == 10 for q in rest), (
+        "every round-14 slot not taken by the r9 remainder / planned "
+        "registrations / refreshes must drain the r10-stale tranche"
+    )
+    assert len(w14) == 50

@@ -13,11 +13,13 @@ registry.py means deleting its row below (the driver covers it from
 then on).
 
 Usage:
-    python tools/check_held.py [sf_dir ...]      # oracle compare
-    python tools/check_held.py --axes            # robustness axes
+    python tools/check_held.py [sf_dir ...]          # oracle compare
+    python tools/check_held.py --axes [sf_dir ...]   # robustness axes
+    python tools/check_held.py -h | --help           # this text, no Spark
 Default sf_dir is /root/testdata/sf0.01; pass several to certify at
 multiple scales (the house evidence bar for registration is
-sf0.001 + sf0.01 + sf0.1 + a fuzz fixture).
+sf0.001 + sf0.01 + sf0.1 + a fuzz fixture); both modes run every
+directory passed.
 """
 
 from __future__ import annotations
@@ -32,9 +34,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def held_queries():
     """name -> (query_fn, staged_oracle_sql). Import inside so a bare
-    --help never pays the Spark import."""
-    from go_http_data_pipeline_spark.llm import recall as rc
-    from go_http_data_pipeline_spark.streaming import pqindex as pqi
+    --help never pays the Spark import.
+
+    Round-13 roster: the SemDeDup incremental twins only (planned
+    registration ~r14: add streaming/semindex.py to
+    registry._MODULES). ``streaming_ivfpq_index_with_deletes``
+    registered in r13 (row deleted per this tool's contract) and the
+    ``ann_family_recall_eval_with_misses`` staging became the
+    registered gate itself via the r13 _REFRESH swap."""
     from go_http_data_pipeline_spark.streaming import semindex as si
 
     return {
@@ -45,15 +52,6 @@ def held_queries():
         "streaming_semdedup_with_deletes": (
             si.streaming_semdedup_with_deletes,
             si._SEM_DELETE_ORACLE,
-        ),
-        "streaming_ivfpq_index_with_deletes": (
-            pqi.streaming_ivfpq_index_with_deletes,
-            pqi._IVFPQ_DELETE_ORACLE,
-        ),
-        # Staged _REFRESH swap for ann_family_recall_eval (r13 plan).
-        "ann_family_recall_eval_with_misses": (
-            rc.ann_family_recall_eval_with_misses,
-            rc._RECALL_MISS_ORACLE,
         ),
     }
 
@@ -150,9 +148,24 @@ def run_axes(sf_dir: str) -> int:
 
 
 def main() -> int:
+    if any(a in ("-h", "--help") for a in sys.argv[1:]):
+        # Honor the held_queries docstring's promise: a bare --help
+        # never pays the Spark import (or a bogus oracle run against
+        # a path named "--help").
+        print(__doc__)
+        return 0
     args = [a for a in sys.argv[1:] if a != "--axes"]
+    unknown = [a for a in args if a.startswith("-")]
+    if unknown:
+        print(f"unknown option(s): {unknown}; see --help", file=sys.stderr)
+        return 2
     if "--axes" in sys.argv[1:]:
-        return run_axes(args[0] if args else "/root/testdata/sf0.01")
+        # Mirror the oracle mode: every passed sf_dir runs, so a
+        # multi-scale axes invocation is never silently truncated.
+        rc_code = 0
+        for sf_dir in args or ["/root/testdata/sf0.01"]:
+            rc_code |= run_axes(sf_dir)
+        return rc_code
     return run_oracles(args or ["/root/testdata/sf0.01"])
 
 
