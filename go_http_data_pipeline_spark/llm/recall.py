@@ -138,11 +138,17 @@ def ann_family_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col(score).alias("ann_score"),
         )
         fams = branch if fams is None else fams.unionByName(branch)
+    # The qid side is an aggregate (distinct) over the 10-query brute
+    # set — control-plane-sized by construction — so hint it broadcast:
+    # the cross join plans as a BroadcastNestedLoopJoin over bounded
+    # rows (the documented allowlisted shape) instead of a
+    # CartesianProduct, which the registry-wide scale sweep forbids
+    # outright (tests/test_plans.py contract 2).
     grid = (
         spark.createDataFrame(
             [(fam,) for fam, *_ in _FAMILIES], "family string"
         )
-        .crossJoin(brute.select("qid").distinct())
+        .crossJoin(F.broadcast(brute.select("qid").distinct()))
     )
     return (
         grid.join(fams, ["family", "qid"], "left")

@@ -601,7 +601,9 @@ _BNLJ_ALLOWED: frozenset = frozenset(
         # standalone rows it folds (ann_recall_eval,
         # ann_multiprobe_recall_eval, pq_recall_eval, ivf_ann_nprobe2,
         # ann_lsh_multiprobe_top1) were on this list for the same
-        # reason.
+        # reason. The r13 explicit-miss swap adds one more bounded
+        # BNLJ: the (family x qid) grid cross join, |families| rows x
+        # a broadcast distinct over the 10-query brute set.
         "ann_family_recall_eval",
         # cell assignment crossJoins the broadcast 16-row centroid
         # scan (bounded by the literal vec_id < 496 pushed filter) —
