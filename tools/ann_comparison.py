@@ -210,8 +210,8 @@ def main() -> int:
         # skipped trial. The first cut divided by len(pick) (queries
         # answered), which silently overstated single-bucket LSH
         # (VERDICT r10 item 4's silent-miss hole, fixed in the doc
-        # now; the registered gate gains explicit miss rows in the
-        # round-13 refresh — llm/recall.py).
+        # first; the registered gate gained explicit miss rows in the
+        # round-13 refresh — llm/recall.py — so doc and gate now agree).
         in5 = sum(1 for q, n in pick.items() if n in top5.get(q, ())) / n_q
         is1 = sum(1 for q, n in pick.items() if n == top1.get(q)) / n_q
         rows.append(
