@@ -43,9 +43,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..catalog import table
 from ..registry import query
 from .pq import _IVF_PQ_TOP1_ORACLE, _PQ_TOP1_ORACLE, ivf_pq_ann_top1, pq_ann_top1
 from .similarity import (
+    N_QUERIES,
     _ANN_TOP1_ORACLE,
     _COSINE_TOPK_ORACLE,
     _IVF_NPROBE2_ORACLE,
@@ -82,8 +84,13 @@ _FAMILIES: tuple = (
 # gap was single-bucket LSH's singleton-bucket query). The swapped
 # gate emits the full (family, qid) grid with misses carried as
 # ann_neighbor NULL / in_top5 0. Both sides derive the grid from the
-# SAME _FAMILIES table and the brute side's own query set, so they
-# cannot drift.
+# SAME _FAMILIES table and the SAME query-set literal (vec_id <
+# N_QUERIES — the constant that also parameterizes the brute side and
+# every probe), so they cannot drift; deriving qids from the literal
+# instead of `SELECT DISTINCT qid FROM brute` keeps the gate from
+# executing the brute-force top-k subtree a second time just to
+# extract 10 ids (two differently-projected broadcasts of one lineage
+# are separate exchanges Spark cannot reuse).
 _RECALL_MISS_ORACLE = f"""
     WITH brute AS ({_COSINE_TOPK_ORACLE}),
     fams AS (
@@ -97,7 +104,8 @@ _RECALL_MISS_ORACLE = f"""
         SELECT fam.family, q.qid
         FROM (VALUES {", ".join(f"('{fam}')" for fam, *_ in _FAMILIES)})
              AS fam(family)
-        CROSS JOIN (SELECT DISTINCT qid FROM brute) q
+        CROSS JOIN (SELECT vec_id AS qid FROM embeddings
+                    WHERE vec_id < {N_QUERIES}) q
     )
     SELECT g.family, g.qid, f.neighbor_id AS ann_neighbor, f.ann_score,
            b.rank AS brute_rank,
@@ -125,7 +133,9 @@ def ann_family_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each branch reuses its probe function unchanged, so the certified
     values ARE the standalone probes' answers; the only work beyond
     the probes is a cross join of two control-plane-sized frames
-    (|families| x |queries| = 60 rows) the answers left-join onto."""
+    (|families| x |queries| = 60 rows — a 6-row literal by the 10-row
+    pushed-filter query scan, not a re-execution of any probe or of
+    the brute pass) the answers left-join onto."""
     brute = cosine_topk(spark, sf_dir).select(
         "qid", F.col("neighbor_id").alias("ann_neighbor"), "rank"
     )
@@ -138,17 +148,25 @@ def ann_family_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col(score).alias("ann_score"),
         )
         fams = branch if fams is None else fams.unionByName(branch)
-    # The qid side is an aggregate (distinct) over the 10-query brute
-    # set — control-plane-sized by construction — so hint it broadcast:
-    # the cross join plans as a BroadcastNestedLoopJoin over bounded
-    # rows (the documented allowlisted shape) instead of a
-    # CartesianProduct, which the registry-wide scale sweep forbids
-    # outright (tests/test_plans.py contract 2).
+    # The qid side is the 10-row query scan itself (the same
+    # vec_id < N_QUERIES literal the brute side and every probe are
+    # built from — a pushed parquet filter, NOT a second execution of
+    # the brute top-k lineage), hinted broadcast so the cross join
+    # plans as a BroadcastNestedLoopJoin over bounded rows (the
+    # documented allowlisted shape) instead of a CartesianProduct,
+    # which the registry-wide scale sweep forbids outright
+    # (tests/test_plans.py contract 2).
     grid = (
         spark.createDataFrame(
             [(fam,) for fam, *_ in _FAMILIES], "family string"
         )
-        .crossJoin(F.broadcast(brute.select("qid").distinct()))
+        .crossJoin(
+            F.broadcast(
+                table(spark, sf_dir, "embeddings")
+                .filter(F.col("vec_id") < N_QUERIES)
+                .select(F.col("vec_id").alias("qid"))
+            )
+        )
     )
     return (
         grid.join(fams, ["family", "qid"], "left")
