@@ -6,7 +6,12 @@ and writes the result as a new sf-dir. Running ``tools/check.py`` on
 the output proves the Spark/DuckDB equivalences hold on data the
 operators were never tuned against — the fixture-generalization check.
 
-Usage: python tools/make_fuzz_fixture.py [src_sf_dir] [out_dir]
+Usage: python tools/make_fuzz_fixture.py [src_sf_dir] [out_dir] [salt]
+
+``salt`` (default ``fz``) varies the deterministic row selection, so
+different salts produce DIFFERENT perturbed fixtures from the same
+source — each one an independent generalization check (the same salt
+always reproduces the same fixture, so recorded runs stay replayable).
 
 Expected result on the output: every query green EXCEPT
 ``bcrypt_login_roundtrip`` — its oracle is a literal golden-VALUES
@@ -29,10 +34,10 @@ SAMPLED = {"customer": 0.7, "orders": 0.6, "lineitem": 0.6, "events": 0.55,
            "documents": 0.7, "embeddings": 0.7}
 
 
-def keep_expr(key: str, frac: float) -> str:
+def keep_expr(key: str, frac: float, salt: str = "fz") -> str:
     thresh = int(frac * 4294967296)
     return (
-        f"CAST(('0x' || substr(md5('fz' || CAST({key} AS VARCHAR)), 1, 8))"
+        f"CAST(('0x' || substr(md5('{salt}' || CAST({key} AS VARCHAR)), 1, 8))"
         f" AS BIGINT) < {thresh}"
     )
 
@@ -47,6 +52,7 @@ KEYS = {
 def main() -> int:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/fuzz_sf"
+    salt = sys.argv[3] if len(sys.argv) > 3 else "fz"
     import os
 
     os.makedirs(out, exist_ok=True)
@@ -54,7 +60,7 @@ def main() -> int:
     for t in TABLES:
         src_rel = f"'{src}/{t}.parquet'"
         if t in SAMPLED:
-            pred = keep_expr(KEYS[t], SAMPLED[t])
+            pred = keep_expr(KEYS[t], SAMPLED[t], salt)
             sql = f"SELECT * FROM {src_rel} WHERE {pred}"
         else:
             sql = f"SELECT * FROM {src_rel}"
