@@ -42,6 +42,7 @@ _MODULES = (
     "go_http_data_pipeline_spark.streaming.core",
     "go_http_data_pipeline_spark.streaming.annindex",
     "go_http_data_pipeline_spark.streaming.pqindex",
+    "go_http_data_pipeline_spark.streaming.semindex",
     "go_http_data_pipeline_spark.sources.http_json",
     "go_http_data_pipeline_spark.sources.jdbc",
     "go_http_data_pipeline_spark.llm.dedup",
@@ -106,28 +107,15 @@ _ROWS_ONLY = frozenset({"approx_distinct_parts", "approx_revenue_percentiles"})
 
 # Queries whose implementation changed this round and therefore need a
 # fresh driver row on the new code (results expected identical unless
-# noted, but the driver record is the hard signal). Round 13 — the
-# pre-committed window's five rows (VERDICT r12 "Next round" #1,
-# pinned by tests/test_registry.py::test_round13_window_precommitment):
-#   - ann_family_recall_eval: semantics CHANGED on purpose — the
-#     explicit-miss-rows swap (llm/recall.py; 59 -> 60 rows at sf0.01,
-#     misses carried as ann_neighbor NULL / in_top5 0).
-#   - the four driver-green GenIndex-family queries whose shared core
-#     (streaming/genindex.py) took the round-12 all-dead-fold fix:
-#     results and plans proven byte-identical (permanent pin
-#     test_non_empty_fold_plans_are_untouched_by_the_fix), but the
-#     rotation rule re-enters green queries whose code changed. The
-#     fifth GenIndex query, streaming_ivf_index_with_deletes, already
-#     got its first driver row in round 12 ON the fixed code.
-_REFRESH = frozenset(
-    {
-        "ann_family_recall_eval",
-        "streaming_lsh_index_candidates",
-        "streaming_lsh_index_with_deletes",
-        "streaming_ivf_index_top1",
-        "streaming_ivfpq_index_top1",
-    }
-)
+# noted, but the driver record is the hard signal). _REFRESH is
+# TRANSIENT by design: populated for the round being driven, cleared
+# back to frozenset() once that round's CORRECTNESS file lands.
+# Round 14: empty — the round-13 set (ann_family_recall_eval + the 4
+# GenIndex-family greens) retired when CORRECTNESS_r13.json recorded
+# all five green, and no round-14 edit touches a driver-green query's
+# results or plan (the twin registrations in streaming/semindex.py are
+# NEW rows, which rank at the front on their own).
+_REFRESH = frozenset()
 
 # New queries whose first driver check is DEFERRED while rounds up to
 # their per-query horizon are being recorded: ranked after the

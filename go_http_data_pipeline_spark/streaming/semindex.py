@@ -45,12 +45,11 @@ probe join against the compacted generation consumes its bucketing
 O(duplicate pairs), the same bound as the batch answer; at cluster
 scale the state rewrite is a MERGE into a keyed table.
 
-HELD UNREGISTERED (registry frozen at 206 while the deferral backlog
-drains; the round-13 window is pre-committed and full): register
-``streaming_semdedup_verdicts`` + ``streaming_semdedup_with_deletes``
-when rotation slack frees (~round 14), with their oracles already
-staged next to them. Until then the driver-gate-shaped exact-value
-checks live in tests/test_semindex.py.
+REGISTERED round 14 (``streaming_semdedup_verdicts`` +
+``streaming_semdedup_with_deletes``), after three rounds held under
+tools/check_held.py with exact-value evidence at sf0.001/0.01/0.1 plus
+fuzz fixtures and the robustness axes; the driver-gate-shaped
+exact-value checks remain in tests/test_semindex.py.
 
 Reference parity: the reference (Server/main.go) has no vector or
 dedup ops; this extends the beyond-reference curation surface
@@ -69,6 +68,7 @@ from pyspark.sql import functions as F
 
 from ..llm.clustering import _Q
 from ..llm.semdedup import _NORM2, TAU, _seed_best_expr, _verdicts_oracle
+from ..registry import query
 from .annindex import _emb_sharded_dir, _newest_state_id
 from .genindex import GenIndex
 
@@ -375,6 +375,7 @@ def _run_arrivals(
     return index_dir, state_dir, seen
 
 
+@query("streaming_semdedup_verdicts", oracle=_SEM_STREAM_ORACLE)
 def streaming_semdedup_verdicts(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -395,6 +396,7 @@ def streaming_semdedup_verdicts(
     return out
 
 
+@query("streaming_semdedup_with_deletes", oracle=_SEM_DELETE_ORACLE)
 def streaming_semdedup_with_deletes(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

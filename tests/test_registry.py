@@ -521,7 +521,21 @@ def test_round13_window_precommitment(monkeypatch):
         "media_resize_plan",
     }
     planned_new = {"streaming_ivfpq_index_with_deletes"} & set(registry._QUERIES)
-    refresh = set(registry._REFRESH)
+    # The r13 refresh set, pinned as an ERA LITERAL once
+    # CORRECTNESS_r13.json recorded all five rows green: live
+    # ``registry._REFRESH`` is transient by design (the r14 session
+    # cleared it back to frozenset() when the r13 file landed), so the
+    # recorded window's refresh rows must be classified against the
+    # set the r13 round actually ran with, not the current session's.
+    # While the file was still unrecorded this line WAS
+    # ``set(registry._REFRESH)`` — same value in that era.
+    refresh = {
+        "ann_family_recall_eval",
+        "streaming_lsh_index_candidates",
+        "streaming_lsh_index_with_deletes",
+        "streaming_ivf_index_top1",
+        "streaming_ivfpq_index_top1",
+    }
     assert r8_slipped <= set(w13)
     assert planned_new <= set(w13)
     assert refresh <= set(w13)
