@@ -603,7 +603,9 @@ _BNLJ_ALLOWED: frozenset = frozenset(
         # ann_lsh_multiprobe_top1) were on this list for the same
         # reason. The r13 explicit-miss swap adds one more bounded
         # BNLJ: the (family x qid) grid cross join, |families| rows x
-        # a broadcast distinct over the 10-query brute set.
+        # a broadcast of the 10-row ``vec_id < N_QUERIES`` embeddings
+        # scan (a pushed parquet filter — deliberately NOT a re-execution
+        # of the brute top-k lineage; see llm/recall.py).
         "ann_family_recall_eval",
         # cell assignment crossJoins the broadcast 16-row centroid
         # scan (bounded by the literal vec_id < 496 pushed filter) —

@@ -588,3 +588,38 @@ def test_round14_window_precommitment(monkeypatch):
         "registrations / refreshes must drain the r10-stale tranche"
     )
     assert len(w14) == 50
+
+
+def test_round15_window_precommitment(monkeypatch):
+    """Round-15 plan, pre-committed in the SAME commit as the round-14
+    registry edits (the house pattern since r11): once the r14 window
+    lands (the 2 SemDeDup twin registrations + the 8-row r9-stale
+    remainder drained fully + 40 r10-stale), round 15 = the REMAINDER
+    of the r10-stale tranche (drained FULLY — 8 rows by the current
+    derivation, but this test deliberately pins the DRAIN, not the
+    count) + whatever ``_REFRESH`` the r15 session stages (empty as of
+    this writing: the held roster is empty and no registration is
+    planned) + r11-stale rows filling the rest. The conditional
+    assertions hold across eras — r14 recorded or derived, ``_REFRESH``
+    empty or staged — and fail loudly on any OTHER composition drift
+    (an unplanned registration rank-0ing into the window, or an
+    r10-stale row slipping past round 15). A round-15 registry edit
+    (registration, fold, refresh) changes this derivation and must
+    update this plan in the same commit — that is the pre-commitment
+    working as intended."""
+    from go_http_data_pipeline_spark import registry
+
+    chain = _window_chain(registry._correctness_dir(), monkeypatch, 15)
+    w15, at15 = chain[15]
+    refresh = set(registry._REFRESH)
+    r10_remaining = {
+        q for q in registry._QUERIES if at15.get(q) == 10 and q not in refresh
+    }
+    assert r10_remaining <= set(w15), "the r10-stale tranche must drain fully"
+    assert refresh <= set(w15)
+    rest = [q for q in w15 if q not in r10_remaining | refresh]
+    assert all(at15.get(q) == 11 for q in rest), (
+        "every round-15 slot not taken by the r10 remainder / refreshes "
+        "must drain the r11-stale tranche"
+    )
+    assert len(w15) == 50

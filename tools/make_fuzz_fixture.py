@@ -21,6 +21,7 @@ golden oracle), so it cannot follow perturbed data.
 
 from __future__ import annotations
 
+import re
 import sys
 
 import duckdb
@@ -35,6 +36,13 @@ SAMPLED = {"customer": 0.7, "orders": 0.6, "lineitem": 0.6, "events": 0.55,
 
 
 def keep_expr(key: str, frac: float, salt: str = "fz") -> str:
+    # The salt is interpolated into a SQL string literal: restrict it
+    # to identifier-safe characters so a quote can't break (or inject
+    # into) the generated DuckDB SQL.
+    if not re.fullmatch(r"[A-Za-z0-9_]+", salt):
+        raise ValueError(
+            f"salt must match [A-Za-z0-9_]+, got {salt!r}"
+        )
     thresh = int(frac * 4294967296)
     return (
         f"CAST(('0x' || substr(md5('{salt}' || CAST({key} AS VARCHAR)), 1, 8))"
