@@ -188,16 +188,30 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 HOST_CAP = 8  # max documents kept per source/host
 
 
-@query(
-    "host_document_caps",
-    oracle=f"""
+def _host_caps_oracle(delete_mod: int | None = None) -> str:
+    """The host-cap oracle as a factory (the semdedup
+    ``_verdicts_oracle`` discipline): the empty render IS the
+    registered ``host_document_caps`` oracle byte-for-byte (asserted
+    at refactor time against the pre-factory literal's md5, and
+    pinned in tests/test_capindex.py), and ``delete_mod`` restricts
+    the document universe to survivors (``doc_id % mod != 0``) for
+    the incremental cap index's retraction twin
+    (streaming/capindex.py) — both sides of the cap (kept ranks AND
+    audit counts) re-derive over the survivor set, so a takedown of a
+    kept doc PROMOTES the host's next-best evictee."""
+    docs = (
+        "documents"
+        if delete_mod is None
+        else f"(SELECT * FROM documents WHERE doc_id % {delete_mod} != 0)"
+    )
+    return f"""
     WITH kept AS (
         SELECT source, doc_id, n_chars, src_rank FROM (
             SELECT source, doc_id, n_chars,
                    ROW_NUMBER() OVER (
                        PARTITION BY source ORDER BY n_chars DESC, doc_id
                    ) AS src_rank
-            FROM documents
+            FROM {docs}
         ) WHERE src_rank <= {HOST_CAP}
     ),
     audit AS (
@@ -205,15 +219,17 @@ HOST_CAP = 8  # max documents kept per source/host
                COUNT(*) AS host_n_docs,
                LEAST(COUNT(*), {HOST_CAP}) AS host_n_kept,
                GREATEST(COUNT(*) - {HOST_CAP}, 0) AS host_n_dropped
-        FROM documents
+        FROM {docs}
         GROUP BY source
     )
     SELECT k.source, k.doc_id, k.n_chars, k.src_rank,
            a.host_n_docs, a.host_n_kept, a.host_n_dropped
     FROM kept k
     JOIN audit a ON a.source = k.source
-    """,
-)
+    """
+
+
+@query("host_document_caps", oracle=_host_caps_oracle())
 def host_document_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The documents that survive the per-host cap — rank each host's
     docs by quality (n_chars DESC, ties to the smaller doc_id), keep

@@ -36,16 +36,28 @@ def held_queries():
     """name -> (query_fn, staged_oracle_sql). Import inside so a bare
     --help never pays the Spark import.
 
-    Round-14 roster: EMPTY. The SemDeDup incremental twins
-    (``streaming_semdedup_verdicts`` /
-    ``streaming_semdedup_with_deletes``) registered in round 14 (rows
-    deleted per this tool's contract — the driver covers them from
-    then on); ``streaming_ivfpq_index_with_deletes`` registered in
-    r13, and the ``ann_family_recall_eval_with_misses`` staging became
-    the registered gate itself via the r13 _REFRESH swap. Both run
-    modes no-op cleanly on the empty roster (rc=0, explicit message)
-    so the next held capability starts from a known-good tool."""
-    return {}
+    Round-14 roster: the incremental host-cap index twins (staged
+    late in round 14 after the SemDeDup twins registered and emptied
+    the roster — the empty-roster no-op was verified rc=0 in both
+    modes before these rows landed; planned registration ~r16: add
+    streaming/capindex.py to registry._MODULES — the round-15 window
+    is pre-committed and full). Earlier graduations per this tool's
+    contract: the SemDeDup twins registered r14,
+    ``streaming_ivfpq_index_with_deletes`` r13, and the
+    ``ann_family_recall_eval_with_misses`` staging became the
+    registered gate itself via the r13 _REFRESH swap."""
+    from go_http_data_pipeline_spark.streaming import capindex as ci
+
+    return {
+        "streaming_host_cap_index": (
+            ci.streaming_host_cap_index,
+            ci._CAP_STREAM_ORACLE,
+        ),
+        "streaming_host_cap_index_with_deletes": (
+            ci.streaming_host_cap_index_with_deletes,
+            ci._CAP_DELETE_ORACLE,
+        ),
+    }
 
 
 def _compare(spark, con, name, fn, osql, sf_dir) -> bool:
