@@ -1326,6 +1326,126 @@ def _sem_retraction_race(spark):
     return legs, take_legs
 
 
+# §Q fixture: sf0.1 documents amplified x CAP_COPIES with disjoint
+# doc_ids and the SAME hosts (per-host GROUP SIZE is the scale axis
+# the cap read actually feels — 250 -> 4000 docs/host), written as
+# CAP_ARRIVALS doc_id-striped parquet shards = arrival batches.
+CAP_COPIES = 16
+CAP_ARRIVALS = 8
+CAP_DOC_DIR = f"/tmp/cap_inc_docs_{CAP_COPIES}x{CAP_ARRIVALS}"
+
+
+def _build_inc_cap_docs(spark) -> None:
+    from pyspark.sql import functions as F
+
+    if os.path.isdir(os.path.join(CAP_DOC_DIR, f"shard_{CAP_ARRIVALS - 1}")):
+        return
+    import shutil
+
+    shutil.rmtree(CAP_DOC_DIR, ignore_errors=True)
+    docs = spark.read.parquet(f"{BIG}/documents.parquet").select(
+        "doc_id", "source", "n_chars"
+    )
+    copies = spark.range(CAP_COPIES).withColumnRenamed("id", "copy")
+    amp = docs.crossJoin(copies).select(
+        (F.col("doc_id") + F.col("copy") * 1_000_000).alias("doc_id"),
+        "source",
+        # Spread quality per copy so the amplified order is not a
+        # 16-way tie at every n_chars value (ties resolve by doc_id
+        # anyway; the spread keeps the rank window honest).
+        (F.col("n_chars") + F.col("copy")).alias("n_chars"),
+        "copy",
+    )
+    for s in range(CAP_ARRIVALS):
+        amp.filter(F.col("doc_id") % CAP_ARRIVALS == s).drop(
+            "copy"
+        ).coalesce(2).write.mode("overwrite").parquet(
+            os.path.join(CAP_DOC_DIR, f"shard_{s}")
+        )
+
+
+def _cap_retraction_race(spark):
+    """Section Q measurement: retraction cost on the incremental
+    host-cap index (the round-14 held capability,
+    streaming/capindex.py, the FIFTH GenIndex family). For x1 (sf0.1,
+    4 arrivals) and x{CAP_COPIES} (amplified same-host fixture,
+    {CAP_ARRIVALS} arrivals), the (source)-bucketed key index is
+    built through ``cap_index_step``, then the takedown that stresses
+    this family hardest — retract the ENTIRE CURRENT KEPT SET (cap x
+    hosts rows, corpus-INDEPENDENT by construction: the quota is
+    fixed), forcing one promotion per kept slot — and the quota read
+    timed delete-free, with live tombstones, and after the fold. The
+    structural claim next to §N/§O: this family has NO auxiliary
+    state at all, so ``cap_delete_step`` is a tombstone write, full
+    stop — no pair filter (§O), no top-1 repair probe (ivf), and
+    promotion falls out of the read-time re-derivation. Quota
+    outputs asserted EQUAL between the logical and physical states;
+    no retracted doc keeps a slot; every freed slot re-fills."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from go_http_data_pipeline_spark.streaming import capindex as ci
+
+    _build_inc_cap_docs(spark)
+    legs = []
+    for copies in (1, CAP_COPIES):
+        if copies == 1:
+            docs = spark.read.parquet(f"{BIG}/documents.parquet").select(
+                "doc_id", "source", "n_chars"
+            )
+            batches = [
+                docs.filter(F.col("doc_id") % 4 == b) for b in range(4)
+            ]
+        else:
+            batches = [
+                spark.read.parquet(os.path.join(CAP_DOC_DIR, f"shard_{s}"))
+                for s in range(CAP_ARRIVALS)
+            ]
+        work = tempfile.mkdtemp(prefix=f"cap_retract_x{copies}_")
+        index_dir = os.path.join(work, "index")
+        t0 = time.perf_counter()
+        for b, bdf in enumerate(batches):
+            ci.cap_index_step(spark, bdf, b, index_dir)
+        t_build = round(time.perf_counter() - t0, 3)
+
+        def caps():
+            return ci._caps_from_index(spark, index_dir)
+
+        n_docs = sum(b.count() for b in batches)
+        kept_before = {r.doc_id for r in caps().select("doc_id").collect()}
+        t_free = _timed(caps)
+        dead = spark.createDataFrame(
+            [(i,) for i in sorted(kept_before)], "doc_id long"
+        )
+        t0 = time.perf_counter()
+        ci.cap_delete_step(spark, dead, len(batches), index_dir)
+        t_record = round(time.perf_counter() - t0, 3)
+        t_live = _timed(caps)
+        live_rows = sorted(map(tuple, caps().collect()))
+        t0 = time.perf_counter()
+        ci._cap_index(index_dir).compact(spark, len(batches))
+        t_fold = round(time.perf_counter() - t0, 3)
+        t_after = _timed(caps)
+        after_rows = sorted(map(tuple, caps().collect()))
+        assert live_rows == after_rows and live_rows, (
+            "logical and physical retraction diverge"
+        )
+        kept_after = {r[1] for r in live_rows}
+        assert not kept_after & kept_before, "retracted doc kept a slot"
+        assert len(kept_after) == len(kept_before), (
+            "a freed slot failed to re-fill (hosts have evictees)"
+        )
+        legs.append(
+            (copies, n_docs, len(kept_before), t_build, t_free,
+             t_record, t_live, t_fold, t_after)
+        )
+        ci._cap_index(index_dir).drop_generations(spark)
+        shutil.rmtree(work, ignore_errors=True)
+    return legs
+
+
 def _ivf_incremental_race(spark):
     """Section I measurement: per-arrival seconds + probe file count
     for the incremental IVF cell index (compaction ON and OFF) vs the
@@ -1967,6 +2087,20 @@ def main() -> int:
         flush=True,
     )
 
+    # Q. retraction cost on the incremental host-cap index: the
+    # kept-set takedown (quota-sized, corpus-independent) — x1 vs
+    # amplified per-host groups.
+    q_legs = _cap_retraction_race(spark)
+    print(
+        "# cap retraction race: "
+        + " | ".join(
+            f"x{c}: {n} docs, {k} kept retracted, build {tb}s, "
+            f"free {tf}s, record {tr}s, live {tl}s, fold {tc}s, after {ta}s"
+            for c, n, k, tb, tf, tr, tl, tc, ta in q_legs
+        ),
+        flush=True,
+    )
+
     lines = [
         "# SCALING — measured scale-stress evidence (rounds 5-10)",
         "",
@@ -2499,6 +2633,47 @@ def main() -> int:
         f"| x{c} | {n} | {tr} | {tc} | {te} | {tf} | {ta} |"
         for c, n, tr, tc, te, tf, ta in p_legs
     ] + [
+        "",
+        "## Q. Retraction cost on the host-cap index (round 14)",
+        "",
+        "The same takedown question for the round-14 held capability",
+        "(streaming/capindex.py, the fifth GenIndex family —",
+        "retraction-capable host quotas): the (source)-bucketed key",
+        "index built through cap_index_step arrivals at x1 (sf0.1,",
+        f"250 docs/host) and x{CAP_COPIES} (amplified SAME hosts, so",
+        "the per-host group size the rank window feels grows",
+        f"{CAP_COPIES}x), then the takedown that stresses this family",
+        "hardest — retract the ENTIRE CURRENT KEPT SET (cap x hosts",
+        "rows, corpus-INDEPENDENT by construction: the quota is",
+        "fixed), forcing one promotion per kept slot — and the quota",
+        "read timed delete-free, with live tombstones, and after the",
+        "fold. The structural claim next to §N/§O: this family has",
+        "NO auxiliary state at all, so cap_delete_step is a tombstone",
+        "write, full stop — no pair-state filter (§O), no top-1",
+        "repair probe (§N's IVF contrast) — and promotion of each",
+        "host's next-best evictees falls out of the read-time",
+        "re-derivation over live rows. Quota outputs asserted equal",
+        "between the logical and physical states; no retracted doc",
+        "keeps a slot; every freed slot re-fills.",
+        "",
+        "| corpus | docs | kept retracted | build (s) | read,"
+        " no deletes (s) | record (s) | read, live (s) |"
+        " fold (s) | read, after (s) |",
+        "|---|---|---|---|---|---|---|---|---|",
+    ] + [
+        f"| x{c} | {n} | {k} | {tb} | {tf} | {tr} | {tl} |"
+        f" {tc} | {ta} |"
+        for c, n, k, tb, tf, tr, tl, tc, ta in q_legs
+    ] + [
+        "",
+        "The record column is the WHOLE takedown path — one",
+        "tombstone write sized by the (fixed) kept set, with no",
+        "state to filter and nothing to repair: the cheapest",
+        "takedown of the five index families. The reads before and",
+        "after bound what the retraction costs consumers: the live",
+        "read pays one broadcast anti-join against the",
+        "request-sized tombstones; the fold returns the read to its",
+        "delete-free plan.",
         "",
         "Generated by tools/scaling_study.py.",
         "",
