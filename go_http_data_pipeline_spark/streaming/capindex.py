@@ -112,7 +112,20 @@ def cap_index_step(
     bucketed write), compact every ``_CAP_COMPACT_EVERY`` appends.
     Replay-safe by construction: ``append`` overwrites ``b{batch_id}``
     and there is no auxiliary state to fold, so a replayed batch is
-    byte-idempotent."""
+    byte-idempotent.
+
+    PRECONDITION (ADVICE r14): a ``doc_id`` arrives at most ONCE
+    across batches unless an intervening tombstone retracted it — the
+    engine's disjoint-shard ingest satisfies this by construction
+    (``availableNow`` over non-overlapping shards; a replayed batch
+    overwrites its own ``b{N}`` dir, never duplicating). Unlike the
+    probe-join families, this family's read COUNTS live rows
+    (``host_n_docs``), so a re-appended duplicate would double-count
+    and could occupy two kept slots. Dedup is deliberately NOT
+    applied at read time: a ``doc_id``-keyed dedup would add an
+    exchange ahead of the per-host rank window and break the
+    partial+final WindowGroupLimit shape the read plan is pinned to
+    (tests/test_capindex.py::test_read_plan_contracts)."""
     idx = _cap_index(index_dir)
     idx.append(
         batch_docs.select(*_IDX_COLS).withColumn(

@@ -180,12 +180,18 @@ def test_stream_equals_batch_and_oracle(spark, sf_dir):
 
     from go_http_data_pipeline_spark.llm.sampling import host_document_caps
 
-    got = sorted(
-        map(tuple, ci.streaming_host_cap_index(spark, sf_dir).collect())
+    sdf = ci.streaming_host_cap_index(spark, sf_dir)
+    got = sorted(map(tuple, sdf.collect()))
+    # Project the batch side onto the streaming query's column order
+    # BY NAME before the positional compare: the two orders happen to
+    # be identical today (both build kept.join(audit, "source")), but
+    # the equality must not silently hinge on that (ADVICE r14).
+    batch = sorted(
+        map(
+            tuple,
+            host_document_caps(spark, sf_dir).select(*sdf.columns).collect(),
+        )
     )
-    batch = sorted(map(tuple, host_document_caps(spark, sf_dir).collect()))
-    # Column order differs (the batch query leads with source via the
-    # join key too) — compare on the shared column set by name.
     assert got == batch and got
     con = duckdb.connect()
     con.execute(

@@ -571,7 +571,15 @@ def test_round14_window_precommitment(monkeypatch):
 
     chain = _window_chain(registry._correctness_dir(), monkeypatch, 14)
     w14, at14 = chain[14]
-    refresh = set(registry._REFRESH)
+    # The r14 refresh set, pinned as an ERA LITERAL once
+    # CORRECTNESS_r14.json landed (the r13-test pattern, applied per
+    # VERDICT r14 item 6): round 14 ran with an EMPTY ``_REFRESH``
+    # (clearing the r13 set was the round's first edit and nothing
+    # repopulated it), so the recorded window classifies against that
+    # era's value — not whatever a LATER session stages in the live
+    # set. While the file was unrecorded this line WAS
+    # ``set(registry._REFRESH)`` — same (empty) value in that era.
+    refresh = set()
     planned_new = {
         "streaming_semdedup_verdicts",
         "streaming_semdedup_with_deletes",

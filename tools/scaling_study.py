@@ -1415,6 +1415,24 @@ def _cap_retraction_race(spark):
 
         n_docs = sum(b.count() for b in batches)
         kept_before = {r.doc_id for r in caps().select("doc_id").collect()}
+        # FIXTURE PRECONDITION (ADVICE r14): the every-freed-slot-
+        # re-fills assert below (len(kept_after) == len(kept_before))
+        # holds only when EVERY host carries at least 2x HOST_CAP docs
+        # — this leg deletes the whole kept set, so a host needs cap
+        # surviving evictees to re-fill all its slots. Assert the
+        # precondition here, on the audit column the read already
+        # carries, so a small-tail-host fixture fails loudly AT THE
+        # CAUSE instead of confusingly at the refill assert.
+        from go_http_data_pipeline_spark.llm.sampling import HOST_CAP
+
+        host_min = min(
+            r.host_n_docs
+            for r in caps().select("source", "host_n_docs").distinct().collect()
+        )
+        assert host_min >= 2 * HOST_CAP, (
+            f"fixture violates the >=2x-cap-per-host precondition "
+            f"(min host_n_docs={host_min}, cap={HOST_CAP})"
+        )
         t_free = _timed(caps)
         dead = spark.createDataFrame(
             [(i,) for i in sorted(kept_before)], "doc_id long"
@@ -1435,7 +1453,8 @@ def _cap_retraction_race(spark):
         kept_after = {r[1] for r in live_rows}
         assert not kept_after & kept_before, "retracted doc kept a slot"
         assert len(kept_after) == len(kept_before), (
-            "a freed slot failed to re-fill (hosts have evictees)"
+            "a freed slot failed to re-fill (every host has >= cap "
+            "surviving evictees — precondition asserted above)"
         )
         legs.append(
             (copies, n_docs, len(kept_before), t_build, t_free,
