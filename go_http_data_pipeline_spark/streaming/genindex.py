@@ -29,9 +29,10 @@ import hashlib
 import json
 import os
 import re
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+
+from .indexstore import PosixIndexStore
 
 # Above this many bytes of un-compacted tombstone parquet, drop the
 # broadcast hint in apply_tombstones and let AQE pick the join
@@ -57,13 +58,23 @@ _TOMBSTONE_BROADCAST_MAX_BYTES = 8 * 1024 * 1024
 _SCHEMA_SIDECAR = "_schema.json"
 
 
+def _gen_number(path: str) -> int | None:
+    """The generation number a physical dir carries, or None for a
+    per-batch delta. The Posix store's dirs are named ``c{N}``
+    exactly; a manifest store's physical prefixes append a uniquing
+    token (``c{N}-{hex}``), so the number is parsed as the leading
+    ``c\\d+`` rather than sliced."""
+    m = re.match(r"c(\d+)", os.path.basename(path))
+    return int(m.group(1)) if m else None
+
+
 def _data_files(path: str) -> bool:
     """Whether a generation dir holds any data files (underscore- and
-    dot-prefixed entries are Spark metadata, not data)."""
-    return any(
-        e.is_file() and not e.name.startswith(("_", "."))
-        for e in os.scandir(path)
-    )
+    dot-prefixed entries are Spark metadata, not data). Kept as a
+    module function for callers outside an index; GenIndex itself
+    asks its STORE (``self.store.dir_has_data`` — same body on the
+    default Posix store)."""
+    return PosixIndexStore().dir_has_data(path)
 
 
 class GenIndex:
@@ -74,6 +85,18 @@ class GenIndex:
     cluster scale sized by index bytes / target file size. ``prefix``
     namespaces the catalog table names so two index *kinds* sharing a
     warehouse can't collide.
+
+    ``store`` is the CONTROL-PLANE seam (``streaming/indexstore.py``):
+    what dirs exist, which generation is current, sidecar I/O, commit
+    and GC. The default :class:`PosixIndexStore` makes byte-for-byte
+    the calls this class made inline before the seam existed — plans
+    and values untouched (the r12 discipline); a
+    :class:`~.indexstore.ManifestIndexStore` swaps generations by
+    manifest-pointer CAS instead of dir numbering, enabling native
+    object-store roots and snapshot reads
+    (``streaming/manifestindex.py``). The DATA plane is unchanged
+    either way — plain ``spark.read.parquet`` / bucketed
+    ``saveAsTable`` on the store-placed paths.
     """
 
     def __init__(
@@ -83,11 +106,13 @@ class GenIndex:
         n_buckets: int,
         prefix: str,
         tombstone_cols: tuple[str, ...] | None = None,
+        store: PosixIndexStore | None = None,
     ) -> None:
         self.index_dir = index_dir
         self.bucket_cols = bucket_cols
         self.n_buckets = n_buckets
         self.prefix = prefix
+        self.store = store if store is not None else PosixIndexStore()
         # Retraction support (opt-in): index rows carry a ``src_batch``
         # column, tombstones are (tombstone_cols..., t_batch) rows in
         # ``d{N}`` dirs, and a row is dead iff a tombstone for its key
@@ -136,21 +161,27 @@ class GenIndex:
         garbage, GC'd by the next compaction; readers never depend on
         the deletes having happened, which is what makes compaction
         crash-safe at every step."""
-        if not os.path.isdir(self.index_dir):
+        if not self.store.root_exists(self.index_dir):
             return []
+        return self._view_dirs(self.store.list_entries(self.index_dir))
+
+    def _view_dirs(self, entries: list[tuple[str, str]]) -> list[str]:
+        """The newest-complete-c-plus-newer-b selection over an
+        explicit (name, path) listing — factored from
+        :meth:`visible_dirs` so a SNAPSHOT listing (a retained
+        manifest version's entries, ``streaming/manifestindex.py``)
+        resolves to a read view through the same audited logic."""
         c_dirs: dict[int, str] = {}
         b_dirs: dict[int, str] = {}
-        for e in os.scandir(self.index_dir):
-            if not e.is_dir():
-                continue
-            m = re.fullmatch(r"([bc])(\d+)", e.name)
+        for name, path in entries:
+            m = re.fullmatch(r"([bc])(\d+)", name)
             if not m:
                 continue
             if m.group(1) == "c":
-                if os.path.exists(os.path.join(e.path, "_SUCCESS")):
-                    c_dirs[int(m.group(2))] = e.path
+                if self.store.is_complete(self.index_dir, name, path):
+                    c_dirs[int(m.group(2))] = path
             else:
-                b_dirs[int(m.group(2))] = e.path
+                b_dirs[int(m.group(2))] = path
         hw = max(c_dirs, default=-1)
         return ([c_dirs[hw]] if hw >= 0 else []) + [
             p for n, p in sorted(b_dirs.items()) if n > hw
@@ -169,15 +200,22 @@ class GenIndex:
         even the sidecar is missing (a pre-sidecar index, or a crash
         between ``_SUCCESS`` and the sidecar write) the dir is simply
         skipped — it contributes zero rows either way."""
+        return self._sides(spark, self.visible_dirs())
+
+    def _sides(self, spark: SparkSession, vis: list[str]) -> list[DataFrame]:
+        """Join-ready sides for an EXPLICIT dir view — factored from
+        :meth:`probe_sides` so a snapshot view (time travel,
+        ``streaming/manifestindex.py``) reads through the same
+        catalog-table / raw-path / sidecar fallback chain."""
         sides: list[DataFrame] = []
         deltas: list[str] = []
-        for p in self.visible_dirs():
-            name = os.path.basename(p)
-            if name.startswith("c"):
-                tbl = self.gen_table(int(name[1:]))
+        for p in vis:
+            gen = _gen_number(p)
+            if gen is not None:
+                tbl = self.gen_table(gen)
                 if spark.catalog.tableExists(tbl):
                     sides.append(spark.table(tbl))
-                elif _data_files(p):
+                elif self.store.dir_has_data(p):
                     sides.append(spark.read.parquet(p))
                 else:
                     schema = self._sidecar_schema(p)
@@ -192,19 +230,19 @@ class GenIndex:
     def _sidecar_schema(self, path: str):
         """The schema persisted beside an all-dead generation's (zero)
         data files, or None when no sidecar exists. A sidecar that
-        does not parse is treated as absent — the write below is
-        atomic (temp + rename), so this can only be pre-rename debris
-        from a crashed fold, and absent degrades row-correctly (the
-        generation holds zero rows either way)."""
-        sc = os.path.join(path, _SCHEMA_SIDECAR)
-        if not os.path.isfile(sc):
+        does not parse is treated as absent — the store's write is
+        atomic (temp + rename locally; PUT on an object store), so
+        this can only be pre-rename debris from a crashed fold, and
+        absent degrades row-correctly (the generation holds zero rows
+        either way)."""
+        text = self.store.read_sidecar(path, _SCHEMA_SIDECAR)
+        if text is None:
             return None
         from pyspark.sql.types import StructType
 
         try:
-            with open(sc, encoding="utf-8") as f:
-                return StructType.fromJson(json.load(f))
-        except (OSError, ValueError, KeyError):
+            return StructType.fromJson(json.loads(text))
+        except (ValueError, KeyError):
             return None
 
     def _gen_schema(self, spark: SparkSession, path: str):
@@ -215,9 +253,11 @@ class GenIndex:
         schema = self._sidecar_schema(path)
         if schema is not None:
             return schema
-        tbl = self.gen_table(int(os.path.basename(path)[1:]))
-        if spark.catalog.tableExists(tbl):
-            return spark.table(tbl).schema
+        gen = _gen_number(path)
+        if gen is not None:
+            tbl = self.gen_table(gen)
+            if spark.catalog.tableExists(tbl):
+                return spark.table(tbl).schema
         return None
 
     def live_sides(self, spark: SparkSession) -> list[DataFrame]:
@@ -244,19 +284,20 @@ class GenIndex:
         from pyspark.sql import functions as F
 
         assert self.tombstone_cols, "index built without tombstone_cols"
+        name = f"d{batch_id}"
+        path = self.store.child(self.index_dir, name)
         df.select(*self.tombstone_cols).distinct().withColumn(
             "t_batch", F.lit(batch_id).cast("long")
-        ).write.mode("overwrite").parquet(
-            os.path.join(self.index_dir, f"d{batch_id}")
-        )
+        ).write.mode("overwrite").parquet(path)
+        self.store.commit_entry(self.index_dir, name, path)
 
     def _tombstone_dirs(self) -> list[str]:
-        if not os.path.isdir(self.index_dir):
+        if not self.store.root_exists(self.index_dir):
             return []
         return [
-            e.path
-            for e in os.scandir(self.index_dir)
-            if e.is_dir() and re.fullmatch(r"d\d+", e.name)
+            path
+            for name, path in self.store.list_entries(self.index_dir)
+            if re.fullmatch(r"d\d+", name)
         ]
 
     def _sized_tombstone_dirs(self) -> tuple[list[str], int]:
@@ -266,13 +307,7 @@ class GenIndex:
         probe side — the walk is cheap but strictly redundant: the
         dirs cannot change between sides of one read view."""
         dirs = self._tombstone_dirs()
-        tomb_bytes = sum(
-            e.stat().st_size
-            for d in dirs
-            for e in os.scandir(d)
-            if e.is_file() and not e.name.startswith(("_", "."))
-        )
-        return dirs, tomb_bytes
+        return dirs, sum(self.store.data_bytes(d) for d in dirs)
 
     def apply_tombstones(
         self,
@@ -333,10 +368,13 @@ class GenIndex:
 
     def append(self, df: DataFrame, batch_id: int) -> None:
         """Write a batch's contribution as ``b{batch_id}`` (overwrite:
-        a replayed batch is idempotent)."""
-        df.write.mode("overwrite").parquet(
-            os.path.join(self.index_dir, f"b{batch_id}")
-        )
+        a replayed batch is idempotent — on a manifest store the
+        replay lands on a fresh prefix and the commit re-points the
+        logical name, same net view)."""
+        name = f"b{batch_id}"
+        path = self.store.child(self.index_dir, name)
+        df.write.mode("overwrite").parquet(path)
+        self.store.commit_entry(self.index_dir, name, path)
 
     def pending_appends(self) -> int:
         """How many per-batch dirs the read view currently holds.
@@ -386,8 +424,8 @@ class GenIndex:
         vis = self.visible_dirs()
         if not vis:
             return
-        out = os.path.join(self.index_dir, f"c{batch_id}")
-        with_data = [p for p in vis if _data_files(p)]
+        out = self.store.child(self.index_dir, f"c{batch_id}")
+        with_data = [p for p in vis if self.store.dir_has_data(p)]
         if with_data:
             # Order-preserving subset of vis: in the common case every
             # dir has data files and this is exactly the pre-round-12
@@ -422,31 +460,46 @@ class GenIndex:
             .option("path", out)
             .saveAsTable(self.gen_table(batch_id))
         )
-        if not _data_files(out):
+        if not self.store.dir_has_data(out):
             # All-dead fold: persist the schema beside the (zero)
             # data files so raw-path reads of this generation keep
-            # working. Written atomically (temp + rename: a crash
-            # mid-write must not leave a half-file that poisons every
-            # later read — _sidecar_schema also treats an unparseable
-            # file as absent, belt and braces) and it lands just
-            # after ``_SUCCESS``; a crash between the two leaves a
+            # working. The store writes it atomically (temp + rename
+            # locally, PUT on an object store: a crash mid-write must
+            # not leave a half-file that poisons every later read —
+            # _sidecar_schema also treats an unparseable file as
+            # absent, belt and braces) and it lands just after
+            # ``_SUCCESS``; a crash between the two leaves a
             # schema-less empty generation, which readers degrade on
             # gracefully (catalog in-session, skip-as-empty in a
             # fresh one) — row-correct either way.
-            tmp = os.path.join(out, f".{_SCHEMA_SIDECAR}.tmp")
-            with open(tmp, "w", encoding="utf-8") as f:
-                f.write(rows.schema.json())
-            os.replace(tmp, os.path.join(out, _SCHEMA_SIDECAR))
-        # GC: everything at or below the new high-water mark is
-        # superseded (read view already ignores it; applied tombstones
-        # are folded in); best-effort, self-healing — a failed delete
-        # is retried by the next fold.
-        for e in os.scandir(self.index_dir):
-            m = re.fullmatch(r"([bcd])(\d+)", e.name)
-            if m and e.path != out and int(m.group(2)) <= batch_id:
-                if m.group(1) == "c":
-                    spark.sql(
-                        "DROP TABLE IF EXISTS "
-                        + self.gen_table(int(m.group(2)))
-                    )
-                shutil.rmtree(e.path, ignore_errors=True)
+            self.store.write_sidecar(
+                out, _SCHEMA_SIDECAR, rows.schema.json()
+            )
+        # Commit + GC. Everything at or below the new high-water mark
+        # is superseded (applied tombstones are folded in). On the
+        # Posix store the commit is a no-op (the ``_SUCCESS`` that
+        # already landed made the generation the view) and the
+        # superseded entries come straight back for physical removal
+        # — best-effort, self-healing, a failed delete is retried by
+        # the next fold: the pre-seam tail verbatim. On a manifest
+        # store the commit is THE atomic swap (one CAS adds the
+        # generation and drops the superseded names) and nothing is
+        # removed physically — retained manifests keep superseded
+        # prefixes readable for snapshot reads until ``vacuum``.
+        name = f"c{batch_id}"
+        superseded = [
+            (n, p)
+            for n, p in self.store.list_entries(self.index_dir)
+            if n != name
+            and (m := re.fullmatch(r"([bcd])(\d+)", n))
+            and int(m.group(2)) <= batch_id
+        ]
+        removable = self.store.commit_generation(
+            self.index_dir, name, out, superseded
+        )
+        for n, p in removable:
+            if n.startswith("c"):
+                spark.sql(
+                    "DROP TABLE IF EXISTS " + self.gen_table(int(n[1:]))
+                )
+            self.store.remove_entry(self.index_dir, n, p)
