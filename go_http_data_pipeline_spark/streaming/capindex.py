@@ -94,18 +94,27 @@ _CAP_STREAM_ORACLE = _host_caps_oracle()
 _CAP_DELETE_ORACLE = _host_caps_oracle(_CAP_DELETE_MOD)
 
 
-def _cap_index(index_dir: str) -> GenIndex:
+def _cap_index(index_dir: str, store=None) -> GenIndex:
+    """``store=None`` -> the Posix default (this family's registered
+    path); ``streaming/manifestindex.py`` passes a
+    ``ManifestIndexStore`` to run the SAME machinery on the
+    manifest-pointer control plane."""
     return GenIndex(
         index_dir,
         bucket_cols=("source",),
         n_buckets=_CAP_BUCKETS,
         prefix="cap_gen",
         tombstone_cols=("doc_id",),
+        store=store,
     )
 
 
 def cap_index_step(
-    spark: SparkSession, batch_docs: DataFrame, batch_id: int, index_dir: str
+    spark: SparkSession,
+    batch_docs: DataFrame,
+    batch_id: int,
+    index_dir: str,
+    store=None,
 ) -> None:
     """One arrival: append the batch's cap-relevant key columns to the
     index (a pure projection — zero joins, zero shuffles beyond the
@@ -126,7 +135,7 @@ def cap_index_step(
     exchange ahead of the per-host rank window and break the
     partial+final WindowGroupLimit shape the read plan is pinned to
     (tests/test_capindex.py::test_read_plan_contracts)."""
-    idx = _cap_index(index_dir)
+    idx = _cap_index(index_dir, store)
     idx.append(
         batch_docs.select(*_IDX_COLS).withColumn(
             "src_batch", F.lit(batch_id).cast("long")
@@ -138,7 +147,11 @@ def cap_index_step(
 
 
 def cap_delete_step(
-    spark: SparkSession, doc_ids: DataFrame, batch_id: int, index_dir: str
+    spark: SparkSession,
+    doc_ids: DataFrame,
+    batch_id: int,
+    index_dir: str,
+    store=None,
 ) -> None:
     """One delete batch: record (doc_id, t_batch) tombstones —
     O(deletes), the index untouched until the next compaction, and
@@ -146,10 +159,12 @@ def cap_delete_step(
     repair. The promotion of a host's next-best evictee falls out of
     the read-time re-derivation over live rows — the cheapest
     takedown of the five index families."""
-    _cap_index(index_dir).append_tombstones(doc_ids, batch_id)
+    _cap_index(index_dir, store).append_tombstones(doc_ids, batch_id)
 
 
-def _caps_from_index(spark: SparkSession, index_dir: str) -> DataFrame:
+def _caps_from_index(
+    spark: SparkSession, index_dir: str, store=None
+) -> DataFrame:
     """(source, doc_id, n_chars, src_rank, host_n_docs, host_n_kept,
     host_n_dropped) from the live index rows — the batch
     ``host_document_caps`` derivation verbatim (rank window with the
@@ -158,8 +173,20 @@ def _caps_from_index(spark: SparkSession, index_dir: str) -> DataFrame:
     the index's own live rows (tombstones applied — a retracted
     document gets no row and cannot occupy a kept slot). Equality
     with the batch query is pinned in tests/test_capindex.py."""
+    return _caps_from_sides(
+        spark, _cap_index(index_dir, store).live_sides(spark)
+    )
+
+
+def _caps_from_sides(
+    spark: SparkSession, sides: list[DataFrame]
+) -> DataFrame:
+    """The quota derivation over EXPLICIT index sides — factored from
+    ``_caps_from_index`` so a SNAPSHOT view (a retained manifest
+    version's sides, ``streaming/manifestindex.py``) derives its
+    kept+audit answer through the same audited plan shape."""
     live = None
-    for side in _cap_index(index_dir).live_sides(spark):
+    for side in sides:
         s = side.select(*_IDX_COLS)
         live = s if live is None else live.unionByName(s)
     if live is None:
@@ -194,11 +221,12 @@ def _caps_from_index(spark: SparkSession, index_dir: str) -> DataFrame:
 
 
 def _run_arrivals(
-    spark: SparkSession, sf_dir: str, work: str
+    spark: SparkSession, sf_dir: str, work: str, store=None
 ) -> tuple[str, list[int]]:
     """Drive the sharded documents fixture through the engine
     (availableNow, one shard per micro-batch) into a fresh index;
-    returns (index_dir, seen batch ids)."""
+    returns (index_dir, seen batch ids). ``store`` selects the index
+    control plane (None -> Posix)."""
     from .core import _docs_sharded_dir
 
     index_dir = os.path.join(work, "index")
@@ -214,7 +242,7 @@ def _run_arrivals(
     )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        cap_index_step(spark, batch_df, batch_id, index_dir)
+        cap_index_step(spark, batch_df, batch_id, index_dir, store)
         seen.append(batch_id)
 
     q = (

@@ -40,12 +40,12 @@ tests the protocol on local disk, where the SAME code runs):
   object-store contract; the local temp+``os.replace`` dance below
   emulates exactly that atomicity).
 * ``commit``/CAS          -> conditional PUT of ``manifest-v{N+1}``
-  (``If-None-Match: *``), or a consistent-KV commit log (the
-  DynamoDB pattern Delta uses) where conditional PUT is unavailable.
-  Locally the claim is ``os.open(..., O_CREAT|O_EXCL)`` — create-
-  exclusive IS compare-and-swap on a POSIX directory — followed by
-  an atomic ``os.replace`` of the full JSON over the claim (a single
-  conditional PUT collapses both steps on a real object store).
+  (``If-None-Match: *``) with the body attached, or a consistent-KV
+  commit log (the DynamoDB pattern Delta uses) where conditional PUT
+  is unavailable. Locally: write the full JSON to a hidden temp
+  file, then ``os.link`` it to the versioned name — link(2) is
+  atomic AND create-exclusive, so the manifest appears fully formed
+  or not at all, the same all-or-nothing contract as the PUT.
 * ``vacuum``              -> delete objects under prefixes no
   retained manifest references (the Delta VACUUM story, including
   its retention trade-off: vacuuming a version forfeits time travel
@@ -236,12 +236,13 @@ class ManifestIndexStore(PosixIndexStore):
         )
 
     def _read_manifest(self, root: str, version: int) -> dict | None:
-        """Parsed manifest v, or None when missing/unparseable. An
-        unparseable manifest is a dead CLAIM — a writer that crashed
-        between create-exclusive and the atomic content replace; its
-        version number is burned (commits target max-name+1) and
-        readers fall back to the newest parseable version, which is
-        by construction the newest COMMITTED one."""
+        """Parsed manifest v, or None when missing/unparseable. This
+        writer's commits land atomically (link-with-content), so an
+        unparseable manifest can only be external debris (tampering,
+        partial copy); defensively its version number is burned
+        (commits target max-name+1) and readers fall back to the
+        newest parseable version, which is by construction the
+        newest COMMITTED one."""
         try:
             with open(self._mpath(root, version), encoding="utf-8") as f:
                 data = json.load(f)
@@ -278,21 +279,30 @@ class ManifestIndexStore(PosixIndexStore):
     def _commit(self, root: str, mutate) -> int:
         """Install ``mutate(entries)`` as the next manifest version by
         compare-and-swap; returns the committed version. Loop: read
-        the newest version, claim ``v+1`` with create-exclusive (the
-        CAS — on a real object store, one conditional PUT), write the
-        full JSON to a temp object, atomically replace the claim. A
-        lost claim means another writer committed first: reload and
-        re-apply ``mutate`` to ITS result, so no committed mutation is
-        ever silently dropped."""
+        the newest version, build the FULL next manifest in a hidden
+        temp object, then ``os.link`` it to the versioned name —
+        link(2) is atomic and create-exclusive, so the manifest
+        appears fully formed or not at all (on a real object store,
+        the whole dance is one conditional PUT with the body
+        attached). A lost link means another writer committed first:
+        reload and re-apply ``mutate`` to ITS entries, so no
+        committed mutation is ever silently dropped. Content rides
+        IN the CAS — an earlier claim-then-write-content design had a
+        window where a concurrent writer could lawfully treat the
+        empty claim as dead and commit past it, shadowing the
+        claimer's update (caught by
+        tests/test_manifestindex.py::test_lost_cas_claim_reapplies_on_winner).
+        """
         os.makedirs(self._mdir(root), exist_ok=True)
         for _ in range(_CAS_MAX_RETRIES):
             versions = self._versions(root)
             head = versions[-1] if versions else 0
             cur = self._read_manifest(root, head) if head else None
             if head and cur is None:
-                # Newest name is a dead claim: rebuild the view from
-                # the newest parseable version, but still target
-                # head+1 (the dead claim's number stays burned).
+                # Newest name is unparseable (external debris — this
+                # writer can no longer produce one): rebuild the view
+                # from the newest parseable version, but still target
+                # head+1 (the dead name's number stays burned).
                 committed = self.current_version(root)
                 cur = (
                     self._read_manifest(root, committed)
@@ -301,24 +311,24 @@ class ManifestIndexStore(PosixIndexStore):
                 )
             entries = dict(cur["entries"]) if cur else {}
             target = head + 1
-            claim = self._mpath(root, target)
-            try:
-                fd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            except FileExistsError:
-                continue  # lost the race — reload and re-apply
-            os.close(fd)
             body = json.dumps(
                 {"version": target, "entries": mutate(entries)},
                 sort_keys=True,
             )
-            tmp = claim + ".tmp"
+            final = self._mpath(root, target)
+            tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
             with open(tmp, "w", encoding="utf-8") as f:
                 f.write(body)
-            os.replace(tmp, claim)
+            try:
+                os.link(tmp, final)
+            except FileExistsError:
+                os.remove(tmp)
+                continue  # lost the race — reload and re-apply
+            os.remove(tmp)
             return target
         raise RuntimeError(
             f"manifest CAS at {root!r}: lost {_CAS_MAX_RETRIES} "
-            "consecutive claims — stuck claim or writer storm"
+            "consecutive claims — stuck head or writer storm"
         )
 
     # -- seam overrides ----------------------------------------------
@@ -384,6 +394,14 @@ class ManifestIndexStore(PosixIndexStore):
         never committed). Returns the deleted prefix paths. Time
         travel to a vacuumed version then fails loudly in
         :meth:`entries_at` — the documented retention trade-off."""
+        mdir = self._mdir(root)
+        if os.path.isdir(mdir):
+            # Stray commit temps (a writer that crashed between the
+            # temp write and the link) are invisible to listings but
+            # still bytes; vacuum is their janitor.
+            for e in os.scandir(mdir):
+                if e.is_file() and ".tmp-" in e.name:
+                    os.remove(e.path)
         referenced: set[str] = set()
         for v in self._versions(root):
             data = self._read_manifest(root, v)

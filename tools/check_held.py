@@ -36,17 +36,19 @@ def held_queries():
     """name -> (query_fn, staged_oracle_sql). Import inside so a bare
     --help never pays the Spark import.
 
-    Round-14 roster: the incremental host-cap index twins (staged
-    late in round 14 after the SemDeDup twins registered and emptied
-    the roster — the empty-roster no-op was verified rc=0 in both
-    modes before these rows landed; planned registration ~r16: add
-    streaming/capindex.py to registry._MODULES — the round-15 window
-    is pre-committed and full). Earlier graduations per this tool's
-    contract: the SemDeDup twins registered r14,
-    ``streaming_ivfpq_index_with_deletes`` r13, and the
-    ``ann_family_recall_eval_with_misses`` staging became the
+    Round-15 roster: the incremental host-cap index twins (staged
+    r14; planned registration r16 per the pre-committed window: add
+    streaming/capindex.py to registry._MODULES) plus the
+    manifest-store twins (staged r15 — the object-store seam driven
+    through the same family: store-agnostic takedown exactness and
+    the snapshot/time-travel read; planned registration ~r17, add
+    streaming/manifestindex.py to registry._MODULES then). Earlier
+    graduations per this tool's contract: the SemDeDup twins
+    registered r14, ``streaming_ivfpq_index_with_deletes`` r13, and
+    the ``ann_family_recall_eval_with_misses`` staging became the
     registered gate itself via the r13 _REFRESH swap."""
     from go_http_data_pipeline_spark.streaming import capindex as ci
+    from go_http_data_pipeline_spark.streaming import manifestindex as mi
 
     return {
         "streaming_host_cap_index": (
@@ -56,6 +58,14 @@ def held_queries():
         "streaming_host_cap_index_with_deletes": (
             ci.streaming_host_cap_index_with_deletes,
             ci._CAP_DELETE_ORACLE,
+        ),
+        "streaming_manifest_cap_takedown": (
+            mi.streaming_manifest_cap_takedown,
+            mi._MANIFEST_TAKEDOWN_ORACLE,
+        ),
+        "streaming_manifest_cap_timetravel": (
+            mi.streaming_manifest_cap_timetravel,
+            mi._MANIFEST_TIMETRAVEL_ORACLE,
         ),
     }
 
