@@ -631,3 +631,48 @@ def test_round15_window_precommitment(monkeypatch):
         "must drain the r11-stale tranche"
     )
     assert len(w15) == 50
+
+
+def test_round16_window_precommitment(monkeypatch):
+    """Round-16 plan, pre-committed in the round-15 session (the house
+    pattern since r11; the registration recipe itself was pre-written
+    and dry-run verified at round-14 close — docs/STATUS.md
+    "Round-16 registration recipe"): once the r15 window lands (the
+    8-row r10-stale remainder drained fully + 42 r11-stale; no
+    registry edits in r15), round 16 = the planned capindex-twin
+    registrations (the r16 session's edit: add
+    ``streaming/capindex.py`` to ``registry._MODULES``, registering
+    the held twins ``streaming_host_cap_index`` /
+    ``streaming_host_cap_index_with_deletes`` and deleting their
+    tools/check_held.py roster rows) + the REMAINDER of the r11-stale
+    tranche (drained FULLY — 6 rows by the current derivation, but
+    this test deliberately pins the DRAIN, not the count) + whatever
+    ``_REFRESH`` the r16 session stages + r12-stale rows filling the
+    rest. The conditional assertions hold across eras — r15 recorded
+    or derived, twins registered or not yet — and fail loudly on any
+    OTHER composition drift (e.g. the round-15-staged manifest twins
+    rank-0ing into a window before their planned ~r17 registration).
+    A later registry edit that changes this derivation must update
+    this plan in the same commit — that is the pre-commitment
+    working as intended."""
+    from go_http_data_pipeline_spark import registry
+
+    chain = _window_chain(registry._correctness_dir(), monkeypatch, 16)
+    w16, at16 = chain[16]
+    refresh = set(registry._REFRESH)
+    planned_new = {
+        "streaming_host_cap_index",
+        "streaming_host_cap_index_with_deletes",
+    } & set(registry._QUERIES)
+    r11_remaining = {
+        q for q in registry._QUERIES if at16.get(q) == 11 and q not in refresh
+    }
+    assert r11_remaining <= set(w16), "the r11-stale tranche must drain fully"
+    assert planned_new <= set(w16)
+    assert refresh <= set(w16)
+    rest = [q for q in w16 if q not in r11_remaining | planned_new | refresh]
+    assert all(at16.get(q) == 12 for q in rest), (
+        "every round-16 slot not taken by the r11 remainder / planned "
+        "registrations / refreshes must drain the r12-stale tranche"
+    )
+    assert len(w16) == 50
