@@ -405,10 +405,13 @@ class ManifestIndexStore(PosixIndexStore):
         referenced: set[str] = set()
         for v in self._versions(root):
             data = self._read_manifest(root, v)
-            if data is None:
-                continue
             if v < keep_from_version:
+                # Below the retention cut, parseable and dead-name
+                # manifests alike are dropped (a dead name references
+                # nothing, so removing it frees only its number).
                 os.remove(self._mpath(root, v))
+                continue
+            if data is None:
                 continue
             referenced |= {
                 os.path.normpath(os.path.join(root, rel))

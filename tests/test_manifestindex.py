@@ -229,6 +229,11 @@ def test_dead_claim_burns_a_version_and_readers_fall_back(tmp_path):
     v = store._commit(root, lambda e: {**e, "b1": "objects/b1-bbbb"})
     assert v == v1 + 2, "the dead claim's version number stays burned"
     assert {n for n, _ in store.list_entries(root)} == {"b0", "b1"}
+    # Vacuum below the retention cut reaps dead names too (they
+    # reference nothing; removing one frees only its number).
+    store.vacuum(root, v)
+    assert not os.path.exists(store._mpath(root, v1 + 1))
+    assert {n for n, _ in store.list_entries(root)} == {"b0", "b1"}
 
 
 def test_uncommitted_writer_is_invisible_and_vacuumable(spark, tmp_path):

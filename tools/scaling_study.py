@@ -1465,6 +1465,121 @@ def _cap_retraction_race(spark):
     return legs
 
 
+def _manifest_control_race(spark):
+    """Section R measurement: what the manifest-pointer control plane
+    (streaming/indexstore.py, the round-15 object-store seam) COSTS
+    and what it BUYS, on the §Q fixture at x1 and x{CAP_COPIES}. The
+    same cap-index arrivals run on the Posix and manifest stores
+    (quota rows asserted identical — store-agnostic exactness at
+    scale), manifest objects are measured (count + max bytes: the
+    metadata-sized-control-plane claim), then the kept-set takedown
+    lands through manifest commits and the SNAPSHOT read at the
+    pre-takedown version is timed against the latest read, followed
+    by vacuum (physical prune + loud time-travel revocation)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from go_http_data_pipeline_spark.streaming import capindex as ci
+    from go_http_data_pipeline_spark.streaming import manifestindex as mfi
+    from go_http_data_pipeline_spark.streaming.indexstore import (
+        ManifestIndexStore,
+    )
+
+    _build_inc_cap_docs(spark)
+    legs = []
+    for copies in (1, CAP_COPIES):
+        if copies == 1:
+            batches = [
+                spark.read.parquet(f"{BIG}/documents.parquet")
+                .select("doc_id", "source", "n_chars")
+                .filter(F.col("doc_id") % CAP_ARRIVALS == s)
+                for s in range(CAP_ARRIVALS)
+            ]
+        else:
+            batches = [
+                spark.read.parquet(os.path.join(CAP_DOC_DIR, f"shard_{s}"))
+                for s in range(CAP_ARRIVALS)
+            ]
+        n_docs = sum(b.count() for b in batches)
+        work = tempfile.mkdtemp(prefix=f"mfx_ctl_x{copies}_")
+        p_dir = os.path.join(work, "posix")
+        m_dir = os.path.join(work, "manifest")
+        store = ManifestIndexStore()
+
+        t0 = time.perf_counter()
+        for b, bdf in enumerate(batches):
+            ci.cap_index_step(spark, bdf, b, p_dir)
+        t_build_p = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        for b, bdf in enumerate(batches):
+            ci.cap_index_step(spark, bdf, b, m_dir, store)
+        t_build_m = round(time.perf_counter() - t0, 3)
+
+        t_read_p = _timed(ci._caps_from_index, spark, p_dir)
+        t_read_m = _timed(ci._caps_from_index, spark, m_dir, store)
+        pre_p = sorted(map(tuple, ci._caps_from_index(spark, p_dir).collect()))
+        pre_m = sorted(
+            map(tuple, ci._caps_from_index(spark, m_dir, store).collect())
+        )
+        assert pre_p == pre_m and pre_p, (
+            "posix and manifest control planes must derive identical quotas"
+        )
+
+        v_pre = store.current_version(m_dir)
+        n_man = len(store._versions(m_dir))
+        man_bytes = max(
+            os.path.getsize(store._mpath(m_dir, v))
+            for v in store._versions(m_dir)
+        )
+
+        kept = {r[1] for r in pre_m}
+        dead = spark.createDataFrame(
+            [(i,) for i in sorted(kept)], "doc_id long"
+        )
+        ci.cap_delete_step(spark, dead, len(batches), m_dir, store)
+        ci._cap_index(m_dir, store).compact(spark, len(batches))
+
+        idx = ci._cap_index(m_dir, store)
+
+        def snap_df():
+            return ci._caps_from_sides(
+                spark, mfi.snapshot_sides(spark, idx, v_pre)
+            )
+
+        t_snap = _timed(snap_df)
+        assert (
+            sorted(map(tuple, snap_df().collect())) == pre_m
+        ), "the pre-takedown snapshot must answer the full pre-delete quota"
+        latest = sorted(
+            map(tuple, ci._caps_from_index(spark, m_dir, store).collect())
+        )
+        assert not kept & {r[1] for r in latest}, "retracted doc kept a slot"
+
+        t0 = time.perf_counter()
+        pruned = store.vacuum(m_dir, store.current_version(m_dir))
+        t_vac = round(time.perf_counter() - t0, 3)
+        assert latest == sorted(
+            map(tuple, ci._caps_from_index(spark, m_dir, store).collect())
+        ), "vacuum must not disturb the latest view"
+        revoked = False
+        try:
+            store.entries_at(m_dir, v_pre)
+        except ValueError:
+            revoked = True
+        assert revoked, "time travel past retention must raise"
+
+        legs.append(
+            (copies, n_docs, t_build_p, t_build_m, n_man, man_bytes,
+             t_read_p, t_read_m, t_snap, t_vac, len(pruned))
+        )
+        ci._cap_index(p_dir).drop_generations(spark)
+        idx.drop_generations(spark)
+        shutil.rmtree(work, ignore_errors=True)
+    return legs
+
+
 def _ivf_incremental_race(spark):
     """Section I measurement: per-arrival seconds + probe file count
     for the incremental IVF cell index (compaction ON and OFF) vs the
@@ -2120,6 +2235,20 @@ def main() -> int:
         flush=True,
     )
 
+    # R. manifest control plane: commit overhead, snapshot reads,
+    # vacuum — the round-15 object-store seam, measured.
+    r_legs = _manifest_control_race(spark)
+    print(
+        "# manifest control race: "
+        + " | ".join(
+            f"x{c}: {n} docs, build posix {tbp}s vs manifest {tbm}s, "
+            f"{nm} manifests (max {mb} B), read {trp}s vs {trm}s, "
+            f"snapshot {ts}s, vacuum {tv}s ({np} prefixes pruned)"
+            for c, n, tbp, tbm, nm, mb, trp, trm, ts, tv, np in r_legs
+        ),
+        flush=True,
+    )
+
     lines = [
         "# SCALING — measured scale-stress evidence (rounds 5-10)",
         "",
@@ -2695,6 +2824,48 @@ def main() -> int:
         "read pays one broadcast anti-join against the",
         "request-sized tombstones; the fold returns the read to its",
         "delete-free plan.",
+        "",
+        "## R. Manifest control plane: commit overhead, snapshot",
+        "reads, vacuum (round 15)",
+        "",
+        "The object-store seam (streaming/indexstore.py) measured on",
+        "the §Q fixture: the SAME cap-index arrivals run on the Posix",
+        "control plane (dir numbering + _SUCCESS) and the manifest",
+        "control plane (one immutable manifest-v{N} per commit,",
+        "installed by CAS), quota rows asserted identical at both",
+        "scales — store-agnostic exactness as a measured fact, not a",
+        "unit test. Manifest objects are counted and sized (the",
+        "metadata-sized-control-plane claim: bytes scale with ENTRY",
+        "NAMES, never corpus rows). Then the kept-set takedown lands",
+        "through manifest commits and two reads race: the LATEST view",
+        "(survivors, promotions applied) vs the SNAPSHOT at the",
+        "pre-takedown version (the full quota, readable because",
+        "superseded prefixes are retained until vacuum — the",
+        "time-travel read the Posix plane structurally cannot offer).",
+        "Vacuum then prunes every unreferenced prefix, the latest",
+        "view is asserted undisturbed, and time travel past retention",
+        "is asserted to RAISE rather than answer partially.",
+        "",
+        "| corpus | docs | build posix (s) | build manifest (s) |"
+        " manifests | max manifest (B) | read posix (s) |"
+        " read manifest (s) | snapshot read (s) | vacuum (s) |"
+        " prefixes pruned |",
+        "|---|---|---|---|---|---|---|---|---|---|---|",
+    ] + [
+        f"| x{c} | {n} | {tbp} | {tbm} | {nm} | {mb} | {trp} |"
+        f" {trm} | {ts} | {tv} | {np} |"
+        for c, n, tbp, tbm, nm, mb, trp, trm, ts, tv, np in r_legs
+    ] + [
+        "",
+        "The build delta IS the commit overhead: a handful of",
+        "metadata-sized CAS objects per run (corpus-flat count, the",
+        "same at x1 and x16), paid once per mutation and never per",
+        "row. The manifest read matches the Posix read (the one-GET",
+        "listing replaces the scandir walk; the data-plane scan",
+        "dominates both), the snapshot read costs the same shape as",
+        "a live read (same plan over retained prefixes), and vacuum",
+        "is a listing diff plus unreferenced-prefix deletes — sized",
+        "by history, not by corpus.",
         "",
         "Generated by tools/scaling_study.py.",
         "",
