@@ -667,6 +667,30 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def verified_pair_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The verified near-dup pair set (doc_a < doc_b), memoized per
+    (session, sf) as an eager ``localCheckpoint``: the derivation
+    (band self-join + two Jaccard verify joins) runs ONCE and every
+    consumer's plan starts from a two-line LogicalRDD leaf. Shared by
+    the component propagation (which previously executed the
+    un-persisted subtree twice inside its symmetric union) and the
+    triangle counter (which references the edge table SIX times — a
+    persist deduplicated the execution but left the full verify
+    lineage in the logical plan, and Catalyst re-analyzed it per
+    reference on every call). O(dup pairs) rows — the same scale
+    class as the propagation's per-round checkpoints."""
+    ekey = ("nd_edges", spark.sparkContext.applicationId, sf_dir)
+    edges = _SHINGLE_CACHE.get(ekey)
+    if edges is None:
+        edges = (
+            minhash_lsh_pairs(spark, sf_dir)
+            .select("doc_a", "doc_b")
+            .localCheckpoint()
+        )
+        _SHINGLE_CACHE[ekey] = edges
+    return edges
+
+
 def component_labels_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Converged (doc_id, component_id) labels, memoized per
     (session, sf) like the shingle/band caches: the propagation's
@@ -677,10 +701,19 @@ def component_labels_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _SHINGLE_CACHE.get(key)
     if cached is not None:
         return cached
-    edges = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = verified_pair_edges(spark, sf_dir)
+    # No .distinct() on the symmetric closure: verified pairs are
+    # unique with doc_a < doc_b, so the swapped copies cannot collide
+    # with the originals — the union IS the distinct symmetric edge
+    # set, and the dedup shuffle it replaced was a no-op by
+    # construction. The star carries a self-loop per node so one
+    # grouped min below covers min(own, neighbors) in a single join.
     sym = edges.union(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).distinct().persist()
+    )
+    star = sym.union(
+        sym.select("doc_a", F.col("doc_a").alias("doc_b"))
+    ).persist()
     labels = (
         sym.select(F.col("doc_a").alias("doc_id"))
         .distinct()
@@ -707,33 +740,29 @@ def component_labels_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ALL of them are unpersisted once superseded (tracking just one
     # would silently leak the rest until ContextCleaner GC).
     prev_ckpt_ids: set = set()
+    # Convergence via the label-sum invariant instead of a per-round
+    # old-vs-new join: labels only ever DECREASE under min-propagation,
+    # so the (exact, bigint) label sum strictly decreases iff any label
+    # changed — one partial-aggregated scan of the fresh checkpoint
+    # replaces the join + filter + count job per round.
+    prev_sum = None
     while True:
-        nbr_min = (
-            sym.join(labels, sym.doc_b == labels.doc_id)
-            .groupBy(F.col("doc_a").alias("node"))
-            .agg(F.min("component_id").alias("nbr_min"))
-        )
+        # One join + one grouped min per round: the star's self-loops
+        # make min-over-neighbors include the node's own label, so the
+        # previous nbr_min + left-join-back pair collapses into a
+        # single aggregation keyed on the node.
+        before_ids = _persist_ids()
         # localCheckpoint (eager) truncates the lineage so the plan
         # stays one-round deep no matter how many rounds run; it also
         # materializes new_labels, subsuming the old persist().
-        before_ids = _persist_ids()
         new_labels = (
-            labels.join(nbr_min, labels.doc_id == F.col("node"), "left")
-            .select(
-                "doc_id",
-                F.least(
-                    "component_id", F.coalesce("nbr_min", "component_id")
-                ).alias("component_id"),
-            )
+            star.join(labels, star.doc_b == labels.doc_id)
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("component_id").alias("component_id"))
             .localCheckpoint()
         )
         new_ckpt_ids = _persist_ids() - before_ids
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.component_id") != F.col("o.component_id"))
-            .count()
-        )
+        label_sum = new_labels.agg(F.sum("component_id")).collect()[0][0]
         labels.unpersist()  # round-1 persist(); no-op afterwards
         for ckpt_id in prev_ckpt_ids:
             rdd = jsc.getPersistentRDDs().get(ckpt_id)
@@ -741,9 +770,10 @@ def component_labels_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rdd.unpersist(False)
         prev_ckpt_ids = new_ckpt_ids
         labels = new_labels
-        if changed == 0:
+        if label_sum == prev_sum:
             break
-    sym.unpersist()
+        prev_sum = label_sum
+    star.unpersist()
     _SHINGLE_CACHE[key] = labels
     return labels
 
@@ -985,19 +1015,12 @@ def neardup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: two self-joins on the (small) verified-pair table, both on
     node keys; at web scale this is the classic degree-ordered
     triangle join whose cost is bounded by wedge count, not |V|²."""
-    # Memoized like the other shared intermediates: the plan reads the
-    # edge table three times (triangle join sides + degrees), and a
-    # bare per-call .persist() would leak one cached copy per
-    # invocation (bench runs the query repeatedly).
-    ekey = ("nd_edges", spark.sparkContext.applicationId, sf_dir)
-    edges = _SHINGLE_CACHE.get(ekey)
-    if edges is None:
-        edges = (
-            minhash_lsh_pairs(spark, sf_dir)
-            .select("doc_a", "doc_b")
-            .persist()
-        )
-        _SHINGLE_CACHE[ekey] = edges
+    # Memoized + lineage-truncated shared intermediate (see
+    # verified_pair_edges): this plan reads the edge table six times
+    # (triangle join sides, degree union, edge count), so the leaf
+    # must be a checkpointed LogicalRDD, not a persist that re-embeds
+    # the verify lineage per reference.
+    edges = verified_pair_edges(spark, sf_dir)
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tri = (
         e1.join(e2, F.col("e1.doc_b") == F.col("e2.doc_a"))
