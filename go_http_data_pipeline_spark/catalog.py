@@ -34,17 +34,39 @@ TABLES = (
 BROADCAST_DIMS = frozenset({"region", "nation"})
 
 
+# Per-(application, fixture, table) memo of the loaded base frames —
+# the engine's stand-in for a metastore catalog, where a table
+# definition is resolved once per session, not re-derived per query.
+# DataFrames are immutable and the fixture dirs are never rewritten
+# within a session, so reuse is safe; without the memo EVERY query
+# call re-read the parquet footer, re-inferred the schema, and
+# re-analyzed the read plan for each referenced table (a query
+# touching 4 tables paid ~100-200 ms of pure py4j + analyzer latency
+# per invocation before any execution started). Keyed by
+# applicationId so a restarted context can never see a stale frame.
+_TABLE_CACHE: dict = {}
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    df = _TABLE_CACHE.get(key)
+    if df is not None:
+        return df
     # The driver runs queries in ITS OWN session (no session.py confs).
     # events.ts is reconstructed as a tz-sensitive TIMESTAMP, and the
     # DuckDB oracle is tz-naive — pin UTC here (runtime conf, cheap)
-    # so results never depend on the host JVM timezone.
+    # so results never depend on the host JVM timezone. Set BEFORE the
+    # read: the memoized frame's plan is analyzed under the pinned
+    # zone, so its semantics stay UTC for every later consumer.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        return _events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = _events(spark, sf_dir)
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    _TABLE_CACHE[key] = df
+    return df
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
