@@ -47,11 +47,18 @@ BROADCAST_DIMS = frozenset({"region", "nation"})
 _TABLE_CACHE: dict = {}
 
 
-def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def table(
+    spark: SparkSession, sf_dir: str, name: str, fresh: bool = False
+) -> DataFrame:
+    """``fresh=True`` bypasses the memo and returns a scan with its
+    own attribute IDs — required for self-cogroups, whose sides must
+    NOT alias one subtree (shared IDs let Catalyst's dedup/pruning
+    strip a side's data columns under count(); see
+    ``embedding_neardup_pairs``)."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     key = (spark.sparkContext.applicationId, sf_dir, name)
-    df = _TABLE_CACHE.get(key)
+    df = None if fresh else _TABLE_CACHE.get(key)
     if df is not None:
         return df
     # The driver runs queries in ITS OWN session (no session.py confs).

@@ -194,9 +194,15 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dedup/column-pruning interaction can strip the data columns from
     # one side when the consumer needs no output columns (count()).
     # Independent reads give each side its own attributes; the scan is
-    # the cheapest node in this plan either way.
-    emb_l = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    emb_r = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # the cheapest node in this plan either way. ``fresh=True`` is
+    # REQUIRED here — the catalog memo would hand both sides the same
+    # frame (same attribute IDs), re-creating exactly that bug.
+    emb_l = table(spark, sf_dir, "embeddings", fresh=True).select(
+        "vec_id", "embedding"
+    )
+    emb_r = table(spark, sf_dir, "embeddings", fresh=True).select(
+        "vec_id", "embedding"
+    )
     left = emb_l.select(
         "vec_id", "embedding", (F.col("vec_id") % B).alias("bi")
     ).select(
