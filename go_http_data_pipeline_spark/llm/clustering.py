@@ -137,6 +137,28 @@ def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q
 
 
+def _seed_cents(spark: SparkSession, sf_dir: str) -> list:
+    """Seed centroids (vec_id < K) collected once per (session, sf) —
+    K quantized rows of control-plane data, deterministic for a
+    fixture, previously re-collected (one extra job) on every
+    ``kmeans_iteration`` call. The M-step's per-call collect stays:
+    refreshed centroids ARE the iteration's work."""
+    key = ("seeds", spark.sparkContext.applicationId, sf_dir)
+    cents = _QCACHE.get(key)
+    if cents is None:
+        cents = [
+            (r["vec_id"], r["q"])
+            for r in sorted(
+                _quantized(spark, sf_dir)
+                .filter(F.col("vec_id") < K)
+                .collect(),
+                key=lambda r: r["vec_id"],
+            )
+        ]
+        _QCACHE[key] = cents
+    return cents
+
+
 def _cent_literal(cent_rows: list) -> str:
     """SQL literal ``array<struct<cid,cq>>`` from driver-side centroid
     rows. Centroids are control-plane data (K * DIM ints): every
@@ -188,12 +210,7 @@ def kmeans_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`_cent_literal`), and prev/new assignments come out of one
     final pass over the cached corpus — no join anywhere."""
     vecs = _quantized(spark, sf_dir)
-    cents0 = [
-        (r["vec_id"], r["q"])
-        for r in sorted(
-            vecs.filter(F.col("vec_id") < K).collect(), key=lambda r: r["vec_id"]
-        )
-    ]
+    cents0 = _seed_cents(spark, sf_dir)
     best0 = _best_expr(_cent_literal(cents0))
     a1 = vecs.select("vec_id", "q", F.expr(f"{best0}.cid").alias("cid"))
 

@@ -379,7 +379,16 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh = sh.join(keep, "sh_h", "left_semi")
     cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
+    # SHUFFLE_HASH on the self-join: both sides are the one persisted
+    # table already hash-partitioned by sh_h, so the shuffled-hash
+    # join runs with ZERO exchange (co-partitioned build + probe per
+    # partition). Unhinted, the planner broadcast the whole DF-capped
+    # shingle table at test scale — a per-call corpus-sized broadcast
+    # build that cannot exist at 100 TB; the hinted plan is the same
+    # shape locally and at scale. (Locally measured equal: 1.45 vs
+    # 1.47 s median over 8 interleaved reps; probe-section exchange
+    # count 1 -> 0.)
+    a, b = sh.alias("a"), sh.hint("shuffle_hash").alias("b")
     common = (
         a.join(
             b,
