@@ -424,6 +424,19 @@ def _adc_inputs(
     got = _ADC_INPUTS_CACHE.get(key)
     if got is not None:
         return got
+    lut, cn2, q_norms = (
+        df.persist() for df in _build_adc_inputs(spark, sf_dir)
+    )
+    _ADC_INPUTS_CACHE[key] = (lut, cn2, q_norms)
+    return lut, cn2, q_norms
+
+
+def _build_adc_inputs(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The un-persisted (lut, cn2, q_norms) derivation — factored out
+    so the bounded-read pin (tests/test_pq.py) can audit the one-time
+    build's executed scans directly."""
     cb = trained_codebook(spark, sf_dir)
     q_sub = _sub_slices(
         table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < N_QUERIES)
@@ -433,10 +446,10 @@ def _adc_inputs(
         "sub",
         "code",
         F.expr(_PDOTI.format(a="q_sub", b="c_sub")).alias("pdot"),
-    ).persist()
+    )
     cn2 = cb.select(
         "sub", "code", F.expr(_N2I.format(a="c_sub")).alias("pn2")
-    ).persist()
+    )
     q_norms = (
         table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < N_QUERIES)
@@ -446,9 +459,7 @@ def _adc_inputs(
                 "q_nrm"
             ),
         )
-        .persist()
     )
-    _ADC_INPUTS_CACHE[key] = (lut, cn2, q_norms)
     return lut, cn2, q_norms
 
 
