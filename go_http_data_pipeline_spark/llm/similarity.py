@@ -689,11 +689,27 @@ def ivf_ann_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dot / (F.col("q_nrm") * F.col("nrm"))).alias("cosine"),
         )
     )
-    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
-    return (
-        scores.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("qid", "cid", F.col("vec_id").alias("neighbor_id"), "cosine")
+    # Top-1 as a per-qid min(struct(-cosine, vec_id, ...)) aggregate —
+    # lexicographic struct-min IS `ORDER BY cosine DESC, vec_id` (IEEE
+    # negation exact, cosines finite), the shared _adc_top1 rule from
+    # llm/pq.py: the aggregate partial-combines to <= |queries| rows
+    # per partition before its exchange, where the row_number window
+    # shuffled every in-cell candidate to a per-qid sort.
+    best = scores.groupBy("qid").agg(
+        F.min(
+            F.struct(
+                (-F.col("cosine")).alias("neg"),
+                F.col("vec_id"),
+                F.col("cid"),
+                F.col("cosine"),
+            )
+        ).alias("b")
+    )
+    return best.select(
+        "qid",
+        F.col("b.cid").alias("cid"),
+        F.col("b.vec_id").alias("neighbor_id"),
+        F.col("b.cosine").alias("cosine"),
     )
 
 
