@@ -57,17 +57,24 @@ def table(
     ``embedding_neardup_pairs``)."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    key = (spark.sparkContext.applicationId, sf_dir, name)
-    df = None if fresh else _TABLE_CACHE.get(key)
-    if df is not None:
-        return df
     # The driver runs queries in ITS OWN session (no session.py confs).
     # events.ts is reconstructed as a tz-sensitive TIMESTAMP, and the
     # DuckDB oracle is tz-naive — pin UTC here (runtime conf, cheap)
-    # so results never depend on the host JVM timezone. Set BEFORE the
-    # read: the memoized frame's plan is analyzed under the pinned
-    # zone, so its semantics stay UTC for every later consumer.
+    # so results never depend on the host JVM timezone. Pinned BEFORE
+    # the cache-hit return, not only on miss: expressions built by the
+    # CALLER after this point are analyzed under the session zone, so
+    # the per-call invariant must hold even when the frame is memoized
+    # (anything resetting the zone mid-session would otherwise change
+    # later-built expressions while the cached frame stayed UTC).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Keyed by applicationId AND the session object: sibling sessions
+    # (newSession) share one context/appId but have per-session conf
+    # and temp views — a frame analyzed in one must not leak into
+    # another's view registration.
+    key = (spark.sparkContext.applicationId, id(spark), sf_dir, name)
+    df = None if fresh else _TABLE_CACHE.get(key)
+    if df is not None:
+        return df
     if name == "events":
         df = _events(spark, sf_dir)
     else:
