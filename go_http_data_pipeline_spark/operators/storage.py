@@ -268,15 +268,30 @@ def _z_bucketed_cte_duck() -> str:
     """
 
 
-def _equidepth_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equal-frequency bucket assignment for (custkey, day) without a
-    global sort: equal-width grid cells per dimension (codegen row
-    math off a broadcast 1-row min/max), a per-dimension cell
-    histogram (ONE distributed groupBy each, ≤``_Z_GRID`` output
-    rows), cumulative-count bucket ids over that control-plane
-    histogram, and broadcast joins back onto the rows. The two
-    unpartitioned windows here run over the ≤4096-row histograms —
-    control-plane by construction, never the fact table."""
+def _equidepth_parts(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(mm, cells, hist): the shared building blocks of the
+    equal-frequency bucketing, with the two CONTROL-PLANE
+    intermediates materialized per call via eager ``localCheckpoint``
+    so multi-reference consumers read a tiny RDD leaf instead of
+    re-executing the orders subtree per reference (guide §1.2/§5 —
+    the previous lazy form re-ran the scan + grid crossJoin once for
+    EACH of the two histogram broadcasts and once for the row side:
+    the executed zorder/layout plans carried 12/26 parquet scans).
+
+    * ``mm``  — the 1-row min/max bounds (one orders scan, job 1);
+    * ``cells`` — the per-row grid-cell frame (lazy; consumers pay
+      exactly one orders scan per executed plan);
+    * ``hist`` — BOTH dimensions' cell histograms in ONE pass over
+      ``cells`` (explode to (dim, cell), one groupBy — job 2), ≤2 ×
+      ``_Z_GRID`` rows, checkpointed: the histogram maps derive from
+      it without touching orders again.
+
+    The checkpoints are per-call (recomputed from parquet every
+    invocation — nothing persists across calls); at 100 TB they are
+    1-row / ≤8192-row control tables, the metadata a layout planner
+    would keep on the driver anyway."""
     o = table(spark, sf_dir, "orders").select(
         "o_custkey",
         F.datediff("o_orderdate", F.lit("1970-01-01")).alias("day"),
@@ -286,7 +301,7 @@ def _equidepth_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_custkey").cast("bigint").alias("cmax"),
         F.min("day").cast("bigint").alias("dmin"),
         F.max("day").cast("bigint").alias("dmax"),
-    )
+    ).localCheckpoint()
     cells = o.crossJoin(F.broadcast(mm)).selectExpr(
         "o_custkey",
         "day",
@@ -295,17 +310,53 @@ def _equidepth_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"((CAST(day AS BIGINT) - dmin) * {_Z_GRID})"
         " div (dmax - dmin + 1) AS cy",
     )
+    hist = (
+        cells.select(
+            F.explode(
+                F.array(
+                    F.struct(F.lit(0).alias("dim"), F.col("cx").alias("cell")),
+                    F.struct(F.lit(1).alias("dim"), F.col("cy").alias("cell")),
+                )
+            ).alias("dc")
+        )
+        .groupBy(F.col("dc.dim").alias("dim"), F.col("dc.cell").alias("cell"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    return mm, cells, hist
+
+
+def _equidepth_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency bucket assignment for (custkey, day) without a
+    global sort: equal-width grid cells per dimension (codegen row
+    math off a broadcast 1-row min/max), a per-dimension cell
+    histogram (ONE distributed groupBy over both dimensions at once,
+    ≤2·``_Z_GRID`` output rows), cumulative-count bucket ids over that
+    control-plane histogram, and broadcast joins back onto the rows.
+    The two unpartitioned windows here run over the ≤4096-row
+    per-dimension histogram slices — control-plane by construction,
+    never the fact table."""
+    return _bucketed_from_parts(_equidepth_parts(spark, sf_dir))
+
+
+def _bucketed_from_parts(
+    parts: tuple[DataFrame, DataFrame, DataFrame]
+) -> DataFrame:
+    """The bucket-map join over already-built parts — factored out so
+    ``layout_skipping_eval`` (which also needs ``mm`` for its range
+    normalizer) builds the per-call checkpoints exactly once."""
+    _, cells, hist = parts
     nb = 2 ** Z_BITS
-    mapx = cells.groupBy("cx").agg(F.count(F.lit(1)).alias("c")).selectExpr(
-        "cx",
-        f"CAST((SUM(c) OVER (ORDER BY cx) - c) * {nb}"
+    mapx = hist.filter(F.col("dim") == 0).selectExpr(
+        "cell AS cx",
+        f"CAST((SUM(c) OVER (ORDER BY cell) - c) * {nb}"
         " div SUM(c) OVER () AS BIGINT) AS bx",
-        "CAST((SUM(c) OVER (ORDER BY cx) - c) * 64"
+        "CAST((SUM(c) OVER (ORDER BY cell) - c) * 64"
         " div SUM(c) OVER () AS BIGINT) AS lin_file",
     )
-    mapy = cells.groupBy("cy").agg(F.count(F.lit(1)).alias("c")).selectExpr(
-        "cy",
-        f"CAST((SUM(c) OVER (ORDER BY cy) - c) * {nb}"
+    mapy = hist.filter(F.col("dim") == 1).selectExpr(
+        "cell AS cy",
+        f"CAST((SUM(c) OVER (ORDER BY cell) - c) * {nb}"
         " div SUM(c) OVER () AS BIGINT) AS `by`",
     )
     return (
@@ -542,7 +593,9 @@ def layout_skipping_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline's 64 files reuse the custkey histogram's cumulative
     counts (one extra control-plane column, no extra pass); all
     downstream work is over 128 file-stat rows."""
-    bucketed = _equidepth_bucketed(spark, sf_dir)
+    parts = _equidepth_parts(spark, sf_dir)
+    mm = parts[0]
+    bucketed = _bucketed_from_parts(parts)
     keyed = bucketed.select(
         "o_custkey",
         "day",
@@ -552,30 +605,45 @@ def layout_skipping_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("z_file"),
     )
-    # rng needs only the raw min/max — aggregate the plain projection
-    # (one scan), not `bucketed`, whose plan would re-run both
-    # histogram groupBys and broadcast joins just to reduce to the
-    # same four numbers (the oracle computes rng FROM base likewise).
-    raw = table(spark, sf_dir, "orders").select(
-        "o_custkey",
-        F.datediff("o_orderdate", F.lit("1970-01-01")).alias("day"),
+    # rng needs only the raw min/max — and the checkpointed 1-row
+    # bounds (mm) already ARE exactly max/min per dimension, so the
+    # ranges derive from it with no extra orders scan (the previous
+    # form re-aggregated a fresh projection; the oracle computes the
+    # same CAST(MAX - MIN AS DOUBLE) from base).
+    rng = mm.select(
+        (F.col("cmax") - F.col("cmin")).cast("double").alias("c_rng"),
+        (F.col("dmax") - F.col("dmin")).cast("double").alias("d_rng"),
     )
-    rng = raw.agg(
-        (F.max("o_custkey") - F.min("o_custkey"))
-        .cast("double")
-        .alias("c_rng"),
-        (F.max("day") - F.min("day")).cast("double").alias("d_rng"),
-    )
-
-    def spans(file_col: str, layout: str) -> DataFrame:
-        return keyed.groupBy(F.col(file_col).alias("f")).agg(
+    # Both layouts' per-file spans in ONE pass over `keyed` (the
+    # previous two-groupBy union re-executed the bucketing subtree per
+    # layout): explode each row to (layout, file) and aggregate once —
+    # partial aggregation shrinks the doubled stream to ≤128 groups
+    # map-side before the exchange.
+    files = (
+        keyed.select(
+            "o_custkey",
+            "day",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("zorder").alias("layout"),
+                        F.col("z_file").alias("f"),
+                    ),
+                    F.struct(
+                        F.lit("linear").alias("layout"),
+                        F.col("lin_file").alias("f"),
+                    ),
+                )
+            ).alias("lf"),
+        )
+        .groupBy(F.col("lf.layout").alias("layout"), F.col("lf.f").alias("f"))
+        .agg(
             (F.max("o_custkey") - F.min("o_custkey"))
             .cast("double")
             .alias("c_span"),
             (F.max("day") - F.min("day")).cast("double").alias("d_span"),
-        ).select(F.lit(layout).alias("layout"), "f", "c_span", "d_span")
-
-    files = spans("z_file", "zorder").unionByName(spans("lin_file", "linear"))
+        )
+    )
     return (
         files.crossJoin(F.broadcast(rng))
         .groupBy("layout")
