@@ -481,7 +481,13 @@ def _adc_top1(
     before its exchange, where the previous row_number() form shuffled
     EVERY candidate row to a per-qid sort just to keep one (the
     WindowGroupLimit pushdown only capped, never combined)."""
-    best = adc.groupBy("qid").agg(
+    # rn2 > 0 guard: a zero reconstructed norm would make the score
+    # NULL under non-ANSI division, and a NULL first struct field
+    # orders SMALLEST — it would WIN the min where the old row_number
+    # desc ranked it last. Codebooks trained on the fixtures never
+    # produce an all-zero reconstruction, so the filter drops nothing
+    # there; it pins the finite-score precondition structurally.
+    best = adc.filter(F.col("rn2") > 0).groupBy("qid").agg(
         F.min(
             F.struct(
                 (-(F.col("adot") / F.sqrt("rn2"))).alias("neg"),
@@ -699,7 +705,10 @@ def adc_probe_wide(
             "score", F.col("adot").cast("double") / F.sqrt(F.col("rn2").cast("double"))
         )
     )
-    best = scored.groupBy("qid", "q_nrm").agg(
+    # rn2 > 0: same NULL-score guard as _adc_top1 — a NULL score must
+    # never win the struct-min (no fixture codeword reconstructs to
+    # all-zero, so this drops nothing there).
+    best = scored.filter(F.col("rn2") > 0).groupBy("qid", "q_nrm").agg(
         F.min(
             F.struct(
                 (-F.col("score")).alias("neg"),

@@ -452,11 +452,30 @@ def ann_lsh_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dot / (F.col("q_nrm") * F.col("nrm"))).alias("cosine"),
         )
     )
-    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
-    return (
-        scores.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("qid", "bucket", F.col("vec_id").alias("neighbor_id"), "cosine")
+    # Top-1 as the shared per-qid min(struct(-cosine, vec_id, ...))
+    # aggregate (see ivf_ann_top1 / llm.pq._adc_top1): partial-combines
+    # to <= |queries| rows per partition before the exchange, where the
+    # row_number window shuffled every in-bucket candidate to a per-qid
+    # sort. The isNotNull guard pins the old window's NULLS-LAST desc
+    # semantics: struct comparison orders a NULL first field SMALLEST,
+    # so an unguarded NULL cosine (zero-norm vector under non-ANSI
+    # division) would win instead of ranking last. Fixture norms are
+    # all positive, so the guard never drops a fixture row.
+    best = scores.filter(F.col("cosine").isNotNull()).groupBy("qid").agg(
+        F.min(
+            F.struct(
+                (-F.col("cosine")).alias("neg"),
+                F.col("vec_id"),
+                F.col("bucket"),
+                F.col("cosine"),
+            )
+        ).alias("b")
+    )
+    return best.select(
+        "qid",
+        F.col("b.bucket").alias("bucket"),
+        F.col("b.vec_id").alias("neighbor_id"),
+        F.col("b.cosine").alias("cosine"),
     )
 
 
@@ -543,11 +562,23 @@ def ann_lsh_multiprobe_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dot / (F.col("q_nrm") * F.col("nrm"))).alias("cosine"),
         )
     )
-    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
-    return (
-        scores.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("qid", F.col("vec_id").alias("neighbor_id"), "cosine")
+    # Shared aggregate top-1 idiom (see ann_lsh_top1): with 9 probe
+    # buckets per query this map-side combine prunes harder than the
+    # single-probe case — every probe's candidates collapse to one
+    # partial row per (qid, partition) before the exchange. The
+    # previous WindowGroupLimit form only capped rows per partition,
+    # never combined them. NULL guard as in ann_lsh_top1.
+    best = scores.filter(F.col("cosine").isNotNull()).groupBy("qid").agg(
+        F.min(
+            F.struct(
+                (-F.col("cosine")).alias("neg"),
+                F.col("vec_id"),
+                F.col("cosine"),
+            )
+        ).alias("b")
+    )
+    return best.select(
+        "qid", F.col("b.vec_id").alias("neighbor_id"), F.col("b.cosine").alias("cosine")
     )
 
 
@@ -694,8 +725,12 @@ def ivf_ann_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     # negation exact, cosines finite), the shared _adc_top1 rule from
     # llm/pq.py: the aggregate partial-combines to <= |queries| rows
     # per partition before its exchange, where the row_number window
-    # shuffled every in-cell candidate to a per-qid sort.
-    best = scores.groupBy("qid").agg(
+    # shuffled every in-cell candidate to a per-qid sort. The
+    # isNotNull guard pins NULLS-LAST: a NULL cosine (zero-norm
+    # vector under non-ANSI division) must never win the struct-min
+    # (NULL orders smallest in struct comparison); no fixture row has
+    # a zero norm, so the filter is a no-op there.
+    best = scores.filter(F.col("cosine").isNotNull()).groupBy("qid").agg(
         F.min(
             F.struct(
                 (-F.col("cosine")).alias("neg"),

@@ -349,8 +349,11 @@ def test_watermark_late_audit_two_exchanges_no_global_sort(spark, sf_dir):
 def test_multiprobe_ann_broadcast_probe_no_cartesian(spark, sf_dir):
     """Multi-probe ANN keeps the single-probe plan shape: exploded
     (qid, probe_bucket) side broadcast, corpus probed by bucket
-    equi-join, top-1 via partial+final WindowGroupLimit — never a
-    cartesian / nested-loop pairing."""
+    equi-join, top-1 via the partial-combining min(struct) aggregate —
+    never a cartesian / nested-loop pairing. (Pin updated in round 16:
+    the previous WindowGroupLimit form only CAPPED candidate rows per
+    partition before the per-qid sort exchange; the aggregate combines
+    them to <= |queries| partial rows — strictly less shuffled.)"""
     from go_http_data_pipeline_spark.llm.similarity import (
         ann_lsh_multiprobe_top1,
     )
@@ -360,7 +363,10 @@ def test_multiprobe_ann_broadcast_probe_no_cartesian(spark, sf_dir):
     assert "BroadcastHashJoin" in strategies
     assert "CartesianProduct" not in strategies
     assert "BroadcastNestedLoopJoin" not in strategies
-    assert "WindowGroupLimit" in plan_str(df)  # top-1 pruned map-side
+    plan = plan_str(df)
+    # Top-1 is a map-side-combining aggregate now, not a window sort.
+    assert "Window" not in plan  # covers WindowGroupLimit too
+    assert "partial_min" in plan or "min(" in plan
 
 
 def test_source_mixture_weights_single_corpus_pass(spark, sf_dir):
