@@ -403,21 +403,65 @@ def main() -> int:
     # artifacts — on a cluster, materialized tables — and previously
     # their build cost landed on whichever dedup query ran first,
     # making that query's delta unattributable (VERDICT r3 item 6).
+    #
+    # The shingle table and the band index are INDEPENDENT since the
+    # band cache moved to the array kernel (round 16) — they build as
+    # two concurrent jobs (guide §2.6: overlap independent jobs so one
+    # build's straggler tail back-fills with the other's tasks); the
+    # component labels depend on the band index and run after. The
+    # timed quantity is unchanged: wall-clock to materialize the three
+    # dedup artifacts.
+    from concurrent.futures import ThreadPoolExecutor
+
     from go_http_data_pipeline_spark.llm.dedup import (
         component_labels_cached,
         lsh_bands_cached,
         shingles_cached,
+        simhash_fingerprints_cached,
     )
 
     t0 = time.perf_counter()
-    shingles_cached(spark, sf_dir).count()
-    lsh_bands_cached(spark, sf_dir).count()
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fs = [
+            pool.submit(lambda: shingles_cached(spark, sf_dir).count()),
+            pool.submit(lambda: lsh_bands_cached(spark, sf_dir).count()),
+        ]
+        for f in fs:
+            f.result()
     # Converged near-dup component labels: the third materialized
     # intermediate (consumed by dedup_components and the keep-best
     # selection) — iterative build cost belongs to the ingest phase.
     component_labels_cached(spark, sf_dir).count()
     cache_build = round(time.perf_counter() - t0, 3)
     print(f"# dedup_cache_build: {cache_build}s", file=sys.stderr)
+
+    # Second timed build phase (round 16, VERDICT r15 item 2): the
+    # OTHER session memos headline queries consume — simhash
+    # fingerprints, the PQ codebook/codes/LUT chain, the hyperplane
+    # feature table, the IVF assignment. Their one-time builds used to
+    # run inside the FIRST repeat of whichever query touched them, and
+    # min-of-REPEATS discarded that repeat — so the build cost appeared
+    # nowhere in the headline total. It is real suite work; time it
+    # like the dedup cache build. Three independent chains overlap
+    # (§2.6). Additions-only: the JSON keeps every existing key and
+    # gains "memo_build_sec"; the old per-query minima are unchanged
+    # in meaning.
+    from go_http_data_pipeline_spark.llm.pq import warm_probe_memos
+    from go_http_data_pipeline_spark.llm.similarity import warm_ann_memos
+
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        fs = [
+            pool.submit(
+                lambda: simhash_fingerprints_cached(spark, sf_dir).count()
+            ),
+            pool.submit(warm_probe_memos, spark, sf_dir),
+            pool.submit(warm_ann_memos, spark, sf_dir),
+        ]
+        for f in fs:
+            f.result()
+    memo_build = round(time.perf_counter() - t0, 3)
+    print(f"# memo_build: {memo_build}s", file=sys.stderr)
 
     fixture_sig = _fixture_sig(sf_dir)
     prev = _prev_bench(sf, fixture_sig)
@@ -509,10 +553,10 @@ def main() -> int:
             file=sys.stderr,
         )
 
-    # Total includes the cache build: it is real work the suite needs
-    # (it was previously inside the first dedup query's time), just
-    # attributed to its own line now.
-    total = round(sum(times.values()) + cache_build, 3)
+    # Total includes BOTH build phases: real work the suite needs
+    # (previously inside first-repeat times that min-of-N discarded),
+    # attributed to their own lines now.
+    total = round(sum(times.values()) + cache_build + memo_build, 3)
     full = {
         "metric": "headline_suite_wall_clock",
         "value": total,
@@ -529,6 +573,7 @@ def main() -> int:
         "fixture_sig": fixture_sig,
         "code_sig": _code_sig(),
         "dedup_cache_build_sec": cache_build,
+        "memo_build_sec": memo_build,
         "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
     }
     if prev:
@@ -570,6 +615,7 @@ def main() -> int:
         "deltas_vs_prev": delta_digest,
         "confirmed_regressions": confirmed,
         "dedup_cache_build_sec": cache_build,
+        "memo_build_sec": memo_build,
         "full_record": "BENCH_LOCAL.jsonl",
     }
     if prev:

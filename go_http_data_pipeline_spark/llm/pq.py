@@ -236,18 +236,30 @@ def pq_assign(
     """(vec_id, sub, code, d2): nearest codeword per (vector,
     subspace) — a broadcast of the codebook, a K-way row expansion
     per subspace, exact BIGINT distance folds in codegen, and a
-    per-(vec_id, sub) argmin window (ties to the smaller code id).
+    per-(vec_id, sub) argmin as a ``min(struct(d2, code))`` aggregate:
+    lexicographic struct-min over two BIGINTs IS ``ORDER BY d2, code``
+    with rn=1 (the shared _adc_top1 selection rule, here with no IEEE
+    negation at all since d2 is an exact integer). The aggregate
+    partial-combines the K-way expansion map-side — one row per
+    (vec_id, sub) per partition reaches the exchange, where the
+    row_number window form shuffled the FULL corpus x K expansion
+    into per-(vec_id, sub) sorts (at K=256 that exchange carried 256x
+    the index size; interleaved A/B below halves the build).
     ``int_codebook`` switches the distance fold to the
     already-quantized trained codewords."""
     d2 = F.expr((_D2I if int_codebook else _D2).format(a="e_sub", b="c_sub"))
-    w = Window.partitionBy("vec_id", "sub").orderBy("d2", "code")
-    return (
+    best = (
         _sub_slices(corpus)
         .join(F.broadcast(codebook), "sub")
         .withColumn("d2", d2)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "sub", "code", "d2")
+        .groupBy("vec_id", "sub")
+        .agg(F.min(F.struct(F.col("d2"), F.col("code"))).alias("b"))
+    )
+    return best.select(
+        "vec_id",
+        "sub",
+        F.col("b.code").alias("code"),
+        F.col("b.d2").alias("d2"),
     )
 
 
@@ -832,3 +844,20 @@ def ivf_pq_ann_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("pdot").alias("adot"), F.sum("pn2").alias("rn2"))
     )
     return _adc_top1(adc, q_norms, extra_cols=("cid",))
+
+
+def warm_probe_memos(spark: SparkSession, sf_dir: str) -> None:
+    """Build every per-(session, fixture) PQ memo eagerly: codebook,
+    long + wide code tables, ADC inputs, per-query LUT rows. The
+    probes build these lazily on first touch, which let their one-time
+    cost land inside a min-of-N bench repeat and vanish from the
+    measured minimum (VERDICT r15 item 1) — bench.py calls this in its
+    TIMED memo phase instead, so the suite total accounts for the
+    build the same way it accounts for the dedup cache build. Not a
+    result cache: everything here is a session-scoped index artifact
+    recomputed from the parquet inputs on every run."""
+    _codes_cached(spark, sf_dir).count()
+    _codes_wide_cached(spark, sf_dir).count()
+    for df in _adc_inputs(spark, sf_dir):
+        df.count()
+    _query_lut_rows(spark, sf_dir).count()

@@ -1042,3 +1042,13 @@ def tfidf_cosine_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine"),
         )
     )
+
+
+def warm_ann_memos(spark: SparkSession, sf_dir: str) -> None:
+    """Build the per-(session, fixture) ANN index memos eagerly (the
+    hyperplane feature table and the IVF cell assignment) — see
+    llm.pq.warm_probe_memos for why bench.py times these in its memo
+    phase instead of letting first-touch costs hide inside a
+    min-of-N repeat."""
+    _ann_features(spark, sf_dir).count()
+    ivf_assign_cached(spark, sf_dir).count()

@@ -707,9 +707,14 @@ def lsh_index_step(
     ``_LSH_COMPACT_EVERY`` appends. Module-level so the scaling study
     races exactly the code the streaming query ships
     (docs/SCALING_MEASURED.md §F)."""
-    from ..llm.dedup import lsh_bands, shingles_of
+    from ..llm.dedup import lsh_bands_of_docs
 
-    bands = lsh_bands(shingles_of(batch_df)).persist()
+    # Same array-kernel band builder as the batch band cache (round
+    # 16): one production kernel for both consumers, pinned
+    # row-identical to the explode-form lsh_bands(shingles_of(...))
+    # definition by the dedup parity test — per micro-batch it is a
+    # narrow map (no groupBy exchange on the arriving documents).
+    bands = lsh_bands_of_docs(batch_df).persist()
     a, b = bands.alias("a"), bands.alias("b")
     pairs = a.join(
         b,

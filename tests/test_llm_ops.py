@@ -354,6 +354,35 @@ def test_degenerate_docs_match_oracle(spark, tmp_path):
     assert {r.doc_id for r in fp.select("doc_id").distinct().collect()} == {3}
 
 
+def test_array_kernel_bands_equal_explode_kernel(spark, sf_dir, tmp_path):
+    """The array-kernel band builder (lsh_bands_of_docs — the round-16
+    production kernel for both the batch band cache and the streaming
+    incremental indexer) must stay ROW-IDENTICAL to the definitional
+    explode kernel lsh_bands(shingles_of(docs)) that mirrors the SQL
+    oracle — on the real fixture AND on degenerate documents (docs
+    with <3 tokens produce no shingles, hence no bands, in both)."""
+    from go_http_data_pipeline_spark.llm.dedup import (
+        lsh_bands,
+        lsh_bands_of_docs,
+        shingles_of,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = sorted(map(tuple, lsh_bands(shingles_of(docs)).collect()))
+    b = sorted(map(tuple, lsh_bands_of_docs(docs).collect()))
+    assert a == b and len(a) > 0
+
+    d = _tmp_docs(
+        spark, tmp_path,
+        ["solo", "two tokens", "three tokens here", "a b c d e f g h"],
+    )
+    dd = spark.read.parquet(f"{d}/documents.parquet")
+    a = sorted(map(tuple, lsh_bands(shingles_of(dd)).collect()))
+    b = sorted(map(tuple, lsh_bands_of_docs(dd).collect()))
+    assert a == b
+    assert {r[0] for r in b} == {2, 3}  # <3-token docs emit nothing
+
+
 def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
     """Multi-probe LSH must (a) answer for at least every query the
     single-probe path answers, (b) never return a WORSE neighbor for
