@@ -509,16 +509,22 @@ def _adc_top1(
     before its exchange, where the previous row_number() form shuffled
     EVERY candidate row to a per-qid sort just to keep one (the
     WindowGroupLimit pushdown only capped, never combined)."""
-    # rn2 > 0 guard: a zero reconstructed norm would make the score
-    # NULL under non-ANSI division, and a NULL first struct field
-    # orders SMALLEST — it would WIN the min where the old row_number
-    # desc ranked it last. Codebooks trained on the fixtures never
-    # produce an all-zero reconstruction, so the filter drops nothing
-    # there; it pins the finite-score precondition structurally.
-    best = adc.filter(F.col("rn2") > 0).groupBy("qid").agg(
+    # NULL-score guard: a zero reconstructed norm (rn2 = 0) makes the
+    # score NULL under non-ANSI division, and a NULL first struct
+    # field orders SMALLEST — it would WIN the min where the old
+    # row_number desc ranked it last. coalesce(neg, +inf) maps a NULL
+    # score to the LARGEST sort key instead — exactly the window's
+    # NULLS-LAST — as pure row arithmetic inside the aggregate input.
+    # (A Filter(rn2 > 0) between the two aggregates was measured at
+    # +0.3 s on the probe — 0.72 vs 0.42 s median interleaved — while
+    # this form is timing-identical to the unguarded aggregate.)
+    neg = F.coalesce(
+        -(F.col("adot") / F.sqrt("rn2")), F.lit(float("inf"))
+    )
+    best = adc.groupBy("qid").agg(
         F.min(
             F.struct(
-                (-(F.col("adot") / F.sqrt("rn2"))).alias("neg"),
+                neg.alias("neg"),
                 F.col("vec_id"),
                 *[F.col(c) for c in extra_cols],
                 F.col("adot"),
@@ -733,13 +739,13 @@ def adc_probe_wide(
             "score", F.col("adot").cast("double") / F.sqrt(F.col("rn2").cast("double"))
         )
     )
-    # rn2 > 0: same NULL-score guard as _adc_top1 — a NULL score must
-    # never win the struct-min (no fixture codeword reconstructs to
-    # all-zero, so this drops nothing there).
-    best = scored.filter(F.col("rn2") > 0).groupBy("qid", "q_nrm").agg(
+    # NULL-score guard as in _adc_top1: coalesce(-score, +inf) pins
+    # NULLS-LAST inside the sort key (a Filter form measurably broke
+    # the aggregate pipeline there; this is free).
+    best = scored.groupBy("qid", "q_nrm").agg(
         F.min(
             F.struct(
-                (-F.col("score")).alias("neg"),
+                F.coalesce(-F.col("score"), F.lit(float("inf"))).alias("neg"),
                 F.col("vec_id"),
                 F.col("adot"),
                 F.col("rn2"),

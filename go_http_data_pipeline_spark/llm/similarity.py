@@ -456,15 +456,19 @@ def ann_lsh_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregate (see ivf_ann_top1 / llm.pq._adc_top1): partial-combines
     # to <= |queries| rows per partition before the exchange, where the
     # row_number window shuffled every in-bucket candidate to a per-qid
-    # sort. The isNotNull guard pins the old window's NULLS-LAST desc
-    # semantics: struct comparison orders a NULL first field SMALLEST,
-    # so an unguarded NULL cosine (zero-norm vector under non-ANSI
-    # division) would win instead of ranking last. Fixture norms are
-    # all positive, so the guard never drops a fixture row.
-    best = scores.filter(F.col("cosine").isNotNull()).groupBy("qid").agg(
+    # sort. coalesce(-cosine, +inf) pins the old window's NULLS-LAST
+    # desc semantics inside the sort key: struct comparison orders a
+    # NULL first field SMALLEST, so an unguarded NULL cosine (zero-norm
+    # vector under non-ANSI division) would win instead of ranking
+    # last. Fixture norms are all positive, so no fixture row is ever
+    # a NULL; the mapping is pure row arithmetic (a Filter form was
+    # measured to break aggregate pipelining in llm/pq._adc_top1).
+    best = scores.groupBy("qid").agg(
         F.min(
             F.struct(
-                (-F.col("cosine")).alias("neg"),
+                F.coalesce(-F.col("cosine"), F.lit(float("inf"))).alias(
+                    "neg"
+                ),
                 F.col("vec_id"),
                 F.col("bucket"),
                 F.col("cosine"),
@@ -567,11 +571,13 @@ def ann_lsh_multiprobe_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-probe case — every probe's candidates collapse to one
     # partial row per (qid, partition) before the exchange. The
     # previous WindowGroupLimit form only capped rows per partition,
-    # never combined them. NULL guard as in ann_lsh_top1.
-    best = scores.filter(F.col("cosine").isNotNull()).groupBy("qid").agg(
+    # never combined them. NULLS-LAST guard as in ann_lsh_top1.
+    best = scores.groupBy("qid").agg(
         F.min(
             F.struct(
-                (-F.col("cosine")).alias("neg"),
+                F.coalesce(-F.col("cosine"), F.lit(float("inf"))).alias(
+                    "neg"
+                ),
                 F.col("vec_id"),
                 F.col("cosine"),
             )
@@ -726,14 +732,16 @@ def ivf_ann_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     # llm/pq.py: the aggregate partial-combines to <= |queries| rows
     # per partition before its exchange, where the row_number window
     # shuffled every in-cell candidate to a per-qid sort. The
-    # isNotNull guard pins NULLS-LAST: a NULL cosine (zero-norm
-    # vector under non-ANSI division) must never win the struct-min
-    # (NULL orders smallest in struct comparison); no fixture row has
-    # a zero norm, so the filter is a no-op there.
-    best = scores.filter(F.col("cosine").isNotNull()).groupBy("qid").agg(
+    # coalesce(-cosine, +inf) guard pins NULLS-LAST: a NULL cosine
+    # (zero-norm vector under non-ANSI division) must never win the
+    # struct-min (NULL orders smallest in struct comparison); no
+    # fixture row has a zero norm, so it never fires there.
+    best = scores.groupBy("qid").agg(
         F.min(
             F.struct(
-                (-F.col("cosine")).alias("neg"),
+                F.coalesce(-F.col("cosine"), F.lit(float("inf"))).alias(
+                    "neg"
+                ),
                 F.col("vec_id"),
                 F.col("cid"),
                 F.col("cosine"),
